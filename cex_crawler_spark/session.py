@@ -1,0 +1,74 @@
+"""SparkSession factory with engine-standard configuration.
+
+Design notes (scale-first):
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  is the backstop for hot-host skew in the frontier (one host can hold
+  50%+ of URLs; the reference simply stalls on such hosts —
+  /root/reference/exchange/bithumb.py:28-72 retries serially).
+- Arrow on: every Python-side stage (fetch simulation, payload
+  validation, extraction) moves batches, never rows.
+- Session timezone pinned to UTC so results compare bit-for-bit against
+  DuckDB oracles (DuckDB timestamps are UTC-naive).  The reference's
+  Asia/Hong_Kong rendering (/root/reference/utils.py:13, main.py:54) is
+  applied explicitly via from_utc_timestamp where its semantics are
+  reproduced, never via session state.
+- shuffle.partitions defaults to the local core count; on a real
+  cluster this is overridden (or left to AQE's coalescing) — the code
+  never assumes a specific partition count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Reference analog: the crawler renders all timestamps in Asia/Hong_Kong
+# (/root/reference/main.py:54, exchange/binance.py:239).  We keep the
+# session in UTC and convert explicitly at the edges.
+REFERENCE_TZ = "Asia/Hong_Kong"
+
+
+def get_spark(
+    app_name: str = "cex_crawler_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    in the sandbox; on a cluster, pass ``None`` after spark-submit has
+    set the master, or an explicit URL.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            n = int(cpus)
+        except ValueError:
+            n = 32
+        shuffle_partitions = max(n, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Binary image payloads ride Arrow batches; cap rows/batch so a
+        # batch of wide rows stays well under executor memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
