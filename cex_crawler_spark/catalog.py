@@ -1,0 +1,105 @@
+"""Snapshot catalog — atomic multi-table commits on parquet + manifest JSON.
+
+Plays the role Iceberg snapshots play in the production design (SURVEY §4):
+every crawl round commits frontier', seen-delta, results, metrics and
+lineage ATOMICALLY — either the whole round is visible or none of it —
+so a killed run resumes bit-identically from the last committed round.
+The reference has no such guarantee (a crash can half-write a JSON file,
+/root/reference/exchange/base_scraper.py:184-196).
+
+Protocol:
+- data files first: each table version writes parquet under
+  ``<root>/<table>/v<N>/`` (a new directory per commit — never mutated);
+- manifest last: ``<root>/_manifests/v<N>.json`` is written to a temp
+  file and ``os.rename``d into place (atomic on POSIX).  The current
+  state is the highest-numbered manifest; orphan data dirs from a crash
+  are unreferenced and harmless.
+- append tables (``seen``, ``results``, ``lineage``, ``metrics``) list
+  ALL their data paths in the manifest; overwrite tables (``frontier``)
+  list only the newest.
+
+The API mirrors what the Iceberg swap would need (read / commit /
+current round), so moving to real Iceberg is a one-module change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+OVERWRITE = "overwrite"
+APPEND = "append"
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str | os.PathLike):
+        self.root = Path(root)
+        (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------- manifests
+
+    def _manifest_path(self, version: int) -> Path:
+        return self.root / "_manifests" / f"v{version:06d}.json"
+
+    def current_version(self) -> int:
+        versions = [
+            int(p.stem[1:]) for p in (self.root / "_manifests").glob("v*.json")
+        ]
+        return max(versions, default=0)
+
+    def manifest(self) -> dict:
+        v = self.current_version()
+        if v == 0:
+            return {"version": 0, "round": -1, "tables": {}}
+        return json.loads(self._manifest_path(v).read_text())
+
+    def current_round(self) -> int:
+        return self.manifest()["round"]
+
+    # ----------------------------------------------------------------- reads
+
+    def has_table(self, table: str) -> bool:
+        return table in self.manifest()["tables"]
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        entry = self.manifest()["tables"].get(table)
+        if entry is None or not entry["paths"]:
+            raise KeyError(f"table {table!r} not in catalog")
+        return spark.read.parquet(*entry["paths"])
+
+    # ---------------------------------------------------------------- commit
+
+    def commit(
+        self,
+        round_id: int,
+        writes: dict[str, tuple[DataFrame, str]],
+        extra: dict | None = None,
+    ) -> int:
+        """Atomically commit ``{table: (df, OVERWRITE|APPEND)}`` as one round.
+
+        DataFrames are materialized (parquet write = the action) before
+        the manifest flips; returns the new manifest version.
+        """
+        m = self.manifest()
+        version = m["version"] + 1
+        tables = {k: dict(v) for k, v in m["tables"].items()}
+        for table, (df, mode) in writes.items():
+            path = str(self.root / table / f"v{version:06d}")
+            df.write.mode("overwrite").parquet(path)
+            if mode == APPEND and table in tables:
+                tables[table] = {"paths": tables[table]["paths"] + [path]}
+            else:
+                tables[table] = {"paths": [path]}
+        new_manifest = {
+            "version": version,
+            "round": round_id,
+            "tables": tables,
+            **(extra or {}),
+        }
+        tmp = self._manifest_path(version).with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(new_manifest, indent=1, sort_keys=True))
+        os.rename(tmp, self._manifest_path(version))
+        return version

@@ -57,7 +57,11 @@ def canonicalize_url(url: Column) -> Column:
         F.size(params) > 0,
         F.concat(F.lit("?"), F.array_join(F.sort_array(params), "&")),
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, qstr)
+    # non-URL input (regex no-match → empty scheme) canonicalizes to "",
+    # matching the Python twin
+    return F.when(scheme == "", F.lit("")).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, qstr)
+    )
 
 
 def url_hash(canonical: Column) -> Column:

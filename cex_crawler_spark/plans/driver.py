@@ -1,0 +1,74 @@
+"""Crawl driver — the multi-round loop with incremental Bloom maintenance.
+
+The analog of /root/reference/run.sh + main.py's cron-batch re-invocation:
+each call to :func:`crawl` resumes from the catalog's last committed
+round (nothing to re-do after a kill — the manifest is the checkpoint)
+and runs rounds until the frontier drains or ``max_rounds`` is hit.
+
+Bloom filter lifecycle: sized once per crawl (``n_expected``), rebuilt
+from the full seen table only on resume (cold start), then maintained by
+OR-merging each round's seen-delta — the per-round cost is one pass over
+the delta, never the full history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import OVERWRITE, SnapshotCatalog
+from ..operators.seen import BloomFilter64, build_bloom
+from .round import ingest_seeds, run_round
+
+
+def bootstrap(
+    catalog: SnapshotCatalog, seeds: DataFrame, watermark: str
+) -> None:
+    """Round -1: ingest seeds as frontier v1 (idempotent — skips if present)."""
+    if catalog.has_table("frontier"):
+        return
+    catalog.commit(-1, {"frontier": (ingest_seeds(seeds), OVERWRITE)},
+                   extra={"watermark": watermark})
+
+
+def crawl(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    host_policy: DataFrame,
+    watermark: str,
+    max_rounds: int = 100,
+    bloom_expected: int = 1_000_000,
+    use_bloom: bool = True,
+    salt_buckets: int = 16,
+    fetch_parallelism: int | None = None,
+) -> list[dict]:
+    """Run rounds until the frontier drains.  Resumable: starts after the
+    last committed round; a killed run re-invoked with the same arguments
+    produces a bit-identical final seen/results state."""
+    bloom = None
+    if use_bloom and catalog.has_table("seen"):
+        # resume: cold-rebuild from the committed seen table
+        bloom = build_bloom(
+            catalog.read(spark, "seen"), "url_hash", bloom_expected
+        )
+    elif use_bloom:
+        bloom = BloomFilter64(bloom_expected)
+
+    stats_log: list[dict] = []
+    round_id = catalog.current_round() + 1
+    for _ in range(max_rounds):
+        if catalog.read(spark, "frontier").isEmpty():
+            break
+        stats = run_round(
+            spark, catalog, host_policy, watermark, round_id,
+            bloom=bloom, salt_buckets=salt_buckets,
+            fetch_parallelism=fetch_parallelism,
+        )
+        if bloom is not None:
+            # incremental maintenance: OR-in this round's seen delta only
+            delta = spark.read.parquet(
+                catalog.manifest()["tables"]["seen"]["paths"][-1]
+            )
+            bloom.merge(build_bloom(delta, "url_hash", bloom_expected))
+        stats_log.append({"round": round_id, **stats})
+        round_id += 1
+    return stats_log

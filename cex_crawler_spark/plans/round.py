@@ -1,0 +1,173 @@
+"""One crawl round — the engine's core logical plan.
+
+Replaces the reference's per-exchange sequential loop
+(/root/reference/main.py:148-186 + each exchange's run_scraping) with one
+declarative DataFrame plan per round:
+
+    frontier ──anti-join seen (Bloom-prefiltered)──► candidates
+             ──politeness window rank──► {robots, stale, dup, scheduled, deferred}
+    scheduled ──mapInPandas fetch──► payloads ──validate──► fetched/stale
+    commit: frontier' (deferred), seen+Δ, results+Δ, metrics+Δ, lineage+Δ
+
+All five tables commit atomically via the SnapshotCatalog manifest, so a
+kill at any point resumes from the previous round bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import APPEND, OVERWRITE, SnapshotCatalog
+from ..operators.fetch import fetch_batch
+from ..operators.politeness import (
+    STATUS_DEFERRED,
+    STATUS_FETCHED,
+    STATUS_SCHEDULED,
+    STATUS_STALE,
+    schedule_round,
+)
+from ..operators.seen import BloomFilter64, anti_join_seen, build_bloom
+from ..operators.validate import validate_payloads
+from ..functions.urlnorm import with_canonical_url
+
+# frontier columns persisted across rounds
+FRONTIER_COLS = [
+    "url", "canonical_url", "url_hash", "host", "section", "seq", "seed_id",
+    "title", "release_time", "image_id", "time_known_prefetch", "duplicate_of",
+]
+
+RESULT_COLS = [
+    "round", "host", "host_seq", "url", "url_hash", "status", "caption",
+    "valid", "psnr_db",
+]
+
+
+def ingest_seeds(seeds: DataFrame) -> DataFrame:
+    """Canonicalize + hash raw seed rows into frontier shape."""
+    return with_canonical_url(seeds).select(*FRONTIER_COLS)
+
+
+def run_round(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    host_policy: DataFrame,
+    watermark: str,
+    round_id: int,
+    bloom: BloomFilter64 | None = None,
+    salt_buckets: int = 16,
+    fetch_parallelism: int | None = None,
+) -> dict:
+    """Execute one round against catalog state; returns round stats."""
+    frontier = catalog.read(spark, "frontier")
+    seen = catalog.read(spark, "seen") if catalog.has_table("seen") else None
+
+    candidates = anti_join_seen(frontier, seen, "url_hash", bloom)
+    decisions = schedule_round(candidates, host_policy, watermark, salt_buckets)
+    # one pass, many consumers (results / frontier' / metrics) → cache
+    decisions = decisions.persist()
+
+    scheduled = decisions.filter(F.col("status") == STATUS_SCHEDULED)
+    payloads = fetch_batch(scheduled, parallelism=fetch_parallelism)
+    validated = validate_payloads(payloads)
+
+    fetched = (
+        scheduled.select(
+            "url_hash", "canonical_url", "host", "host_seq", "release_time",
+            "time_known_prefetch",
+        )
+        .join(validated.withColumnRenamed("url_hash", "uh"), F.col("url_hash") == F.col("uh"))
+        .drop("uh")
+        # post-fetch freshness (weex/bitunix/blofin semantics): budget was
+        # consumed, but stale rows are placeholdered, caption dropped
+        .withColumn(
+            "status",
+            F.when(
+                (~F.col("time_known_prefetch"))
+                & (F.col("release_time") < F.to_timestamp(F.lit(watermark))),
+                STATUS_STALE,
+            ).otherwise(STATUS_FETCHED),
+        )
+        .withColumn(
+            "caption",
+            F.when(F.col("status") == STATUS_FETCHED, F.col("caption")),
+        )
+    )
+
+    results_delta = fetched.select(
+        F.lit(round_id).alias("round"),
+        "host",
+        "host_seq",
+        F.col("canonical_url").alias("url"),
+        "url_hash",
+        "status",
+        "caption",
+        "valid",
+        "psnr_db",
+    ).unionByName(
+        decisions.filter(
+            ~F.col("status").isin(STATUS_SCHEDULED, STATUS_DEFERRED)
+        ).select(
+            F.lit(round_id).alias("round"),
+            "host",
+            F.lit(None).cast("long").alias("host_seq"),
+            F.col("canonical_url").alias("url"),
+            "url_hash",
+            "status",
+            F.lit(None).cast("string").alias("caption"),
+            F.lit(None).cast("boolean").alias("valid"),
+            F.lit(None).cast("double").alias("psnr_db"),
+        )
+    ).persist()
+
+    # seen semantics: fetched + stale placeholders exist as "files"
+    # (reference exchange/binance.py:242-255); robots/dup rows are terminal
+    # in results but not part of the reference-comparable seen set.
+    seen_delta = (
+        results_delta.filter(F.col("status").isin(STATUS_FETCHED, STATUS_STALE))
+        .select("url_hash", "url")
+        .distinct()
+    )
+
+    new_frontier = decisions.filter(F.col("status") == STATUS_DEFERRED).select(
+        *FRONTIER_COLS
+    )
+
+    metrics_delta = decisions.groupBy(
+        F.lit(round_id).alias("round"), "host", "status"
+    ).agg(
+        F.count("*").alias("n"),
+        F.first("budget_per_round").alias("budget_per_round"),
+        F.first("min_delay_ms").alias("min_delay_ms"),
+    )
+    # per-partition lineage: which executor partition carried which rows
+    lineage_delta = (
+        decisions.withColumn("part", F.spark_partition_id())
+        .groupBy(F.lit(round_id).alias("round"), "part", "status")
+        .agg(
+            F.count("*").alias("rows"),
+            F.min("url_hash").alias("min_url_hash"),
+            F.max("url_hash").alias("max_url_hash"),
+        )
+    )
+
+    stats_rows = (
+        results_delta.groupBy("status").count().collect()
+    )
+    stats = {r["status"]: r["count"] for r in stats_rows}
+    stats["deferred"] = new_frontier.count()
+
+    catalog.commit(
+        round_id,
+        {
+            "frontier": (new_frontier, OVERWRITE),
+            "seen": (seen_delta, APPEND),
+            "results": (results_delta, APPEND),
+            "metrics": (metrics_delta, APPEND),
+            "lineage": (lineage_delta, APPEND),
+        },
+        extra={"watermark": watermark, "stats": stats},
+    )
+    decisions.unpersist()
+    results_delta.unpersist()
+    return stats

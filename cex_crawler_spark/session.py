@@ -20,6 +20,9 @@ Design notes (scale-first):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -71,4 +74,33 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def make_pyfiles_zip(dest: str | None = None) -> str:
+    """Zip this package for ``spark-submit --py-files`` / ``addPyFile``.
+
+    Python workers are separate processes: driver-side ``sys.path`` edits
+    don't reach them, so mapInPandas/pandas-UDF closures that import
+    ``cex_crawler_spark`` fail unless the package is shipped.  This is
+    the same mechanism a real cluster uses (north rule: "ships via
+    spark-submit --py-files").
+    """
+    pkg_dir = Path(__file__).resolve().parent
+    if dest is None:
+        dest = os.path.join(tempfile.gettempdir(), "cex_crawler_spark_pyfiles.zip")
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+    return dest
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``cex_crawler_spark`` importable on executors (idempotent)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_cex_pkg_shipped", False):
+        return
+    sc.addPyFile(make_pyfiles_zip())
+    sc._cex_pkg_shipped = True

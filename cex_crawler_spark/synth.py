@@ -134,54 +134,20 @@ _PAYLOAD_SCHEMA = T.StructType(
 def gen_payloads(spark: SparkSession, n: int) -> DataFrame:
     """Image+caption payload table (BASELINE input_hint shape).
 
-    Metadata columns (w, h, fmt, caption) are Catalyst expressions; only
-    the pixel synthesis + encode runs in Python, batched via mapInPandas.
+    One mapInPandas stage over ``spark.range`` calling the pure
+    ``payload.payload_for`` twin — the same function the fetch simulator
+    and replayer use, so every consumer sees byte-identical payloads.
     """
     df = spark.range(n).select(
-        F.format_string("img%010d", F.col("id")).alias("image_id"),
-        (16 + F.pmod(_hash("w", F.col("id")), F.lit(49))).cast("int").alias("w"),
-        (16 + F.pmod(_hash("h", F.col("id")), F.lit(49))).cast("int").alias("h"),
-        F.when(F.pmod(_hash("fmt", F.col("id")), F.lit(2)) == 0, "png")
-        .otherwise("jpeg")
-        .alias("fmt"),
-        F.format_string(
-            "%s of SYM%d/USDT scheduled %s batch %d",
-            F.element_at(
-                F.array(*[F.lit(a) for a in _ACTIONS]),
-                (F.pmod(_hash("cact", F.col("id")), F.lit(len(_ACTIONS))) + 1).cast("int"),
-            ),
-            F.pmod(_hash("csym", F.col("id")), F.lit(500)),
-            F.date_format(
-                F.to_timestamp(F.lit(BASE_TIME))
-                - F.make_interval(days=F.pmod(_hash("cday", F.col("id")), F.lit(60))),
-                "yyyy-MM-dd",
-            ),
-            F.pmod(_hash("cb", F.col("id")), F.lit(100)),
-        ).alias("caption"),
+        F.format_string("img%010d", F.col("id")).alias("image_id")
     )
 
     def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .functions.imaging import encode_image, phash64, reference_pixels
+        from .payload import payload_for
 
         for pdf in it:
-            byts, phashes = [], []
-            for image_id, w, h, fmt in zip(
-                pdf["image_id"], pdf["w"], pdf["h"], pdf["fmt"]
-            ):
-                arr = reference_pixels(image_id, int(w), int(h))
-                byts.append(encode_image(arr, fmt))
-                phashes.append(phash64(arr))
-            yield pd.DataFrame(
-                {
-                    "image_id": pdf["image_id"],
-                    "bytes": byts,
-                    "w": pdf["w"],
-                    "h": pdf["h"],
-                    "fmt": pdf["fmt"],
-                    "caption": pdf["caption"],
-                    "phash": pd.Series(phashes, dtype="int64"),
-                }
-            )
+            rows = [payload_for(i) for i in pdf["image_id"]]
+            yield pd.DataFrame(rows).astype({"phash": "int64", "w": "int32", "h": "int32"})
 
     return df.mapInPandas(encode_batches, schema=_PAYLOAD_SCHEMA)
 

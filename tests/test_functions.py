@@ -1,0 +1,147 @@
+"""Unit tests: hashing parity, URL canonicalization parity, imaging codecs,
+Bloom filter properties."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cex_crawler_spark.functions.hashing import xxh64_str
+from cex_crawler_spark.functions.imaging import (
+    decode_image,
+    encode_image,
+    fake_jpeg_decode,
+    fake_jpeg_encode,
+    phash64,
+    png_decode,
+    png_encode,
+    psnr,
+    reference_pixels,
+)
+from cex_crawler_spark.functions.urlnorm import (
+    py_canonicalize_url,
+    with_canonical_url,
+)
+from cex_crawler_spark.operators.seen import BloomFilter64, anti_join_seen, build_bloom
+
+
+class TestHashing:
+    def test_spark_parity(self, spark):
+        vals = ["", "a", "hello", "https://x.example.com/a/1?b=2",
+                "中文", "x" * 1000, "\x00\x01"]
+        rows = (
+            spark.createDataFrame([(v,) for v in vals], "s string")
+            .select("s", F.xxhash64("s").alias("h"))
+            .collect()
+        )
+        for r in rows:
+            assert xxh64_str(r["s"]) == r["h"]
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_deterministic_int64(self, s):
+        h = xxh64_str(s)
+        assert -(1 << 63) <= h < (1 << 63)
+        assert h == xxh64_str(s)
+
+
+class TestUrlNorm:
+    CASES = [
+        ("https://A.B.example.com/Path/", "https://a.b.example.com/Path"),
+        ("https://h.example.com:443/x", "https://h.example.com/x"),
+        ("http://h.example.com:80/x", "http://h.example.com/x"),
+        ("http://h.example.com:8080/x", "http://h.example.com:8080/x"),
+        ("https://h.example.com/x#frag", "https://h.example.com/x"),
+        ("https://h.example.com/x?utm_source=a&b=1", "https://h.example.com/x?b=1"),
+        ("https://h.example.com/x?z=2&a=1", "https://h.example.com/x?a=1&z=2"),
+        ("https://h.example.com/x?utm_a=1&ref=2&fbclid=3", "https://h.example.com/x"),
+        ("https://h.example.com///", "https://h.example.com"),
+        ("not a url", ""),  # malformed input → "" in BOTH implementations
+    ]
+
+    def test_python_twin(self):
+        for raw, want in self.CASES:
+            assert py_canonicalize_url(raw) == want, raw
+
+    def test_spark_python_parity(self, spark):
+        df = with_canonical_url(
+            spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        )
+        for r in df.collect():
+            assert r["canonical_url"] == py_canonicalize_url(r["url"])
+            assert r["url_hash"] == xxh64_str(r["canonical_url"])
+
+
+class TestImaging:
+    def test_png_roundtrip_exact(self):
+        arr = reference_pixels("img1", 33, 21)
+        assert np.array_equal(png_decode(png_encode(arr)), arr)
+
+    def test_fake_jpeg_psnr_above_threshold(self):
+        arr = reference_pixels("img2", 48, 48)
+        dec = fake_jpeg_decode(fake_jpeg_encode(arr))
+        assert 40.0 <= psnr(arr, dec) < 60.0  # lossy but above invariant
+
+    def test_decode_dispatch_and_unknown_fmt(self):
+        arr = reference_pixels("img3", 16, 16)
+        assert np.array_equal(decode_image(encode_image(arr, "png"), "png"), arr)
+        with pytest.raises(NotImplementedError):
+            encode_image(arr, "webp")
+
+    def test_reference_pixels_deterministic(self):
+        a = reference_pixels("imgX", 20, 20)
+        assert np.array_equal(a, reference_pixels("imgX", 20, 20))
+        assert not np.array_equal(a, reference_pixels("imgY", 20, 20))
+
+    def test_phash_near_dup_signal(self):
+        arr = reference_pixels("img4", 32, 32)
+        noisy = arr.copy()
+        noisy[0, 0] = 255 - noisy[0, 0]  # tiny perturbation
+        a, b = phash64(arr), phash64(noisy)
+        ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        assert ham <= 4
+        far = phash64(reference_pixels("img5", 32, 32))
+        assert bin((a ^ far) & ((1 << 64) - 1)).count("1") > 10
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        rng = np.random.default_rng(7)
+        keys = rng.integers(-(2**63), 2**63, size=5000, dtype=np.int64)
+        bf = BloomFilter64(5000)
+        bf.add_many(keys)
+        assert bf.might_contain(keys).all()
+
+    def test_fpp_reasonable(self):
+        rng = np.random.default_rng(8)
+        keys = rng.integers(-(2**63), 2**63, size=5000, dtype=np.int64)
+        other = rng.integers(-(2**63), 2**63, size=5000, dtype=np.int64)
+        bf = BloomFilter64(5000, fpp=0.03)
+        bf.add_many(keys)
+        fp = bf.might_contain(other).mean()
+        assert fp < 0.08
+
+    def test_merge_is_union(self):
+        a, b = BloomFilter64(1000), BloomFilter64(1000)
+        k1 = np.arange(100, dtype=np.int64)
+        k2 = np.arange(100, 200, dtype=np.int64)
+        a.add_many(k1)
+        b.add_many(k2)
+        a.merge(b)
+        assert a.might_contain(k1).all() and a.might_contain(k2).all()
+
+    def test_prefiltered_anti_join_is_exact(self, spark):
+        """Bloom prefilter + anti-join ≡ plain anti-join (exactness)."""
+        frontier = spark.range(2000).select(F.xxhash64("id").alias("url_hash"))
+        seen = spark.range(500, 1200).select(F.xxhash64("id").alias("url_hash"))
+        bf = build_bloom(seen, "url_hash", 1000)
+        with_bloom = sorted(
+            r["url_hash"]
+            for r in anti_join_seen(frontier, seen, bloom=bf).collect()
+        )
+        exact = sorted(
+            r["url_hash"] for r in anti_join_seen(frontier, seen).collect()
+        )
+        assert with_bloom == exact
+        assert len(exact) == 2000 - 700

@@ -1,0 +1,57 @@
+"""Resumability: a crawl interrupted after k rounds and re-invoked produces
+the bit-identical final state of an uninterrupted run (the manifest commit
+is the checkpoint — SURVEY §2.12 exactly-once semantics)."""
+
+from pyspark.sql import functions as F
+
+from cex_crawler_spark.catalog import SnapshotCatalog
+from cex_crawler_spark.plans.driver import bootstrap, crawl
+from cex_crawler_spark.synth import gen_frontier, gen_host_policy
+
+WATERMARK = "2025-08-29 00:00:00"
+
+
+def _final_state(spark, catalog):
+    res = sorted(
+        (r["round"], r["host"], r["host_seq"] or -1, r["url"], r["status"],
+         r["caption"] or "")
+        for r in catalog.read(spark, "results").collect()
+    )
+    seen = sorted(r["url_hash"] for r in catalog.read(spark, "seen").collect())
+    return res, seen
+
+
+def test_interrupted_resume_bit_identical(spark, tmp_path):
+    seeds = gen_frontier(spark, 250, n_payloads=60)
+    policy = gen_host_policy(spark).withColumn("budget_per_round", F.lit(30))
+
+    cat_a = SnapshotCatalog(tmp_path / "uninterrupted")
+    bootstrap(cat_a, seeds, WATERMARK)
+    crawl(spark, cat_a, policy, WATERMARK, max_rounds=30, use_bloom=False)
+
+    cat_b = SnapshotCatalog(tmp_path / "interrupted")
+    bootstrap(cat_b, seeds, WATERMARK)
+    crawl(spark, cat_b, policy, WATERMARK, max_rounds=2, use_bloom=False)  # "kill"
+    assert not cat_b.read(spark, "frontier").isEmpty()
+    crawl(spark, cat_b, policy, WATERMARK, max_rounds=30, use_bloom=False)  # resume
+
+    assert _final_state(spark, cat_a) == _final_state(spark, cat_b)
+
+
+def test_resume_with_bloom_matches_no_bloom(spark, tmp_path):
+    """Bloom prefilter (rebuilt on resume) never changes the outcome."""
+    seeds = gen_frontier(spark, 250, n_payloads=60)
+    policy = gen_host_policy(spark).withColumn("budget_per_round", F.lit(30))
+
+    cat_a = SnapshotCatalog(tmp_path / "nobloom")
+    bootstrap(cat_a, seeds, WATERMARK)
+    crawl(spark, cat_a, policy, WATERMARK, max_rounds=30, use_bloom=False)
+
+    cat_b = SnapshotCatalog(tmp_path / "bloom")
+    bootstrap(cat_b, seeds, WATERMARK)
+    crawl(spark, cat_b, policy, WATERMARK, max_rounds=2,
+          bloom_expected=5000)
+    crawl(spark, cat_b, policy, WATERMARK, max_rounds=30,
+          bloom_expected=5000)
+
+    assert _final_state(spark, cat_a) == _final_state(spark, cat_b)

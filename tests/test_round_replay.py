@@ -1,0 +1,111 @@
+"""The load-bearing test: the distributed engine must reproduce the
+single-node replayer oracle's crawl EXACTLY — per-host crawl order
+(host_seq), statuses, captions, and the final URL-seen set.
+
+Two configurations:
+- partial crawl, default (tight) budgets: exercises multi-round
+  deferral on the hot host — engine and oracle run the SAME number of
+  rounds and every result row must match;
+- full drain, amped budgets: exercises crawl termination.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cex_crawler_spark.catalog import SnapshotCatalog
+from cex_crawler_spark.plans.driver import bootstrap, crawl
+from cex_crawler_spark.replayer import final_seen_set, replay_crawl
+from cex_crawler_spark.synth import gen_frontier, gen_host_policy
+
+WATERMARK = "2025-08-29 00:00:00"  # BASE_TIME - 14d (reference OFFSET_DAYS)
+N_SEEDS = 500
+ROUNDS = 5
+
+
+def _run_both(spark, tmp_path, n_seeds, rounds, policy, bloom=True):
+    seeds = gen_frontier(spark, n_seeds, n_payloads=100)
+    catalog = SnapshotCatalog(tmp_path)
+    bootstrap(catalog, seeds, WATERMARK)
+    stats = crawl(spark, catalog, policy, WATERMARK, max_rounds=rounds,
+                  bloom_expected=10_000, use_bloom=bloom)
+    engine = [r.asDict() for r in catalog.read(spark, "results").collect()]
+    oracle = replay_crawl(
+        [r.asDict() for r in seeds.collect()],
+        [r.asDict() for r in policy.collect()],
+        WATERMARK,
+        max_rounds=rounds,
+    )
+    return stats, engine, oracle, catalog
+
+
+@pytest.fixture(scope="module")
+def crawl_state(spark, tmp_path_factory):
+    return _run_both(
+        spark, tmp_path_factory.mktemp("catalog"), N_SEEDS, ROUNDS,
+        gen_host_policy(spark),
+    )
+
+
+def _key(r):
+    return (r["round"], r["host"], r["host_seq"] or -1, r["url"], r["url_hash"],
+            r["status"], r["caption"] or "")
+
+
+def test_result_rows_match_oracle_exactly(crawl_state):
+    _, engine, oracle, _ = crawl_state
+    e = sorted(map(_key, engine))
+    o = sorted(map(_key, oracle))
+    assert len(e) == len(o)
+    assert e == o
+
+
+def test_seen_set_matches(crawl_state):
+    _, engine, oracle, _ = crawl_state
+    e_seen = {r["url_hash"] for r in engine
+              if r["status"] in ("fetched", "stale_placeholder")}
+    assert e_seen == final_seen_set(oracle)
+    assert len(e_seen) > 0
+
+
+def test_per_host_crawl_order(crawl_state):
+    """host_seq within (host, round) is gapless 1..n — the crawl order."""
+    _, engine, _, _ = crawl_state
+    by_hr = {}
+    for r in engine:
+        if r["host_seq"] is not None:
+            by_hr.setdefault((r["host"], r["round"]), []).append(r["host_seq"])
+    assert by_hr
+    for seqs in by_hr.values():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1))
+
+
+def test_hot_host_deferred_across_rounds(crawl_state):
+    """binance holds ~50% of seeds but a small budget → deferral happens."""
+    stats, engine, _, _ = crawl_state
+    per_round_binance = {}
+    for r in engine:
+        if r["host"] == "binance" and r["status"] == "fetched":
+            per_round_binance.setdefault(r["round"], 0)
+            per_round_binance[r["round"]] += 1
+    assert len(per_round_binance) == ROUNDS  # still fetching every round
+
+
+def test_payloads_validated(crawl_state, spark):
+    _, _, _, catalog = crawl_state
+    fetched = catalog.read(spark, "results").filter(F.col("status") == "fetched")
+    n = fetched.count()
+    assert n > 0
+    assert fetched.filter(~F.col("valid")).count() == 0
+    assert fetched.filter(F.col("psnr_db") < 40.0).count() == 0
+
+
+def test_full_drain_with_big_budgets(spark, tmp_path):
+    """With budgets ≥ frontier share, the crawl drains and matches oracle."""
+    policy = gen_host_policy(spark).withColumn(
+        "budget_per_round", F.lit(200)
+    )
+    stats, engine, oracle, catalog = _run_both(
+        spark, tmp_path, 300, 20, policy, bloom=False
+    )
+    assert catalog.read(spark, "frontier").isEmpty()
+    assert sorted(map(_key, engine)) == sorted(map(_key, oracle))
