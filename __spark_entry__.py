@@ -1,38 +1,856 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family from SURVEY.md §2
+plus the training-data operators (dedup, similarity, text analysis,
+multimodal) over the driver-provided testdata tables; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for each (omitted only for genuinely
+non-SQL-expressible ops — MinHash/SimHash approximations, image-feature
+UDF stages, crawl-round simulation — which get rows-only checks).
+
+Column names are aliased identically on both sides (the driver hashes
+values after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from cex_crawler_spark.functions.extract import extract_announcements
+from cex_crawler_spark.functions.text import (
+    EN_STOPWORDS,
+    fingerprint_md5,
+    lang_id,
+    stopword_ratio,
+    token_count,
+)
+from cex_crawler_spark.functions.urlnorm import canonicalize_url
+from cex_crawler_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_candidates,
+)
+from cex_crawler_spark.operators.multimodal import extract_image_features
+from cex_crawler_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_cosine_topk,
+)
+from cex_crawler_spark.session import ship_package
+from cex_crawler_spark.streaming.events import (
+    sessionize_events,
+    windowed_event_counts,
+)
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# crawl-shaped queries over driver tables: events rows play frontier rows
+# (host = user_id bucket, url from event_id) so the scheduler semantics are
+# oracle-checkable on shared data.
+# --------------------------------------------------------------------------
+
+_URL_NOISE = {0: "", 1: "/", 2: "#frag", 3: "?utm_source=x&b=2"}
+
+
+def _event_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    noise = (
+        F.when(F.col("event_id") % 4 == 1, "/")
+        .when(F.col("event_id") % 4 == 2, "#frag")
+        .when(F.col("event_id") % 4 == 3, "?utm_source=x&b=2")
+        .otherwise("")
+    )
+    host_raw = F.concat(F.lit("host"), (F.col("user_id") % 5).cast("string"),
+                        F.lit(".example.com"))
+    host = F.when(F.col("event_id") % 5 == 0, F.upper(host_raw)).otherwise(host_raw)
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/a/"),
+        (F.col("event_id") % 500).cast("string"), noise,
+    )
+    return e.select(
+        "event_id", "user_id", "ts",
+        url.alias("url"),
+        F.concat(F.lit("host"), (F.col("user_id") % 5).cast("string")).alias("hostname"),
+    )
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: engine canonicalization collapses noise variants — counts per host."""
+    u = _event_urls(spark, sf_dir).withColumn(
+        "canonical_url", canonicalize_url(F.col("url"))
+    )
+    return (
+        u.groupBy("hostname")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("url").alias("n_raw_distinct"),
+            F.countDistinct("canonical_url").alias("n_canonical_distinct"),
+        )
+        .orderBy("hostname")
+    )
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship crawl-scheduler semantics on shared data: canonicalize,
+    dedup by canonical URL (first by ts, event_id), rank per host, budget 20."""
+    u = _event_urls(spark, sf_dir).withColumn(
+        "canonical_url", canonicalize_url(F.col("url"))
+    )
+    dd = Window.partitionBy("canonical_url").orderBy("ts", "event_id")
+    first = (
+        u.withColumn("rn", F.row_number().over(dd)).filter(F.col("rn") == 1).drop("rn")
+    )
+    rk = Window.partitionBy("hostname").orderBy("ts", "event_id")
+    return (
+        first.withColumn("host_seq", F.row_number().over(rk))
+        .filter(F.col("host_seq") <= 20)
+        .select("hostname", "host_seq", "canonical_url", "event_id")
+        .orderBy("hostname", "host_seq")
+    )
+
+
+_ORACLE_EVENT_URLS = """
+    SELECT event_id, user_id, ts,
+           'host' || (user_id % 5) AS hostname,
+           'https://host' || (user_id % 5) || '.example.com/a/' || (event_id % 500)
+             || CASE WHEN event_id % 4 = 3 THEN '?b=2' ELSE '' END AS canonical_url,
+           'https://' ||
+             CASE WHEN event_id % 5 = 0
+                  THEN upper('host' || (user_id % 5) || '.example.com')
+                  ELSE 'host' || (user_id % 5) || '.example.com' END
+             || '/a/' || (event_id % 500)
+             || CASE event_id % 4 WHEN 1 THEN '/' WHEN 2 THEN '#frag'
+                                  WHEN 3 THEN '?utm_source=x&b=2' ELSE '' END AS url
+    FROM events
+"""
+
+
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- relational core (SURVEY §2.3-2.10) --------------------------------
+
+    def q1_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= "2000-12-01")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.count("*").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    def q3_top_orders(spark, sf):
+        c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10)
+        )
+
+    q["q3_top_orders"] = q3_top_orders
+
+    def broadcast_dim_join(spark, sf):
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        return (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            )
+            .orderBy("r_name")
+        )
+
+    q["broadcast_dim_join"] = broadcast_dim_join
+
+    def window_topk_orders(spark, sf):
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return (
+            o.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("totalprice"), "rk")
+            .orderBy("o_custkey", "rk")
+        )
+
+    q["window_topk_orders"] = window_topk_orders
+
+    def pivot_order_status(spark, sf):
+        o = _t(spark, sf, "orders")
+        return (
+            o.withColumn("yr", F.year("o_orderdate"))
+            .groupBy("yr")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .count()
+            .na.fill(0, ["F", "O", "P"])
+            .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+            .orderBy("yr")
+        )
+
+    q["pivot_order_status"] = pivot_order_status
+
+    def ordered_group_concat(spark, sf):
+        c = _t(spark, sf, "customer")
+        return (
+            c.groupBy("c_mktsegment")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.slice(
+                            F.array_sort(
+                                F.collect_list(F.struct("c_custkey", "c_name"))
+                            ),
+                            1, 5,
+                        ),
+                        lambda s: s["c_name"],
+                    ),
+                    " ",
+                ).alias("first_names")
+            )
+            .orderBy("c_mktsegment")
+        )
+
+    q["ordered_group_concat"] = ordered_group_concat
+
+    def antijoin_customers_no_orders(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_no_orders"))
+            .orderBy("c_mktsegment")
+        )
+
+    q["antijoin_customers_no_orders"] = antijoin_customers_no_orders
+
+    def union_sections(spark, sf):
+        e = _t(spark, sf, "events")
+        a = e.filter(F.col("event_type") == "error").select("event_id", "event_type")
+        b = e.filter(F.col("value") > 9).select("event_id", "event_type")
+        return (
+            a.unionByName(b)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .orderBy("event_type")
+        )
+
+    q["union_sections"] = union_sections
+
+    def conditional_fill(spark, sf):
+        o = _t(spark, sf, "orders")
+        return (
+            o.withColumn(
+                "bucket",
+                F.when(F.col("o_totalprice") > 200000, "big")
+                .when(F.col("o_totalprice") > 50000, "mid")
+                .otherwise("small"),
+            )
+            .groupBy("bucket", "o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .orderBy("bucket", "o_orderpriority")
+        )
+
+    q["conditional_fill"] = conditional_fill
+
+    def scalar_functions(spark, sf):
+        p = _t(spark, sf, "part")
+        return p.select(
+            "p_partkey",
+            F.md5(F.lower("p_name")).alias("name_md5"),
+            F.substring("p_name", 1, 5).alias("name_prefix"),
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.length("p_name").alias("name_len"),
+        ).orderBy("p_partkey").limit(500)
+
+    q["scalar_functions"] = scalar_functions
+
+    def timestamp_normalize(spark, sf):
+        e = _t(spark, sf, "events")
+        return (
+            e.groupBy("event_type")
+            .agg(
+                F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts_str"),
+                F.unix_timestamp(F.max("ts")).alias("max_ts_epoch"),
+                F.countDistinct(F.to_date("ts")).alias("n_days"),
+            )
+            .orderBy("event_type")
+        )
+
+    q["timestamp_normalize"] = timestamp_normalize
+
+    def freshness_filter(spark, sf):
+        e = _t(spark, sf, "events")
+        return (
+            e.filter(F.col("ts") >= "2024-01-15 00:00:00")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("event_type")
+        )
+
+    q["freshness_filter"] = freshness_filter
+
+    def json_props_extract(spark, sf):
+        e = _t(spark, sf, "events")
+        return (
+            e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+            .groupBy("event_type")
+            .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.max("k").alias("max_k"))
+            .orderBy("event_type")
+        )
+
+    q["json_props_extract"] = json_props_extract
+
+    # ---- crawl-shaped (P8 canonicalization + §2.7 scheduler) --------------
+
+    q["url_canonicalize"] = q_url_canonicalize
+    q["frontier_schedule"] = q_frontier_schedule
+
+    def extractor_announcements(spark, sf):
+        p = _t(spark, sf, "part")
+        text = (
+            F.when(
+                F.col("p_partkey") % 3 == 0,
+                F.concat(F.lit("Binance will list SYM"),
+                         (F.col("p_partkey") % 50).cast("string"),
+                         F.lit("/USDT on 2025-03-04")),
+            )
+            .when(
+                F.col("p_partkey") % 3 == 1,
+                F.concat(F.lit("Delisting of SYM"),
+                         (F.col("p_partkey") % 50).cast("string"),
+                         F.lit("/USDT perpetual futures on 2025-05-06")),
+            )
+            .otherwise(F.lit("Scheduled maintenance notice"))
+        )
+        return (
+            p.select("p_partkey", text.alias("text"))
+            .select(
+                "p_partkey",
+                F.explode(extract_announcements(F.col("text"))).alias("ann"),
+            )
+            .select(
+                "p_partkey",
+                F.col("ann.symbol").alias("symbol"),
+                F.col("ann.action").alias("action"),
+                F.col("ann.type").alias("type"),
+                F.col("ann.time").alias("time"),
+            )
+            .orderBy("p_partkey")
+        )
+
+    q["extractor_announcements"] = extractor_announcements
+
+    # ---- text analysis over documents --------------------------------------
+
+    def doc_token_stats(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
+                F.max(token_count(F.col("text"))).alias("max_tokens"),
+            )
+            .orderBy("lang")
+        )
+
+    q["doc_token_stats"] = doc_token_stats
+
+    def doc_lang_id(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.withColumn("lang_pred", lang_id(F.col("text")))
+            .groupBy("lang", "lang_pred")
+            .agg(F.count("*").alias("n"))
+            .orderBy("lang", "lang_pred")
+        )
+
+    q["doc_lang_id"] = doc_lang_id
+
+    def doc_stopword_ratio(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.select(
+                "doc_id",
+                F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+            )
+            .orderBy("doc_id")
+            .limit(500)
+        )
+
+    q["doc_stopword_ratio"] = doc_stopword_ratio
+
+    def doc_fingerprint(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct(fingerprint_md5(F.col("text"))).alias("n_distinct_fp"),
+                F.min(fingerprint_md5(F.col("text"))).alias("min_fp"),
+            )
+            .orderBy("source")
+        )
+
+    q["doc_fingerprint"] = doc_fingerprint
+
+    # ---- dedup family -------------------------------------------------------
+
+    def dedup_exact(spark, sf):
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        dup = d.withColumn("doc_id", F.col("doc_id") + 100000)
+        return (
+            exact_dedup(d.unionByName(dup), "text", "doc_id")
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_ngram_jaccard(spark, sf):
+        d = _t(spark, sf, "documents")
+        return ngram_jaccard_pairs(
+            d, "text", "doc_id", k=3, threshold=0.5, max_df=None
+        ).orderBy("id_a", "id_b")
+
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_minhash_lsh(spark, sf):
+        d = _t(spark, sf, "documents")
+        return minhash_lsh_pairs(
+            d, "text", "doc_id", num_hashes=64, bands=32, shingle_k=3,
+            threshold=0.5,
+        ).orderBy("id_a", "id_b")
+
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            simhash_dedup_candidates(d, "text", "doc_id", prefix_bits=12)
+            .filter(F.col("hamming") <= 6)
+            .orderBy("id_a", "id_b")
+        )
+
+    q["dedup_simhash"] = dedup_simhash
+
+    # ---- similarity search --------------------------------------------------
+
+    def ann_cosine_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 8)
+        return cosine_topk(emb, queries_df, k=5).orderBy("query_id", "rank")
+
+    q["ann_cosine_topk"] = ann_cosine_topk
+
+    def ann_lsh_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 8)
+        return lsh_cosine_topk(emb, queries_df, k=5, dim=64).orderBy(
+            "query_id", "rank"
+        )
+
+    q["ann_lsh_topk"] = ann_lsh_topk
+
+    def embedding_near_dups(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return embedding_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+    q["embedding_near_dups"] = embedding_near_dups
+
+    # ---- streaming-analog windows ------------------------------------------
+
+    def event_tumbling_windows(spark, sf):
+        e = _t(spark, sf, "events")
+        return windowed_event_counts(e, "1 hour").orderBy(
+            "window_start", "event_type"
+        )
+
+    q["event_tumbling_windows"] = event_tumbling_windows
+
+    def event_sessionize(spark, sf):
+        e = _t(spark, sf, "events")
+        return (
+            sessionize_events(e, gap_minutes=30)
+            .select("user_id", "session_no", "n_events", "sum_value")
+            .orderBy("user_id", "session_no")
+        )
+
+    q["event_sessionize"] = event_sessionize
+
+    # ---- multimodal (rows-only: payload tables are engine-synthesized) ----
+
+    def image_features(spark, sf):
+        from cex_crawler_spark.synth import gen_payloads
+
+        ship_package(spark)
+        return extract_image_features(gen_payloads(spark, 200)).orderBy("image_id")
+
+    q["image_features"] = image_features
+
+    def crawl_round_sim(spark, sf):
+        """One politeness-scheduled round over a synthetic frontier."""
+        from cex_crawler_spark.functions.urlnorm import with_canonical_url
+        from cex_crawler_spark.operators.politeness import schedule_round
+        from cex_crawler_spark.synth import gen_frontier, gen_host_policy
+
+        ship_package(spark)
+        frontier = with_canonical_url(gen_frontier(spark, 2000, n_payloads=100))
+        decisions = schedule_round(
+            frontier, gen_host_policy(spark), "2025-08-29 00:00:00"
+        )
+        return (
+            decisions.groupBy("host", "status")
+            .agg(F.count("*").alias("n"))
+            .orderBy("host", "status")
+        )
+
+    q["crawl_round_sim"] = crawl_round_sim
+
+    return q
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: crawl-scheduler semantics (canonicalize → dedup → per-host
+    window-rank budget) over the sf0.001 events table."""
+    return q_frontier_schedule(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_STOP_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+# whitespace tokens of the raw lowercased text (matches functions.text.tokens)
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+_STOP_RATIO = (
+    f"CASE WHEN len({_TOKS}) > 0 THEN "
+    f"len(list_filter({_TOKS}, t -> t IN ({_STOP_LIST})))::DOUBLE / len({_TOKS}) "
+    "ELSE 0.0 END"
+)
+# 3-word shingle set over normalized text (matches functions.text.word_shingles)
+_SHINGLES3 = (
+    f"list_distinct([array_to_string(toks[i:i+2], ' ') "
+    f"for i in range(1, greatest(len(toks) - 2, 0) + 1)])"
+)
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH n AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS sh
+      FROM n
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ORDER BY id_a, id_b
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
     """
-    return {}
+
+    o["q3_top_orders"] = """
+        SELECT o_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """
+
+    o["broadcast_dim_join"] = """
+        SELECT r_name, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """
+
+    o["window_topk_orders"] = """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders
+        ) WHERE rk <= 3
+        ORDER BY o_custkey, rk
+    """
+
+    o["pivot_order_status"] = """
+        SELECT year(o_orderdate) AS yr,
+               count(*) FILTER (o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY 1 ORDER BY yr
+    """
+
+    o["ordered_group_concat"] = """
+        SELECT c_mktsegment, string_agg(c_name, ' ' ORDER BY c_custkey) AS first_names
+        FROM (
+          SELECT c_mktsegment, c_custkey, c_name,
+                 row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) rn
+          FROM customer
+        ) WHERE rn <= 5
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+    o["antijoin_customers_no_orders"] = """
+        SELECT c_mktsegment, count(*) AS n_no_orders
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+    o["union_sections"] = """
+        SELECT event_type, count(*) AS n FROM (
+          SELECT event_id, event_type FROM events WHERE event_type = 'error'
+          UNION ALL
+          SELECT event_id, event_type FROM events WHERE value > 9
+        ) GROUP BY event_type ORDER BY event_type
+    """
+
+    o["conditional_fill"] = """
+        SELECT CASE WHEN o_totalprice > 200000 THEN 'big'
+                    WHEN o_totalprice > 50000 THEN 'mid'
+                    ELSE 'small' END AS bucket,
+               o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2 ORDER BY bucket, o_orderpriority
+    """
+
+    o["scalar_functions"] = """
+        SELECT p_partkey, md5(lower(p_name)) AS name_md5,
+               substr(p_name, 1, 5) AS name_prefix,
+               regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+               length(p_name) AS name_len
+        FROM part ORDER BY p_partkey LIMIT 500
+    """
+
+    o["timestamp_normalize"] = """
+        SELECT event_type,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts_str,
+               floor(epoch(max(ts)))::BIGINT AS max_ts_epoch,
+               count(DISTINCT ts::DATE) AS n_days
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+    o["freshness_filter"] = """
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY event_type ORDER BY event_type
+    """
+
+    o["json_props_extract"] = """
+        SELECT event_type,
+               round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k,
+               max(CAST(props->>'$.k' AS INT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+    o["url_canonicalize"] = f"""
+        SELECT hostname, count(*) AS n_urls,
+               count(DISTINCT url) AS n_raw_distinct,
+               count(DISTINCT canonical_url) AS n_canonical_distinct
+        FROM ({_ORACLE_EVENT_URLS})
+        GROUP BY hostname ORDER BY hostname
+    """
+
+    o["frontier_schedule"] = f"""
+        WITH u AS ({_ORACLE_EVENT_URLS}),
+        first AS (
+          SELECT * FROM (
+            SELECT u.*, row_number() OVER (PARTITION BY canonical_url
+                                           ORDER BY ts, event_id) AS rn
+            FROM u
+          ) WHERE rn = 1
+        )
+        SELECT hostname, host_seq, canonical_url, event_id FROM (
+          SELECT hostname, canonical_url, event_id,
+                 row_number() OVER (PARTITION BY hostname
+                                    ORDER BY ts, event_id) AS host_seq
+          FROM first
+        ) WHERE host_seq <= 20
+        ORDER BY hostname, host_seq
+    """
+
+    o["extractor_announcements"] = """
+        SELECT p_partkey,
+               'SYM' || (p_partkey % 50) || '/USDT' AS symbol,
+               CASE WHEN p_partkey % 3 = 0 THEN 'list' ELSE 'delist' END AS action,
+               CASE WHEN p_partkey % 3 = 0 THEN 'spot' ELSE 'futures' END AS type,
+               CASE WHEN p_partkey % 3 = 0 THEN '2025-03-04'
+                    ELSE '2025-05-06' END AS time
+        FROM part
+        WHERE p_partkey % 3 IN (0, 1)
+        ORDER BY p_partkey
+    """
+
+    o["doc_token_stats"] = f"""
+        SELECT lang, count(*) AS n_docs,
+               round(avg(len({_TOKS})), 4) AS avg_tokens,
+               max(len({_TOKS})) AS max_tokens
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+
+    o["doc_lang_id"] = f"""
+        SELECT lang,
+               CASE WHEN {_STOP_RATIO} >= 0.08 THEN 'en' ELSE 'other' END AS lang_pred,
+               count(*) AS n
+        FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred
+    """
+
+    o["doc_stopword_ratio"] = f"""
+        SELECT doc_id, round({_STOP_RATIO}, 6) AS stop_ratio
+        FROM documents ORDER BY doc_id LIMIT 500
+    """
+
+    o["doc_fingerprint"] = f"""
+        SELECT source, count(*) AS n,
+               count(DISTINCT md5({_NORM})) AS n_distinct_fp,
+               min(md5({_NORM})) AS min_fp
+        FROM documents GROUP BY source ORDER BY source
+    """
+
+    o["dedup_exact"] = f"""
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (PARTITION BY md5({_NORM})
+                                            ORDER BY doc_id) AS rn
+          FROM (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM documents
+          )
+        ) WHERE rn = 1 ORDER BY doc_id
+    """
+
+    o["dedup_ngram_jaccard"] = _JACCARD_PAIRS_SQL
+    # dedup_minhash_lsh: precision is exact (verified Jaccard) and recall at
+    # the observed pair distribution (all true pairs ≥0.9) is ~1-1e-20, so the
+    # exact-Jaccard oracle is the correct expected output.
+    o["dedup_minhash_lsh"] = _JACCARD_PAIRS_SQL
+    # dedup_simhash: approximate candidate generation — rows-only check.
+
+    o["ann_cosine_topk"] = """
+        SELECT query_id, neighbor_id, cos, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]), 6) AS cos,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                         c.embedding::DOUBLE[]), 6) DESC,
+                            c.vec_id ASC) AS rank
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 8
+        ) WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
+    # ann_lsh_topk: approximate (bucketed) — rows-only check.
+
+    o["embedding_near_dups"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 6) >= 0.4
+        ORDER BY id_a, id_b
+    """
+
+    o["event_tumbling_windows"] = """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """
+
+    o["event_sessionize"] = """
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800 OR
+                           lag(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        numbered AS (
+          SELECT user_id, ts, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM flagged
+        )
+        SELECT user_id, session_no::BIGINT AS session_no, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM numbered GROUP BY user_id, session_no
+        ORDER BY user_id, session_no
+    """
+
+    # image_features / crawl_round_sim: engine-synthesized inputs (no DuckDB
+    # view exists) — rows-only checks.
+    return o

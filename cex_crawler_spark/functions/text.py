@@ -1,0 +1,111 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All pure Catalyst expressions (JVM-side, whole-stage-codegen) — no Python
+in the hot path.  Each has deliberately simple, SQL-expressible semantics
+so DuckDB oracles can verify them value-for-value:
+
+- tokenization: whitespace split (plus a BPE-ish word/punct regex count);
+- language ID: English-stopword-ratio heuristic;
+- quality score: length / punctuation / stopword signals;
+- fingerprint: md5 of whitespace-normalized lowercase text (md5 so the
+  oracle can recompute it; the engine's shuffle keys stay xxhash64).
+
+The reference has no text pipeline beyond keyword extraction
+(/root/reference/deepseek_analyzer.py:149-199 — see functions/extract.py);
+these operators are the scale-path additions a 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# a small, fixed stopword list — identical in the DuckDB oracles
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "this", "that",
+]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (empty strings filtered)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_punct_token_count(text: Column) -> Column:
+    """BPE-ish pre-tokenization count: word pieces OR single punctuation."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"([A-Za-z0-9]+|[^A-Za-z0-9\s])"), 0)
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    toks = tokens(F.lower(text))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars."""
+    n = F.length(text)
+    n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?'\"()\-]", ""))
+    return F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_id(text: Column, threshold: float = 0.08) -> Column:
+    """'en' if the stopword ratio clears the threshold, else 'other'.
+
+    An n-gram-free heuristic chosen for SQL-expressibility; swap in a
+    real fastText/CLD model via a pandas UDF at production quality.
+    """
+    return F.when(stopword_ratio(text) >= threshold, "en").otherwise("other")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: stopword presence, sane token length,
+    low punctuation density, non-trivial length."""
+    s = (
+        F.least(stopword_ratio(text) * 4, F.lit(1.0)) * 0.4
+        + F.when((mean_token_len(text) >= 3) & (mean_token_len(text) <= 10), 1.0)
+        .otherwise(0.0)
+        * 0.3
+        + F.greatest(F.lit(0.0), 1 - punct_ratio(text) * 5) * 0.2
+        + F.least(token_count(text) / 20.0, F.lit(1.0)) * 0.1
+    )
+    return F.round(s, 6)
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase + collapse whitespace — the dedup canonical form."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 hex of the normalized text (oracle-friendly)."""
+    return F.md5(normalize_text(text))
+
+
+def fingerprint64(text: Column) -> Column:
+    """64-bit content key for shuffle-side dedup (engine standard)."""
+    return F.xxhash64(normalize_text(text))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined) over normalized text."""
+    toks = F.split(normalize_text(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)])
+    )

@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each picked for a different scale/precision trade-off:
+
+- exact: hash-groupBy on a normalized-content key — one shuffle,
+  map-side combinable; the 100 TB default.
+- n-gram Jaccard (exact near-dup): explode shingles → self-join on
+  shingle → per-pair intersection counts → Jaccard threshold.  Exact
+  and SQL-expressible (DuckDB-oracle-checkable), but the shingle join
+  explodes quadratically on common shingles — cap df per shingle.
+- MinHash + LSH (approximate near-dup): per-doc signature via H
+  hash-permutations (all Catalyst exprs — array_min over transform),
+  banded into b×r, bucket-join on band hash, then EXACT Jaccard verify
+  of candidates.  The scale path: shuffle volume is O(docs·bands),
+  never O(pairs).
+- SimHash: 64-bit sign-aggregated token-hash fingerprint (vectorized
+  pandas UDF), Hamming-distance bucketing for near-dup candidates.
+
+The reference has no dedup beyond the URL-seen set (SURVEY §2.6 A5);
+these are the corpus-level additions the target workload needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions.text import fingerprint64, normalize_text, word_shingles
+
+
+# ----------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per normalized-content fingerprint.
+
+    groupBy-min (map-side combinable) + self-join beats a window over
+    the full corpus: no single-partition sort, and the join key is the
+    8-byte fingerprint.
+    """
+    with_fp = df.withColumn("fp", fingerprint64(F.col(text_col)))
+    keep = with_fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return with_fp.join(keep, ["fp", id_col], "left_semi").drop("fp")
+
+
+# -------------------------------------------------- n-gram Jaccard (exact)
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 1,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact near-dup pairs: Jaccard(shingle-sets) ≥ threshold, id_a < id_b.
+
+    ``max_df`` drops shingles appearing in more than that many docs
+    (stop-shingles) BEFORE the self-join — the standard guard against
+    quadratic blowup on common n-grams.  Dropping a shingle from both
+    sets changes Jaccard, so max_df=None for oracle-exact semantics.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
+    )
+    if max_df is not None:
+        rare = sh.groupBy("sh").count().filter(F.col("count") <= max_df).select("sh")
+        sh = sh.join(rare, "sh", "left_semi")
+    # sh feeds three consumers (sizes + both join sides) — materialize once
+    sh = sh.persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ MinHash + LSH
+
+def _signature_expr(shingle_col, num_hashes: int) -> F.Column:
+    """MinHash signature from a shingle array, all JVM-side.
+
+    Shingles are string-hashed ONCE; each permutation re-hashes the
+    resulting LONG (xxhash64 of 8 bytes — cheap, and wrap-safe under
+    ANSI mode, where a multiply-add permutation would throw on long
+    overflow).  Cost: O(shingles) string hashing + O(shingles × H) long
+    hashing, not H string passes.
+
+    NOTE: two-parameter lambdas (`lambda s, i=i`) would be bound by Spark
+    as (element, index), silently shadowing the captured id — the
+    permutation index is bound via a closure factory instead.
+    """
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+
+    def perm_min(i):
+        return F.array_min(
+            F.transform(base, lambda h: F.xxhash64(F.lit(i), h))
+        )
+
+    return F.array(*[perm_min(i) for i in range(num_hashes)])
+
+
+def minhash_signature(text: F.Column, num_hashes: int = 64, k: int = 3) -> F.Column:
+    """MinHash signature of a text column (array of per-permutation minima)."""
+    return _signature_expr(F.array_distinct(word_shingles(text, k)), num_hashes)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH with exact Jaccard verification.
+
+    Candidate generation: docs sharing any of ``bands`` band-hashes
+    (band = r = num_hashes/bands consecutive signature slots).  Shuffle
+    is O(docs × bands).  Candidates are then verified with the exact
+    shingle-set Jaccard, so precision is 1.0; recall follows the LSH
+    S-curve 1-(1-t^r)^b.
+    """
+    r = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = base.withColumn("sig", _signature_expr(F.col("shingles"), num_hashes))
+    band_cols = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.slice("sig", b * r + 1, r).cast("string"))
+            for b in range(bands)
+        ]
+    )
+    # buckets feeds both sides of the self-join — materialize the signature
+    # computation once
+    buckets = sig.select(
+        "id", "shingles", F.posexplode(band_cols).alias("band", "bucket")
+    ).persist()
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (numpy-vectorized per batch)."""
+    from ..functions.hashing import xxh64_str
+
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            out[i] = 0
+            continue
+        hs = np.array(
+            [xxh64_str(tok) & 0xFFFFFFFFFFFFFFFF for tok in toks], dtype=np.uint64
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        v = np.uint64(0)
+        maj = (2 * bits - 1).sum(axis=0) > 0
+        for b in range(64):
+            if maj[b]:
+                v |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(v)
+    return pd.Series(out)
+
+
+def simhash_dedup_candidates(
+    df: DataFrame, text_col: str, id_col: str, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidate pairs: equal SimHash prefix block.
+
+    Block on the top ``prefix_bits`` bits (one shuffle on a small key);
+    emits pairs with the Hamming distance of the full 64-bit hash so
+    callers pick their radius.  The classic multi-block (4×16-bit)
+    variant is this called 4 times with rotated hashes.
+    """
+    h = df.select(
+        F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("simhash")
+    )
+    blocked = h.withColumn(
+        "block", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    )
+    pairs = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+    )
+    return pairs

@@ -1,0 +1,147 @@
+"""Multimodal column operators — binary payloads with typed metadata.
+
+Images/audio/video ride through the engine as opaque ``binary`` columns
+plus typed metadata (w, h, fmt / sample_rate / duration), exactly like
+the crawl payload table (BASELINE input_hint).  The Spark-side plumbing
+here is real and tested — schemas, Arrow batching, mapInPandas
+signatures, partition behavior; the media codecs themselves are the
+engine's own PNG / fake-lossy pair (functions/imaging.py) for images and
+clearly-marked stubs for formats this container has no library for.
+
+Production swap: replace the codec calls with Pillow / libjpeg / ffmpeg
+inside the same batch functions — no plan changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("brightness", T.DoubleType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def extract_image_features(payloads: DataFrame) -> DataFrame:
+    """Decode + per-channel stats + phash over Arrow batches.
+
+    Expects (image_id, bytes, fmt) columns; one mapInPandas stage, batch
+    size bounded by spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    src = payloads.select("image_id", "bytes", "fmt")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.imaging import decode_image, phash64
+
+        for pdf in it:
+            rows = []
+            for iid, b, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    arr = decode_image(bytes(b), fmt)
+                    m = arr.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (iid, arr.shape[1], arr.shape[0], fmt,
+                         float(m[0]), float(m[1]), float(m[2]),
+                         float(m.mean()), phash64(arr), True)
+                    )
+                except Exception:
+                    rows.append((iid, None, None, fmt, None, None, None,
+                                 None, None, False))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA]
+            )
+
+    return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(payloads: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded as PNG (pure numpy — real).
+
+    Returns (image_id, bytes, w, h, fmt) with the resized payload.
+    """
+    src = payloads.select("image_id", "bytes", "fmt")
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.imaging import decode_image, png_encode
+
+        for pdf in it:
+            rows = []
+            for iid, b, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = decode_image(bytes(b), fmt)
+                ys = (np.arange(out_h) * arr.shape[0] // out_h)
+                xs = (np.arange(out_w) * arr.shape[1] // out_w)
+                resized = arr[ys][:, xs]
+                rows.append((iid, png_encode(resized), out_w, out_h, "png"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
+    """STUB — video frame sampling.
+
+    The plumbing (schema, mapInPandas shape) is what a real ffmpeg-backed
+    implementation would use; this container has no video codec, so the
+    batch function raises.  Wire ffmpeg/PyAV here in production.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("video_id", T.StringType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame_png", T.BinaryType()),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "video decode requires ffmpeg/PyAV — not available in this "
+            "sandbox; plumbing stub only"
+        )
+        yield  # pragma: no cover
+
+    return videos.select("video_id", "bytes").mapInPandas(run, schema=schema)
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """STUB — audio feature extraction (same contract as above)."""
+    schema = T.StructType(
+        [
+            T.StructField("audio_id", T.StringType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "audio decode requires soundfile/librosa — not available in "
+            "this sandbox; plumbing stub only"
+        )
+        yield  # pragma: no cover
+
+    return audio.select("audio_id", "bytes").mapInPandas(run, schema=schema)

@@ -65,6 +65,54 @@ def section_rank(col=None):
     return expr
 
 
+_ORDER_COLS = ["section_rank", "seq", "url_hash"]
+
+
+_CHUNK_WIDTH = 8192
+
+
+def _ranked_per_host(df: DataFrame) -> DataFrame:
+    """Exact per-host crawl-order rank without a per-host sort bottleneck.
+
+    A plain ``row_number() OVER (PARTITION BY host)`` sorts a 50%-skew
+    host in ONE task regardless of cluster size.  Instead the host's
+    order is split into contiguous chunks by a key computed from the
+    sort columns themselves — ``(section_rank, seq div W)`` is
+    order-aligned by construction (no range-sampling pass needed):
+
+    1. row_number within (host, chunk) — parallelism = #chunks;
+    2. global rank = local rank + total count of earlier chunks of the
+       same host (chunk counts are a tiny broadcast).
+
+    Each chunk holds ≤ W rows, so a 10^10-row host ranks with 10^10/W
+    parallel tasks.
+    """
+    chunk = F.struct(
+        F.col("section_rank").alias("s"),
+        F.floor(F.col("seq") / F.lit(_CHUNK_WIDTH)).alias("c"),
+    )
+    local = df.withColumn("__chunk", chunk).withColumn(
+        "__lrn",
+        F.row_number().over(
+            Window.partitionBy("host", "__chunk").orderBy(*_ORDER_COLS)
+        ),
+    )
+    counts = local.groupBy("host", "__chunk").agg(F.count("*").alias("__cnt"))
+    w_off = (
+        Window.partitionBy("host")
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    ).select("host", "__chunk", "__off")
+    return (
+        local.join(F.broadcast(offsets), ["host", "__chunk"])
+        .withColumn("__rank", F.col("__lrn") + F.col("__off"))
+        .drop("__chunk", "__lrn", "__off")
+    )
+
+
 def schedule_round(
     candidates: DataFrame,
     host_policy: DataFrame,
@@ -90,24 +138,41 @@ def schedule_round(
     stale_prefetch = F.col("time_known_prefetch") & (
         F.col("release_time") < F.to_timestamp(F.lit(watermark))
     )
+    c = c.withColumn("__robots", F.coalesce(robots_hit, F.lit(False))).withColumn(
+        "__stale", stale_prefetch
+    )
 
-    dup_w = Window.partitionBy("url_hash").orderBy("section_rank", "seq", "seed_id")
-    c = (
-        c.withColumn("__robots", F.coalesce(robots_hit, F.lit(False)))
-        .withColumn("__stale", stale_prefetch)
-        .withColumn("__dup_rn", F.row_number().over(dup_w))
+    # All ranking runs on a NARROW projection (~40 B/row) — at 10^10 rows
+    # the frontier carries urls/titles that would otherwise ride through
+    # every window shuffle.  Statuses join back by seed_id at the end
+    # (ONE wide shuffle instead of one per window).
+    narrow = c.select(
+        "seed_id", "url_hash", "host", "section_rank", "seq",
+        "budget_per_round", "__robots", "__stale",
+    )
+
+    # dup detection: first occurrence per url_hash by (section_rank, seq,
+    # seed_id) — a map-side-combinable groupBy-min instead of a window
+    # sort over the full frontier
+    first = narrow.groupBy("url_hash").agg(
+        F.min(F.struct("section_rank", "seq", "seed_id")).alias("__first")
+    )
+    narrow = narrow.join(first, "url_hash").withColumn(
+        "__is_first", F.col("seed_id") == F.col("__first.seed_id")
     )
 
     terminal = (
         F.when(F.col("__robots"), STATUS_ROBOTS)
         .when(F.col("__stale"), STATUS_STALE)
-        .when(F.col("__dup_rn") > 1, STATUS_DUP)
+        .when(~F.col("__is_first"), STATUS_DUP)
     )
-    c = c.withColumn("__terminal", terminal)
+    narrow = narrow.withColumn("__terminal", terminal)
+    schedulable = narrow.filter(F.col("__terminal").isNull())
 
-    schedulable = c.filter(F.col("__terminal").isNull())
-
-    # phase 1: salted per-(host, salt) rank — caps the hot host at S tasks
+    # phase 1: salted per-(host, salt) prune — any row ranked past the
+    # budget within its salt bucket can never be scheduled, so the hot
+    # host sheds (frontier_share - S·B) rows across S parallel tasks
+    # before exact ranking
     salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets))
     w1 = Window.partitionBy("host", "__salt").orderBy(
         "section_rank", "seq", "url_hash"
@@ -118,28 +183,29 @@ def schedule_round(
         .filter(F.col("__r1") <= F.col("budget_per_round"))
         .drop("__salt", "__r1")
     )
-    # phase 2: exact per-host rank over ≤ S·B survivors
-    w2 = Window.partitionBy("host").orderBy("section_rank", "seq", "url_hash")
-    ranked = pre.withColumn("__rank", F.row_number().over(w2))
+    # phase 2: exact per-host rank, PARALLEL within a host: range-partition
+    # on the sort key so each host's order splits into contiguous chunks,
+    # rank locally per (host, chunk), then add per-chunk offsets (a tiny
+    # broadcast).  A plain `row_number() OVER (PARTITION BY host)` would
+    # sort a 50%-skew host in one task regardless of cluster size.
+    ranked = _ranked_per_host(pre)
     scheduled = ranked.filter(F.col("__rank") <= F.col("budget_per_round")).select(
-        F.col("url_hash").alias("__sched_hash"),
-        F.col("__rank").alias("host_seq"),
+        "seed_id", F.col("__rank").alias("host_seq")
     )
 
-    # scheduled is ≤ budget × n_hosts rows — broadcastable for realistic host
-    # counts; with millions of hosts AQE picks the join side at runtime, so
-    # no explicit hint.
-    out = (
-        c.join(scheduled, c.url_hash == F.col("__sched_hash"), "left")
-        .withColumn(
-            "status",
+    verdicts = (
+        narrow.select("seed_id", "__terminal")
+        .join(scheduled, "seed_id", "left")
+        .select(
+            "seed_id",
             F.coalesce(
                 F.col("__terminal"),
                 F.when(F.col("host_seq").isNotNull(), STATUS_SCHEDULED).otherwise(
                     STATUS_DEFERRED
                 ),
-            ),
+            ).alias("status"),
+            "host_seq",
         )
-        .drop("__sched_hash", "__robots", "__stale", "__dup_rn", "__terminal", "path")
     )
-    return out
+    # single wide join: frontier payload columns meet their verdicts once
+    return c.drop("__robots", "__stale", "path").join(verdicts, "seed_id")

@@ -55,9 +55,11 @@ def crawl(
 
     stats_log: list[dict] = []
     round_id = catalog.current_round() + 1
+    # one frontier-emptiness probe on entry; afterwards the per-round
+    # deferred count from metrics drives termination (no extra read job)
+    if catalog.read(spark, "frontier").isEmpty():
+        return stats_log
     for _ in range(max_rounds):
-        if catalog.read(spark, "frontier").isEmpty():
-            break
         stats = run_round(
             spark, catalog, host_policy, watermark, round_id,
             bloom=bloom, salt_buckets=salt_buckets,
@@ -71,4 +73,6 @@ def crawl(
             bloom.merge(build_bloom(delta, "url_hash", bloom_expected))
         stats_log.append({"round": round_id, **stats})
         round_id += 1
+        if stats.get("deferred", 0) == 0:
+            break
     return stats_log

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import APPEND, OVERWRITE, SnapshotCatalog
-from ..operators.fetch import fetch_batch
+from ..operators.fetch import fetch_and_validate
 from ..operators.politeness import (
     STATUS_DEFERRED,
     STATUS_FETCHED,
@@ -28,7 +28,6 @@ from ..operators.politeness import (
     schedule_round,
 )
 from ..operators.seen import BloomFilter64, anti_join_seen, build_bloom
-from ..operators.validate import validate_payloads
 from ..functions.urlnorm import with_canonical_url
 
 # frontier columns persisted across rounds
@@ -68,15 +67,21 @@ def run_round(
     decisions = decisions.persist()
 
     scheduled = decisions.filter(F.col("status") == STATUS_SCHEDULED)
-    payloads = fetch_batch(scheduled, parallelism=fetch_parallelism)
-    validated = validate_payloads(payloads)
+    # fused fetch→decode→validate: bytes never leave the Python worker,
+    # and results persist captions + verdicts, never raw payloads
+    # (matching the reference, which stores extracted records only —
+    # /root/reference/deepseek_analyzer.py:225-242)
+    validated = fetch_and_validate(scheduled, parallelism=fetch_parallelism)
+    verdicts = validated.select(
+        F.col("url_hash").alias("uh"), "caption", "valid", "psnr_db"
+    )
 
     fetched = (
         scheduled.select(
             "url_hash", "canonical_url", "host", "host_seq", "release_time",
             "time_known_prefetch",
         )
-        .join(validated.withColumnRenamed("url_hash", "uh"), F.col("url_hash") == F.col("uh"))
+        .join(verdicts, F.col("url_hash") == F.col("uh"))
         .drop("uh")
         # post-fetch freshness (weex/bitunix/blofin semantics): budget was
         # consumed, but stale rows are placeholdered, caption dropped
@@ -151,11 +156,14 @@ def run_round(
         )
     )
 
-    stats_rows = (
-        results_delta.groupBy("status").count().collect()
-    )
-    stats = {r["status"]: r["count"] for r in stats_rows}
-    stats["deferred"] = new_frontier.count()
+    # one action over the (persisted) decisions instead of two extra jobs
+    # (results groupBy + frontier count): metrics_delta carries everything
+    # the loop needs, including the deferred count that drives termination
+    stats_rows = metrics_delta.collect()
+    stats: dict[str, int] = {}
+    for r in stats_rows:
+        stats[r["status"]] = stats.get(r["status"], 0) + r["n"]
+    stats.setdefault("deferred", 0)
 
     catalog.commit(
         round_id,

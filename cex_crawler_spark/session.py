@@ -62,6 +62,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 64 MB advisory coalesces mid-size shuffles down to a
+        # handful of partitions — downstream Python stages and cache
+        # builds then run nearly serial regardless of core count.  16 MB
+        # keeps post-shuffle parallelism ≈ cores for the frontier sizes a
+        # single node sees; on a real cluster tune upward with executor
+        # count.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Binary image payloads ride Arrow batches; cap rows/batch so a
         # batch of wide rows stays well under executor memory.

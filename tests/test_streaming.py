@@ -1,0 +1,67 @@
+"""Structured Streaming wiring: the streaming windowed agg must equal the
+batch plan's result when drained with availableNow (same builder, SURVEY
+§2.12)."""
+
+import pandas as pd
+
+from cex_crawler_spark.streaming.events import (
+    stream_windowed_event_counts,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    batch = (
+        windowed_event_counts(events, "1 hour")
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+
+    # readStream requires a directory source
+    src_dir = tmp_path / "events"
+    src_dir.mkdir()
+    import shutil
+
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0.parquet")
+    stream = stream_windowed_event_counts(
+        spark, str(src_dir), events.schema, "1 hour", "2 hours"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from win_counts")
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), batch.reset_index(drop=True)
+    )
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime
+
+    from cex_crawler_spark.streaming.events import sessionize_events
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (1, datetime(2024, 1, 1, 0, 10, 0), 2.0),   # same session (10m gap)
+        (1, datetime(2024, 1, 1, 1, 0, 0), 3.0),    # new session (50m gap)
+        (2, datetime(2024, 1, 1, 0, 0, 0), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["session_no"]): (r["n_events"], r["sum_value"])
+        for r in sessionize_events(df, gap_minutes=30).collect()
+    }
+    assert got == {(1, 1): (2, 3.0), (1, 2): (1, 3.0), (2, 1): (1, 4.0)}
