@@ -381,6 +381,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extractor_announcements"] = extractor_announcements
 
+    def html_text_extract(spark, sf):
+        """P6: HTML → text over a synthetic page built from part rows."""
+        from cex_crawler_spark.functions.text import html_to_text
+
+        p = _t(spark, sf, "part")
+        html = F.format_string(
+            "<html><head><style>body{color:red}</style>"
+            "<script>var x=1;</script></head>"
+            "<body><h1>%s</h1><p>Size &amp; brand: %d / %s</p></body></html>",
+            F.col("p_name"), F.col("p_size"), F.col("p_brand"),
+        )
+        return (
+            p.select("p_partkey", html_to_text(html).alias("text"))
+            .orderBy("p_partkey")
+            .limit(500)
+        )
+
+    q["html_text_extract"] = html_text_extract
+
+    def ssr_json_extract(spark, sf):
+        """S5: JSON embedded in a script tag → regexp_extract + get_json_object."""
+        p = _t(spark, sf, "part")
+        html = F.format_string(
+            '<html><script id="__NEXT_DATA__" type="application/json">'
+            '{"props":{"size":%d,"brand":"%s"}}</script></html>',
+            F.col("p_size"), F.col("p_brand"),
+        )
+        blob = F.regexp_extract(
+            html, r'<script id="__NEXT_DATA__"[^>]*>(.*?)</script>', 1
+        )
+        return (
+            p.select(
+                "p_partkey",
+                F.get_json_object(blob, "$.props.size").cast("int").alias("size"),
+                F.get_json_object(blob, "$.props.brand").alias("brand"),
+            )
+            .orderBy("p_partkey")
+            .limit(500)
+        )
+
+    q["ssr_json_extract"] = ssr_json_extract
+
     # ---- text analysis over documents --------------------------------------
 
     def doc_token_stats(spark, sf):
@@ -750,6 +792,41 @@ def oracle_sql() -> dict[str, str]:
         FROM part
         WHERE p_partkey % 3 IN (0, 1)
         ORDER BY p_partkey
+    """
+
+    o["html_text_extract"] = """
+        SELECT p_partkey,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         '<html><head><style>body{color:red}</style>'
+                         || '<script>var x=1;</script></head>'
+                         || '<body><h1>' || p_name || '</h1><p>Size &amp; brand: '
+                         || p_size || ' / ' || p_brand || '</p></body></html>',
+                         '<script[^>]*>.*?</script>', ' ', 'isg'),
+                       '<style[^>]*>.*?</style>', ' ', 'isg'),
+                     '<[^>]+>', ' ', 'sg'),
+                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+                 '\\s+', ' ', 'g')) AS text
+        FROM part ORDER BY p_partkey LIMIT 500
+    """
+
+    o["ssr_json_extract"] = """
+        SELECT p_partkey,
+               CAST(blob->>'$.props.size' AS INT) AS size,
+               blob->>'$.props.brand' AS brand
+        FROM (
+          SELECT p_partkey,
+                 regexp_extract(
+                   '<html><script id="__NEXT_DATA__" type="application/json">'
+                   || '{"props":{"size":' || p_size || ',"brand":"' || p_brand
+                   || '"}}</script></html>',
+                   '<script id="__NEXT_DATA__"[^>]*>(.*?)</script>', 1) AS blob
+          FROM part
+        ) ORDER BY p_partkey LIMIT 500
     """
 
     o["doc_token_stats"] = f"""

@@ -101,6 +101,24 @@ def fingerprint64(text: Column) -> Column:
     return F.xxhash64(normalize_text(text))
 
 
+def html_to_text(html: Column) -> Column:
+    """HTML → visible text: drop script/style blocks, strip tags, unescape
+    basic entities, collapse whitespace.
+
+    The engine analog of the reference's BeautifulSoup extraction
+    (/root/reference/exchange/base_scraper.py:271-285: kill script/style,
+    get_text, collapse whitespace) as pure regexp expressions — RE2-safe
+    (no backreferences) so the DuckDB oracle can run the same chain.
+    """
+    c = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Array of k-word shingles (space-joined) over normalized text."""
     toks = F.split(normalize_text(text), " ")

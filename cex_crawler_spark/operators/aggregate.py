@@ -82,6 +82,16 @@ def consolidate_announcements(
     return df.select(*sel).orderBy(F.desc("release_time"), F.desc("exchange"))
 
 
+def export_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """CSV sink (reference K4/K5: main.py:67,85,94 ``to_csv``).
+
+    ``single_file=True`` coalesces to one part for export parity with the
+    reference's one-file CSVs; leave False at scale.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
 def description_col() -> F.Column:
     """main.py:77 row description."""
     return F.concat(

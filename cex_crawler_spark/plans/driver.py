@@ -40,6 +40,7 @@ def crawl(
     use_bloom: bool = True,
     salt_buckets: int = 16,
     fetch_parallelism: int | None = None,
+    expand: bool = False,
 ) -> list[dict]:
     """Run rounds until the frontier drains.  Resumable: starts after the
     last committed round; a killed run re-invoked with the same arguments
@@ -63,7 +64,7 @@ def crawl(
         stats = run_round(
             spark, catalog, host_policy, watermark, round_id,
             bloom=bloom, salt_buckets=salt_buckets,
-            fetch_parallelism=fetch_parallelism,
+            fetch_parallelism=fetch_parallelism, expand=expand,
         )
         if bloom is not None:
             # incremental maintenance: OR-in this round's seen delta only
@@ -74,5 +75,8 @@ def crawl(
         stats_log.append({"round": round_id, **stats})
         round_id += 1
         if stats.get("deferred", 0) == 0:
-            break
+            # with link expansion, zero deferrals can still leave newly
+            # discovered children in the frontier — probe it
+            if not expand or catalog.read(spark, "frontier").isEmpty():
+                break
     return stats_log

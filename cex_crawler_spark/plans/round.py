@@ -56,6 +56,7 @@ def run_round(
     bloom: BloomFilter64 | None = None,
     salt_buckets: int = 16,
     fetch_parallelism: int | None = None,
+    expand: bool = False,
 ) -> dict:
     """Execute one round against catalog state; returns round stats."""
     frontier = catalog.read(spark, "frontier")
@@ -79,7 +80,7 @@ def run_round(
     fetched = (
         scheduled.select(
             "url_hash", "canonical_url", "host", "host_seq", "release_time",
-            "time_known_prefetch",
+            "time_known_prefetch", "image_id", "seed_id",
         )
         .join(verdicts, F.col("url_hash") == F.col("uh"))
         .drop("uh")
@@ -137,6 +138,13 @@ def run_round(
     new_frontier = decisions.filter(F.col("status") == STATUS_DEFERRED).select(
         *FRONTIER_COLS
     )
+    if expand:
+        # S8 link discovery: fetched seed pages emit child URLs into the
+        # next round's frontier; the seen anti-join dedups rediscoveries
+        from ..operators.expand import expand_links
+
+        children = expand_links(fetched).select(*FRONTIER_COLS)
+        new_frontier = new_frontier.unionByName(children)
 
     metrics_delta = decisions.groupBy(
         F.lit(round_id).alias("round"), "host", "status"

@@ -49,6 +49,7 @@ def replay_crawl(
     policy_rows: list[dict],
     watermark: str,
     max_rounds: int = 100,
+    expand: bool = False,
 ) -> list[dict]:
     """Replay the whole crawl; returns result rows matching the engine's
     results table: round, host, host_seq, url, url_hash, status, caption.
@@ -122,6 +123,7 @@ def replay_crawl(
             schedulable.append(r)
 
         # per-host token bucket: top budget rows in crawl order
+        children: list[dict] = []
         by_host: dict[str, list[dict]] = {}
         for r in schedulable:
             by_host.setdefault(r["host"], []).append(r)
@@ -135,14 +137,26 @@ def replay_crawl(
                 else:
                     emit(r, "fetched", host_seq=host_seq,
                          caption=caption_for(r["image_id"]))
+                    if expand:
+                        from .operators.expand import py_expand_children
+
+                        for ch in py_expand_children(
+                            {**r, "status": "fetched"}
+                        ):
+                            ch["section_rank"] = SECTION_RANK[ch["section"]]
+                            ch["path"] = (
+                                _PATH_RX.match(ch["canonical_url"]).group(1)
+                            )
+                            children.append(ch)
                 seen.add(r["url_hash"])
 
-        # deferred rows stay; terminal and seen rows leave the frontier
+        # deferred rows stay; terminal and seen rows leave the frontier;
+        # discovered children enter for the NEXT round
         frontier = [
             r
             for r in candidates
             if r["seed_id"] not in terminal_rows and r["url_hash"] not in seen
-        ]
+        ] + children
 
     return results
 

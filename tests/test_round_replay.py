@@ -109,3 +109,29 @@ def test_full_drain_with_big_budgets(spark, tmp_path):
     )
     assert catalog.read(spark, "frontier").isEmpty()
     assert sorted(map(_key, engine)) == sorted(map(_key, oracle))
+
+
+def test_link_expansion_matches_oracle(spark, tmp_path):
+    """S8 frontier expansion: engine with expand=True reproduces the oracle
+    exactly, and children actually get crawled in later rounds."""
+    from cex_crawler_spark.catalog import SnapshotCatalog
+    from cex_crawler_spark.plans.driver import bootstrap, crawl
+    from cex_crawler_spark.replayer import replay_crawl
+    from cex_crawler_spark.synth import gen_frontier, gen_host_policy
+
+    policy = gen_host_policy(spark).withColumn("budget_per_round", F.lit(100))
+    seeds = gen_frontier(spark, 200, n_payloads=100)
+    catalog = SnapshotCatalog(tmp_path)
+    bootstrap(catalog, seeds, WATERMARK)
+    crawl(spark, catalog, policy, WATERMARK, max_rounds=10, use_bloom=True,
+          bloom_expected=10_000, expand=True)
+    engine = [r.asDict() for r in catalog.read(spark, "results").collect()]
+    oracle = replay_crawl(
+        [r.asDict() for r in seeds.collect()],
+        [r.asDict() for r in policy.collect()],
+        WATERMARK, max_rounds=10, expand=True,
+    )
+    assert sorted(map(_key, engine)) == sorted(map(_key, oracle))
+    # children (/c/ pages) were discovered and fetched
+    child_fetches = [r for r in engine if "/c/" in r["url"]]
+    assert len(child_fetches) > 0
