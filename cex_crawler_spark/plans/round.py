@@ -62,6 +62,11 @@ def run_round(
     frontier = catalog.read(spark, "frontier")
     seen = catalog.read(spark, "seen") if catalog.has_table("seen") else None
 
+    # NOTE: the scheduling DAG re-reads the frontier from several branches
+    # (dup grouping, rank windows, the final status join — 7 scans in the
+    # physical plan), but each branch prunes to 4-6 narrow columns, so the
+    # re-scans are cheaper than materializing a wide cache of candidates
+    # (measured: +9s/round at 1M rows with a persist here).
     candidates = anti_join_seen(frontier, seen, "url_hash", bloom)
     decisions = schedule_round(candidates, host_policy, watermark, salt_buckets)
     # one pass, many consumers (results / frontier' / metrics) → cache
