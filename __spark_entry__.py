@@ -423,6 +423,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ssr_json_extract"] = ssr_json_extract
 
+    def robots_parse(spark, sf):
+        """North-rule robots input: parse Disallow prefixes from robots.txt."""
+        from cex_crawler_spark.functions.robots import parse_robots_disallow
+
+        p = _t(spark, sf, "part")
+        txt = F.format_string(
+            "User-agent: *\nDisallow: /p%d\nAllow: /open\n"
+            "disallow: /q%d\n# comment\nDisallow:\n",
+            F.col("p_size"), F.col("p_partkey") % 7,
+        )
+        return (
+            p.select(
+                "p_partkey",
+                F.explode(parse_robots_disallow(txt)).alias("prefix"),
+            )
+            .orderBy("p_partkey", "prefix")
+            .limit(1000)
+        )
+
+    q["robots_parse"] = robots_parse
+
     # ---- text analysis over documents --------------------------------------
 
     def doc_token_stats(spark, sf):
@@ -827,6 +848,16 @@ def oracle_sql() -> dict[str, str]:
                    '<script id="__NEXT_DATA__"[^>]*>(.*?)</script>', 1) AS blob
           FROM part
         ) ORDER BY p_partkey LIMIT 500
+    """
+
+    # independent derivation (not the same regex): each part contributes
+    # exactly its /p{size} and /q{partkey%7} prefixes
+    o["robots_parse"] = """
+        SELECT p_partkey, prefix FROM (
+          SELECT p_partkey, '/p' || p_size AS prefix FROM part
+          UNION ALL
+          SELECT p_partkey, '/q' || (p_partkey % 7) AS prefix FROM part
+        ) ORDER BY p_partkey, prefix LIMIT 1000
     """
 
     o["doc_token_stats"] = f"""

@@ -1,0 +1,46 @@
+"""robots.txt parsing — north-rule politeness input.
+
+The reference ignores robots.txt entirely (it impersonates browsers —
+/root/reference/exchange/base_scraper.py:60-141); the engine treats it
+as first-class politeness input: a host's robots.txt text parses to an
+array of Disallow path-prefixes (for `User-agent: *` sections), which
+the scheduler applies as the F-robots terminal filter
+(operators/politeness.py).
+
+Parsing is a single Catalyst expression (multiline regex), so a
+100M-host robots table parses as a scan-side projection.  Simplified
+grammar on purpose: `Disallow:` lines only, no wildcards/Allow
+precedence — enough for prefix-blocking semantics; a full RFC 9309
+matcher would slot into the same column contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DISALLOW_RX = r"(?m)^[Dd]isallow:[ \t]*(\S+)"
+
+
+def parse_robots_disallow(robots_txt: Column) -> Column:
+    """array<string> of Disallow prefixes from a robots.txt body.
+
+    Empty `Disallow:` lines (allow-all markers) don't match — correct,
+    since an empty prefix would block everything under startswith.
+    """
+    return F.array_distinct(
+        F.regexp_extract_all(robots_txt, F.lit(_DISALLOW_RX), 1)
+    )
+
+
+def robots_txt_for_policy(disallow_prefixes: Column) -> Column:
+    """Render prefixes back to a robots.txt body (round-trip testing)."""
+    return F.concat(
+        F.lit("User-agent: *\n"),
+        F.array_join(
+            F.transform(
+                disallow_prefixes, lambda p: F.concat(F.lit("Disallow: "), p)
+            ),
+            "\n",
+        ),
+    )

@@ -145,3 +145,54 @@ class TestBloom:
         )
         assert with_bloom == exact
         assert len(exact) == 2000 - 700
+
+
+class TestRobots:
+    def test_parse_and_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+
+        from cex_crawler_spark.functions.robots import (
+            parse_robots_disallow,
+            robots_txt_for_policy,
+        )
+
+        txt = (
+            "User-agent: *\n"
+            "Disallow: /private\n"
+            "Allow: /open\n"
+            "disallow: /tmp\n"
+            "# comment line\n"
+            "Disallow:\n"          # empty → allow-all marker, must NOT match
+            "Disallow: /private\n"  # duplicate → deduped
+        )
+        df = spark.createDataFrame([(txt,)], "robots string").select(
+            parse_robots_disallow(F.col("robots")).alias("d")
+        )
+        assert df.collect()[0]["d"] == ["/private", "/tmp"]
+
+        rt = spark.createDataFrame([(["/a", "/b"],)], "p array<string>").select(
+            parse_robots_disallow(robots_txt_for_policy(F.col("p"))).alias("d")
+        )
+        assert rt.collect()[0]["d"] == ["/a", "/b"]
+
+    def test_scheduler_blocks_parsed_prefixes(self, spark):
+        """host_policy built FROM robots.txt text blocks the same rows."""
+        from pyspark.sql import functions as F
+
+        from cex_crawler_spark.functions.robots import (
+            parse_robots_disallow,
+            robots_txt_for_policy,
+        )
+        from cex_crawler_spark.operators.politeness import schedule_round
+        from cex_crawler_spark.plans.round import ingest_seeds
+        from cex_crawler_spark.synth import gen_frontier, gen_host_policy
+
+        policy = gen_host_policy(spark).withColumn(
+            "robots_disallow",
+            parse_robots_disallow(robots_txt_for_policy(F.col("robots_disallow"))),
+        )
+        frontier = ingest_seeds(gen_frontier(spark, 300, n_payloads=50))
+        d = schedule_round(frontier, policy, "2025-08-29 00:00:00")
+        blocked = d.filter(F.col("status") == "robots_blocked")
+        assert blocked.count() > 0
+        assert blocked.filter(~F.col("canonical_url").contains("/private")).count() == 0
