@@ -50,8 +50,8 @@ class SnapshotCatalog:
         ]
         return max(versions, default=0)
 
-    def manifest(self) -> dict:
-        v = self.current_version()
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
         if v == 0:
             return {"version": 0, "round": -1, "tables": {}}
         return json.loads(self._manifest_path(v).read_text())
@@ -64,8 +64,12 @@ class SnapshotCatalog:
     def has_table(self, table: str) -> bool:
         return table in self.manifest()["tables"]
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
-        entry = self.manifest()["tables"].get(table)
+    def read(
+        self, spark: SparkSession, table: str, version: int | None = None
+    ) -> DataFrame:
+        """Read a table — optionally AS OF an earlier manifest version
+        (snapshot time travel, the Iceberg `VERSION AS OF` analog)."""
+        entry = self.manifest(version)["tables"].get(table)
         if entry is None or not entry["paths"]:
             raise KeyError(f"table {table!r} not in catalog")
         return spark.read.parquet(*entry["paths"])
@@ -103,3 +107,31 @@ class SnapshotCatalog:
         tmp.write_text(json.dumps(new_manifest, indent=1, sort_keys=True))
         os.rename(tmp, self._manifest_path(version))
         return version
+
+    # --------------------------------------------------------------- vacuum
+
+    def vacuum(self, keep_versions: int = 2) -> list[str]:
+        """Delete data directories unreachable from the newest
+        ``keep_versions`` manifests (snapshot expiry — bounds storage at
+        one-overwritten-table-version per round otherwise).  Old manifests
+        themselves are kept (tiny) so lineage stays auditable; reading a
+        vacuumed version raises on the missing paths.
+
+        Returns the deleted paths.
+        """
+        import shutil
+
+        current = self.current_version()
+        keep = set()
+        for v in range(max(1, current - keep_versions + 1), current + 1):
+            for entry in self.manifest(v)["tables"].values():
+                keep.update(entry["paths"])
+        deleted = []
+        for table_dir in self.root.iterdir():
+            if table_dir.name == "_manifests" or not table_dir.is_dir():
+                continue
+            for vdir in table_dir.iterdir():
+                if str(vdir) not in keep:
+                    shutil.rmtree(vdir)
+                    deleted.append(str(vdir))
+        return deleted
