@@ -131,17 +131,21 @@ def crawl_only(cpus: int, n_urls: int) -> dict:
     return run_crawl_bench(spark, n_urls)
 
 
-def _hardware_cpu_scaling(n_small: int, n_big: int, per: int = 4000) -> float:
+def _hardware_cpu_scaling(n_small: int, n_big: int, per: int = 12000) -> float:
     """Raw payload-CPU throughput ratio between process counts — the
-    machine's own N→4N ceiling (SMT + shared memory bandwidth), measured
-    with plain multiprocessing, no Spark."""
+    machine's own N→4N ceiling (vCPU sharing + memory bandwidth),
+    measured with plain multiprocessing, no Spark.  Best-of-2 with a
+    long-enough workload that pool startup doesn't dominate."""
     import multiprocessing as mp
 
     def measure(procs: int) -> float:
-        with mp.get_context("spawn").Pool(procs) as p:
-            t0 = time.perf_counter()
-            p.map(_payload_work, [per] * procs)
-            return procs * per / (time.perf_counter() - t0)
+        best = 0.0
+        for _ in range(2):
+            with mp.get_context("fork").Pool(procs) as p:
+                t0 = time.perf_counter()
+                p.map(_payload_work, [per] * procs)
+                best = max(best, procs * per / (time.perf_counter() - t0))
+        return best
 
     small, big = measure(n_small), measure(n_big)
     return round(big / ((n_big / n_small) * small), 4)
