@@ -347,21 +347,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["frontier_schedule"] = q_frontier_schedule
 
     def extractor_announcements(spark, sf):
+        """U2 fallback-analyzer fidelity cases: both-families emission
+        (delisting ⊃ listing substring), dash pairs, lowercase symbols,
+        Chinese + non-padded dates, duplicate symbols kept, first-3 cap."""
         p = _t(spark, sf, "part")
+        letter = F.char(F.lit(65) + F.col("p_partkey") % 26)
+        m = F.col("p_partkey") % 5
         text = (
-            F.when(
-                F.col("p_partkey") % 3 == 0,
-                F.concat(F.lit("Binance will list SYM"),
-                         (F.col("p_partkey") % 50).cast("string"),
-                         F.lit("/USDT on 2025-03-04")),
-            )
-            .when(
-                F.col("p_partkey") % 3 == 1,
-                F.concat(F.lit("Delisting of SYM"),
-                         (F.col("p_partkey") % 50).cast("string"),
-                         F.lit("/USDT perpetual futures on 2025-05-06")),
-            )
-            .otherwise(F.lit("Scheduled maintenance notice"))
+            F.when(m == 0, F.lit(
+                "listing soon: alpha/usdt beta/usdt alpha/usdt gamma/usdt "
+                "on 2025年3月4日"))
+            .when(m == 1, F.concat(
+                F.lit("delisting perpetual pair sym"), letter,
+                F.lit("/usdt 停止交易 on 2025-5-6")))
+            .when(m == 2, F.concat(
+                F.lit("removal notice for sym"), letter,
+                F.lit("-pair effective immediately")))
+            .when(m == 3, F.lit("新增 maintenance window on 2025-12-01"))
+            .otherwise(F.lit("scheduled maintenance"))
         )
         return (
             p.select("p_partkey", text.alias("text"))
@@ -803,16 +806,28 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY hostname, host_seq
     """
 
+    # independent derivation: expected fallback-analyzer output per text class
+    # (m=1 emits BOTH 上架 and 下架 rows — 'delisting' contains 'listing')
     o["extractor_announcements"] = """
-        SELECT p_partkey,
-               'SYM' || (p_partkey % 50) || '/USDT' AS symbol,
-               CASE WHEN p_partkey % 3 = 0 THEN 'list' ELSE 'delist' END AS action,
-               CASE WHEN p_partkey % 3 = 0 THEN 'spot' ELSE 'futures' END AS type,
-               CASE WHEN p_partkey % 3 = 0 THEN '2025-03-04'
-                    ELSE '2025-05-06' END AS time
-        FROM part
-        WHERE p_partkey % 3 IN (0, 1)
-        ORDER BY p_partkey
+        WITH base AS (
+          SELECT p_partkey, p_partkey % 5 AS m,
+                 chr((65 + p_partkey % 26)::INT) AS L
+          FROM part
+        )
+        SELECT p_partkey, symbol, action, type, time FROM (
+          SELECT p_partkey, 'ALPHA/USDT' AS symbol, '上架' AS action,
+                 '现货' AS type, '2025年3月4日' AS time FROM base WHERE m = 0
+          UNION ALL SELECT p_partkey, 'BETA/USDT', '上架', '现货',
+                 '2025年3月4日' FROM base WHERE m = 0
+          UNION ALL SELECT p_partkey, 'ALPHA/USDT', '上架', '现货',
+                 '2025年3月4日' FROM base WHERE m = 0
+          UNION ALL SELECT p_partkey, 'SYM' || L || '/USDT', '上架', '合约',
+                 '2025-5-6' FROM base WHERE m = 1
+          UNION ALL SELECT p_partkey, 'SYM' || L || '/USDT', '下架', '合约',
+                 '2025-5-6' FROM base WHERE m = 1
+          UNION ALL SELECT p_partkey, 'SYM' || L || '-PAIR', '下架', '现货',
+                 '时间未明确' FROM base WHERE m = 2
+        ) ORDER BY p_partkey
     """
 
     o["html_text_extract"] = """
