@@ -63,6 +63,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _URL_NOISE = {0: "", 1: "/", 2: "#frag", 3: "?utm_source=x&b=2"}
 
+# run date of the reference's shipped CSVs (recovered from the 待确定 rows
+# in announcements.csv — main.py stamps "today" into null/short times)
+REF_RUN_DATE = "2025-09-02"
+
 
 def _event_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
@@ -614,6 +618,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_round_sim"] = crawl_round_sim
 
+    # ---- reference shipped corpus (the repo's real ground truth) ----------
+
+    def reference_consolidate(spark, sf):
+        """K4 over the REAL reference corpus: 674 shipped JSON records →
+        the announcements.csv view (main.py:42-67 semantics)."""
+        from cex_crawler_spark.operators.aggregate import (
+            consolidate_announcements,
+        )
+        from cex_crawler_spark.sources.corpus import read_announcement_corpus
+
+        return consolidate_announcements(
+            read_announcement_corpus(spark), REF_RUN_DATE
+        )
+
+    q["reference_consolidate"] = reference_consolidate
+
+    def _reference_pivot(spark, type_value, roster):
+        from cex_crawler_spark.operators.aggregate import (
+            consolidate_announcements,
+            filter_recent,
+            pivot_by_exchange,
+        )
+        from cex_crawler_spark.sources.corpus import read_announcement_corpus
+
+        cons = consolidate_announcements(
+            read_announcement_corpus(spark), REF_RUN_DATE
+        )
+        return pivot_by_exchange(
+            filter_recent(cons, REF_RUN_DATE), type_value, roster
+        )
+
+    def reference_pivot_spot(spark, sf):
+        from cex_crawler_spark.operators.aggregate import SPOT_CEX
+
+        return _reference_pivot(spark, "现货", SPOT_CEX)
+
+    q["reference_pivot_spot"] = reference_pivot_spot
+
+    def reference_pivot_futures(spark, sf):
+        from cex_crawler_spark.operators.aggregate import FUTURES_CEX
+
+        return _reference_pivot(spark, "合约", FUTURES_CEX)
+
+    q["reference_pivot_futures"] = reference_pivot_futures
+
     return q
 
 
@@ -973,6 +1022,76 @@ def oracle_sql() -> dict[str, str]:
         FROM numbered GROUP BY user_id, session_no
         ORDER BY user_id, session_no
     """
+
+    # ---- reference shipped corpus ------------------------------------------
+    # independent DuckDB reimplementation of main.py:42-95 over the same
+    # 674 shipped JSON records (read_json, not the engine's Spark reader)
+
+    _REF_CONSOLIDATED = """
+      raw AS (
+        SELECT symbol, action, type, time, title, exchange, url,
+               release_time, content,
+               replace(filename, '/root/reference/', '') AS file
+        FROM read_json('/root/reference/output/*/*.json', format='auto',
+          filename=true,
+          columns={symbol:'VARCHAR',action:'VARCHAR',type:'VARCHAR',
+                   time:'VARCHAR',title:'VARCHAR',exchange:'VARCHAR',
+                   url:'VARCHAR',release_time:'VARCHAR',content:'VARCHAR'})
+      ),
+      consolidated AS (
+        SELECT release_time,
+               CASE WHEN time IS NULL OR length(time) < 10
+                    THEN '2025-09-02' ELSE time END AS time,
+               exchange, symbol, type, action, title, url, content,
+               content AS content_dup, file,
+               CASE WHEN time IS NULL OR length(time) < 10
+                    THEN '待确定' ELSE '' END AS comments
+        FROM raw
+        WHERE (time IS NULL OR time <> '待定')
+          AND symbol IS NOT NULL AND action IS NOT NULL AND action <> ''
+      )
+    """
+
+    o["reference_consolidate"] = f"""
+        WITH {_REF_CONSOLIDATED}
+        SELECT * FROM consolidated
+    """
+
+    def _ref_pivot_sql(type_value: str, roster: list[str]) -> str:
+        cells = ",\n               ".join(
+            f"max(d) FILTER (exchange = '{e}') AS {e}" for e in roster
+        )
+        return f"""
+        WITH {_REF_CONSOLIDATED},
+        recent AS (
+          SELECT * FROM consolidated
+          WHERE time::DATE >= DATE '2025-08-26'
+            AND release_time::TIMESTAMP >= TIMESTAMP '2025-08-19 00:00:00'
+        ),
+        descr AS (
+          SELECT time, exchange, release_time, symbol,
+                 comments || action || ' ' ||
+                 replace(replace(symbol, '/USDT', ''), 'USDT', '') ||
+                 chr(10) AS description
+          FROM recent
+          WHERE type = '{type_value}'
+            AND exchange IN ({", ".join(f"'{e}'" for e in roster)})
+        ),
+        g AS (
+          SELECT time, exchange,
+                 string_agg(description, ' '
+                            ORDER BY release_time, symbol, description) AS d
+          FROM descr GROUP BY time, exchange
+        )
+        SELECT time,
+               {cells}
+        FROM g GROUP BY time ORDER BY time
+        """
+
+    from cex_crawler_spark.operators.aggregate import FUTURES_CEX, SPOT_CEX
+
+    o["reference_pivot_spot"] = _ref_pivot_sql("现货", SPOT_CEX)
+    o["reference_pivot_futures"] = _ref_pivot_sql("合约", FUTURES_CEX)
 
     # image_features / crawl_round_sim: engine-synthesized inputs (no DuckDB
     # view exists) — rows-only checks.

@@ -10,6 +10,7 @@ from cex_crawler_spark.operators.aggregate import (
     PENDING,
     UNCONFIRMED,
     consolidate_announcements,
+    filter_recent,
     pivot_by_exchange,
 )
 
@@ -44,8 +45,11 @@ SCHEMA = T.StructType(
 )
 
 
-def pandas_oracle(rows, run_date: str, offset_days: int = 14) -> pd.DataFrame:
-    """main.py:42-73 semantics, reimplemented independently in pandas."""
+def pandas_oracle(rows, run_date: str, offset_days: int = 14,
+                  recent_only: bool = False) -> pd.DataFrame:
+    """main.py:42-73 semantics, reimplemented independently in pandas.
+    ``recent_only`` applies the pivot-stage date window (main.py:70-73);
+    the consolidated CSV itself is unfiltered (main.py:67)."""
     df = pd.DataFrame(rows, columns=[f.name for f in SCHEMA.fields])
     df = df[df["time"] != PENDING].copy()
     short = df["time"].isna() | (df["time"].str.len() < 10)
@@ -53,10 +57,12 @@ def pandas_oracle(rows, run_date: str, offset_days: int = 14) -> pd.DataFrame:
     df.loc[short, "comments"] = UNCONFIRMED
     df.loc[short, "time"] = run_date
     df = df[df["symbol"].notna() & df["action"].notna() & (df["action"] != "")]
-    t = pd.to_datetime(df["time"], format="mixed").dt.date
-    rt = pd.to_datetime(df["release_time"]).dt.date
-    today = pd.Timestamp(run_date).date()
-    df = df[(t >= today - pd.Timedelta(days=7)) & (rt >= today - pd.Timedelta(days=offset_days))]
+    if recent_only:
+        t = pd.to_datetime(df["time"], format="mixed").dt.date
+        rt = pd.to_datetime(df["release_time"]).dt.date
+        today = pd.Timestamp(run_date).date()
+        df = df[(t >= today - pd.Timedelta(days=7))
+                & (rt >= today - pd.Timedelta(days=offset_days))]
     return df.sort_values(["release_time", "exchange"], ascending=False)
 
 
@@ -64,6 +70,15 @@ def pandas_oracle(rows, run_date: str, offset_days: int = 14) -> pd.DataFrame:
 def consolidated(spark):
     src = spark.createDataFrame(ROWS, SCHEMA)
     return consolidate_announcements(src, RUN_DATE).toPandas()
+
+
+def test_recent_window_matches_pandas_oracle(spark):
+    src = spark.createDataFrame(ROWS, SCHEMA)
+    got = filter_recent(
+        consolidate_announcements(src, RUN_DATE), RUN_DATE
+    ).toPandas()
+    oracle = pandas_oracle(ROWS, RUN_DATE, recent_only=True)
+    assert sorted(got["url"]) == sorted(oracle["url"])
 
 
 def test_consolidated_matches_pandas_oracle(consolidated):
@@ -87,7 +102,7 @@ def test_pivot_columns_complete(spark):
     from cex_crawler_spark.synth import HOSTS
 
     src = spark.createDataFrame(ROWS, SCHEMA)
-    cons = consolidate_announcements(src, RUN_DATE)
+    cons = filter_recent(consolidate_announcements(src, RUN_DATE), RUN_DATE)
     piv = pivot_by_exchange(cons, "spot")
     assert set(HOSTS) <= set(piv.columns)
     pdf = piv.toPandas()
@@ -102,7 +117,7 @@ def test_pivot_columns_complete(spark):
 def test_pivot_cell_ordering_deterministic(spark):
     """Cell concat order is (release_time, symbol) — repeated runs equal."""
     src = spark.createDataFrame(ROWS, SCHEMA).repartition(7)
-    cons = consolidate_announcements(src, RUN_DATE)
+    cons = filter_recent(consolidate_announcements(src, RUN_DATE), RUN_DATE)
     a = pivot_by_exchange(cons, "spot").toPandas()
     b = pivot_by_exchange(cons, "spot").toPandas()
     pd.testing.assert_frame_equal(a, b)
