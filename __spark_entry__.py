@@ -309,6 +309,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scalar_functions"] = scalar_functions
 
+    def base64_roundtrip(spark, sf):
+        """SC-encode: base64/unbase64 (reference binance.py:62 device-info
+        encoding) with a decode round-trip."""
+        p = _t(spark, sf, "part")
+        b64 = F.base64(F.encode("p_name", "UTF-8"))
+        return (
+            p.select(
+                "p_partkey",
+                b64.alias("name_b64"),
+                F.decode(F.unbase64(b64), "UTF-8").alias("name_rt"),
+            )
+            .orderBy("p_partkey")
+            .limit(500)
+        )
+
+    q["base64_roundtrip"] = base64_roundtrip
+
     def timestamp_normalize(spark, sf):
         e = _t(spark, sf, "events")
         return (
@@ -805,6 +822,12 @@ def oracle_sql() -> dict[str, str]:
                substr(p_name, 1, 5) AS name_prefix,
                regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
                length(p_name) AS name_len
+        FROM part ORDER BY p_partkey LIMIT 500
+    """
+
+    o["base64_roundtrip"] = """
+        SELECT p_partkey, to_base64(encode(p_name)) AS name_b64,
+               decode(from_base64(to_base64(encode(p_name)))) AS name_rt
         FROM part ORDER BY p_partkey LIMIT 500
     """
 

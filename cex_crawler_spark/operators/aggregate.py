@@ -119,6 +119,29 @@ def export_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
     out.write.mode("overwrite").option("header", True).csv(path)
 
 
+EXPORT_TZ = "Asia/Hong_Kong"
+
+
+def hkt_export_view(
+    df: DataFrame,
+    ts_cols: tuple[str, ...] = ("release_time",),
+    tz: str = EXPORT_TZ,
+    fmt: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """Render UTC timestamp columns as the reference's HKT strings at the
+    EXPORT edge (binance.py:239 ``tz_convert('Asia/Hong_Kong')``,
+    utils.py:13, main.py:54 use Asia/Hong_Kong / Asia/Shanghai — same
+    offset).  Engine internals stay UTC (session.py pins UTC for oracle
+    parity); only engine-crawled data needs this — the shipped corpus
+    already carries HKT strings, which pass through untouched."""
+    out = df
+    for c in ts_cols:
+        out = out.withColumn(
+            c, F.date_format(F.from_utc_timestamp(F.col(c), tz), fmt)
+        )
+    return out
+
+
 def description_col() -> F.Column:
     """main.py:77 row description — the symbol strip is two sequential
     LITERAL global replaces ('/USDT' first, then 'USDT'), exactly as

@@ -121,3 +121,17 @@ def test_pivot_cell_ordering_deterministic(spark):
     a = pivot_by_exchange(cons, "spot").toPandas()
     b = pivot_by_exchange(cons, "spot").toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_hkt_export_view(spark):
+    """UTC engine timestamps render as the reference's HKT strings at the
+    export edge (binance.py:239): the shipped corpus stores
+    '2025-08-25 16:00:06' HKT for the UTC instant 08:00:06."""
+    from cex_crawler_spark.operators.aggregate import hkt_export_view
+
+    df = spark.createDataFrame(
+        [("2025-08-25 08:00:06",), ("2025-12-31 20:30:00",)],
+        "release_time string",
+    ).withColumn("release_time", F.to_timestamp("release_time"))
+    got = [r["release_time"] for r in hkt_export_view(df).collect()]
+    assert got == ["2025-08-25 16:00:06", "2026-01-01 04:30:00"]
