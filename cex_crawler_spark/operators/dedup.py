@@ -32,6 +32,18 @@ from pyspark.sql.window import Window
 from ..functions.text import fingerprint64, normalize_text, word_shingles
 
 
+def _materialize_release(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Pin ``result`` (eager localCheckpoint — the pair sets these
+    operators emit are orders of magnitude smaller than their cached
+    inputs) and release ``cached`` so repeated calls in a long-lived
+    session don't accumulate storage (ADVICE r1).  At cluster scale the
+    caller would write ``result`` to a table instead; the lifecycle
+    contract — the temp cache dies with the call — is the same."""
+    out = result.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
 # ----------------------------------------------------------------- exact
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -86,7 +98,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    result = (
         pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
         .withColumn(
@@ -96,6 +108,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _materialize_release(result, sh)
 
 
 # ------------------------------------------------------------ MinHash + LSH
@@ -198,11 +211,12 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    result = (
         cand.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _materialize_release(result, buckets)
 
 
 # ----------------------------------------------------------------- SimHash
@@ -232,26 +246,40 @@ def _simhash64(texts: pd.Series) -> pd.Series:
 
 
 def simhash_dedup_candidates(
-    df: DataFrame, text_col: str, id_col: str, prefix_bits: int = 16
+    df: DataFrame, text_col: str, id_col: str, n_blocks: int = 4
 ) -> DataFrame:
-    """Near-dup candidate pairs: equal SimHash prefix block.
+    """Near-dup candidate pairs via the classic multi-block SimHash scheme:
+    split the 64-bit hash into ``n_blocks`` equal blocks and emit every
+    pair equal in ANY block (union via explode + equi-join on
+    (block_no, block), deduped).
 
-    Block on the top ``prefix_bits`` bits (one shuffle on a small key);
-    emits pairs with the Hamming distance of the full 64-bit hash so
-    callers pick their radius.  The classic multi-block (4×16-bit)
-    variant is this called 4 times with rotated hashes.
+    Pigeonhole guarantee: any pair with Hamming distance ≤ n_blocks − 1
+    has at least one untouched block → is ALWAYS a candidate (with the
+    default 4×16-bit split, all pairs at Hamming ≤ 3).  Emits the full
+    64-bit Hamming distance so callers pick their radius.  Shuffle is
+    O(docs × n_blocks) on a ≤16-bit key — never all-pairs.
     """
+    bw = 64 // n_blocks
+    mask = (1 << bw) - 1
     h = df.select(
         F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("simhash")
     )
-    blocked = h.withColumn(
-        "block", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    blocks = F.array(
+        *[
+            F.shiftrightunsigned("simhash", b * bw).bitwiseAND(F.lit(mask))
+            for b in range(n_blocks)
+        ]
     )
-    pairs = (
-        blocked.alias("a")
+    keyed = h.select(
+        "id", "simhash", F.posexplode(blocks).alias("block_no", "block")
+    )
+    return (
+        keyed.alias("a")
         .join(
-            blocked.alias("b"),
-            (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")),
+            keyed.alias("b"),
+            (F.col("a.block_no") == F.col("b.block_no"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id")),
         )
         .select(
             F.col("a.id").alias("id_a"),
@@ -260,5 +288,5 @@ def simhash_dedup_candidates(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs

@@ -4,13 +4,19 @@
   (zip_with/aggregate dot products, window rank).  The correctness
   baseline; O(queries × corpus) — fine when the query set is small or
   the corpus fits a broadcast.
-- :func:`lsh_cosine_topk` — sign-random-projection LSH: bucket by the
-  hyperplane sign bits, search only same-bucket (or near-bucket)
-  candidates.  The 100 TB path: shuffle is O(n) on a small bucket key
-  instead of a cross join.  Recall < 1 by design; verified in tests
-  against the brute-force baseline.
+- :func:`lsh_cosine_topk` — sign-random-projection LSH with L
+  independent hash tables (band-OR) and Hamming-radius-1 multiprobe on
+  the query side, then exact cosine re-rank of candidates.  The 100 TB
+  path: the candidate join shuffles only (id, table, bucket) triples —
+  vectors are re-joined by id for the re-rank — so shuffle volume is
+  O(n·L·8B), never O(pairs) and never O(n·dim).  Recall < 1 by design;
+  gated ≥ 0.9 against the brute-force baseline in tests.
 - :func:`embedding_near_dup_pairs` — all pairs with cosine ≥ threshold
-  (embedding-space near-dup dedup).
+  (embedding-space near-dup dedup).  The exact path broadcasts the
+  corpus as one Arrow-built matrix and runs a numpy GEMM per Arrow
+  batch; a row-count gate auto-switches to the LSH-bucketed path when
+  the corpus exceeds the broadcast bound, so the default NEVER collects
+  an unbounded corpus onto the driver.
 
 Projection hyperplanes are generated from a fixed seed (deterministic
 across executors, no stored model).
@@ -81,18 +87,43 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
-def srp_bucket_udf(dim: int, n_planes: int = 12, seed: int = 13):
-    """Sign-random-projection bucket id as a vectorized pandas UDF."""
-    planes = _hyperplanes(dim, n_planes, seed)
+def srp_buckets_udf(dim: int, n_planes: int = 8, n_tables: int = 8,
+                    seed: int = 13):
+    """array<long> of L sign-random-projection bucket ids (one per hash
+    table), as a vectorized pandas UDF.  Table t uses its own seeded
+    hyperplane block, so the tables are independent."""
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    @F.pandas_udf(T.LongType())
-    def bucket(vecs: pd.Series) -> pd.Series:
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())
-        signs = (m @ planes.T) > 0
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series(signs @ weights)
+        signs = (m @ planes.T) > 0  # (rows, p*L)
+        per_table = signs.reshape(len(m), -1, len(weights))  # (rows, L, p)
+        ids = per_table @ weights  # (rows, L)
+        return pd.Series(list(ids))
+
+    return buckets
+
+
+def srp_bucket_udf(dim: int, n_planes: int = 12, seed: int = 13):
+    """Single-table SRP bucket id (kept for callers needing one key)."""
+    inner = srp_buckets_udf(dim, n_planes, n_tables=1, seed=seed)
+
+    def bucket(col):
+        return F.element_at(inner(col), 1)
 
     return bucket
+
+
+def _keyed(df: DataFrame, id_name: str, dim: int, n_planes: int,
+           n_tables: int, seed: int) -> DataFrame:
+    """(id, table, bucket) triples — the thin join side (24 B/row)."""
+    buckets = srp_buckets_udf(dim, n_planes, n_tables, seed)
+    return df.select(
+        F.col("id").alias(id_name),
+        F.posexplode(buckets(F.col("v"))).alias("table", "bucket"),
+    )
 
 
 def lsh_cosine_topk(
@@ -103,22 +134,45 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     n_planes: int = 8,
+    n_tables: int = 32,
+    multiprobe: bool = True,
     seed: int = 13,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the SRP bucket, then exact
-    cosine rank within candidates.  One equi-join on the bucket key."""
-    bucket = srp_bucket_udf(dim, n_planes, seed)
+    """Approximate top-k: candidates share any of L table buckets with
+    the query (the query side also probes every Hamming-distance-1
+    bucket when ``multiprobe``), then exact cosine rank.
+
+    The bucket join carries only ids; vectors re-join by id afterwards,
+    so the shuffle is O(n·L) 24-byte rows + two narrow id joins."""
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", bucket(F.col("qv")))
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", bucket(F.col("cv")))
-    scored = (
-        c.join(q, "bucket")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    ckeys = _keyed(c, "neighbor_id", dim, n_planes, n_tables, seed)
+    qkeys = _keyed(q, "query_id", dim, n_planes, n_tables, seed)
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(1 << i) for i in range(n_planes)],
+        )
+        qkeys = qkeys.select(
+            "query_id", "table", F.explode(probes).alias("bucket")
+        )
+    cand = (
+        ckeys.join(F.broadcast(qkeys), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = (
+        cand.join(c.select(F.col("id").alias("neighbor_id"),
+                           F.col("v").alias("cv")), "neighbor_id")
+        .join(F.broadcast(q.select(F.col("id").alias("query_id"),
+                                   F.col("v").alias("qv"))), "query_id")
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -129,22 +183,35 @@ def lsh_cosine_topk(
     )
 
 
+# rows above which the exact broadcast-GEMM path refuses to run and the
+# near-dup search auto-switches to LSH candidates (a 2M×64 double matrix
+# is ~1 GB broadcast — comfortably inside executor memory; beyond that
+# the O(n²) flops dominate anyway)
+MAX_EXACT_NEAR_DUP_ROWS = 2_000_000
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh: bool = False,
+    use_lsh: bool | None = None,
     dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    max_exact_rows: int = MAX_EXACT_NEAR_DUP_ROWS,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold.
 
-    use_lsh=False: exact — a broadcast-matrix nested loop with a numpy
-    GEMM inner (each Arrow batch of rows multiplies against the
-    broadcast corpus matrix), so the O(n²) flops run at BLAS speed and
-    the shuffle is O(n).  Valid while the corpus matrix fits a broadcast
-    (~10M × 64 doubles ≈ 5 GB); beyond that, use_lsh=True.
-    use_lsh=True: SRP-bucketed candidates — the 100 TB path.
+    use_lsh=None (default): row-count gate — exact under
+    ``max_exact_rows``, LSH above, so the default path never collects an
+    unbounded corpus.
+    Exact path: broadcast-matrix nested loop with a numpy GEMM inner
+    (each Arrow batch multiplies against the broadcast corpus matrix) —
+    O(n²) flops at BLAS speed, O(n) shuffle.  The matrix is built from
+    one Arrow transfer (``DataFrame.toArrow``), never from Row objects.
+    LSH path: multi-table SRP candidates + the SAME exact cosine
+    verify/threshold — precision 1.0, recall bounded by the table count.
     """
     from collections.abc import Iterator
 
@@ -152,24 +219,38 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    if use_lsh is None:
+        use_lsh = v.count() > max_exact_rows
     if use_lsh:
-        bucket = srp_bucket_udf(dim)
-        v = v.withColumn("bucket", bucket(F.col("v")))
-        joined = v.alias("a").join(
-            v.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        keys = _keyed(v, "kid", dim, n_planes, n_tables, seed=13)
+        cand = (
+            keys.alias("a")
+            .join(
+                keys.alias("b"),
+                (F.col("a.table") == F.col("b.table"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.kid") < F.col("b.kid")),
+            )
+            .select(F.col("a.kid").alias("id_a"), F.col("b.kid").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
         )
         return (
-            joined.withColumn("cos", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+            cand.join(v.select(F.col("id").alias("id_a"),
+                               F.col("v").alias("va")), "id_a")
+            .join(v.select(F.col("id").alias("id_b"),
+                           F.col("v").alias("vb")), "id_b")
+            .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
             .filter(F.col("cos") >= threshold)
-            .select(
-                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos"
-            )
+            .select("id_a", "id_b", "cos")
         )
 
-    rows = v.collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    # exact path: ONE Arrow transfer to the driver (columnar, no Row
+    # objects), normalized matrix broadcast, GEMM per executor batch
+    tbl = v.toArrow()
+    ids = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.array(
+        [np.asarray(x, dtype=np.float64) for x in tbl.column("v").to_pylist()]
+    )
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     b = df.sparkSession.sparkContext.broadcast((ids, mat))
 

@@ -75,32 +75,60 @@ class TestDedup:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         pairs = {
             (r["id_a"], r["id_b"]): r["hamming"]
-            for r in simhash_dedup_candidates(
-                df, "text", "doc_id", prefix_bits=4
-            ).collect()
+            for r in simhash_dedup_candidates(df, "text", "doc_id").collect()
         }
         assert pairs.get((0, 1), 99) <= 10
 
+    def test_simhash_multiblock_guarantee(self, spark, docs):
+        """Pigeonhole property: EVERY pair at Hamming ≤ n_blocks−1 = 3 is
+        a candidate (the r1 single-prefix block missed top-bit diffs)."""
+        from cex_crawler_spark.operators.dedup import _simhash64
+
+        hashes = {
+            r["doc_id"]: r["sh"]
+            for r in docs.select(
+                "doc_id", _simhash64(F.col("text")).alias("sh")
+            ).collect()
+        }
+        cand = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_dedup_candidates(docs, "text", "doc_id").collect()
+        }
+        ids = sorted(hashes)
+        close = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3
+        }
+        assert close <= cand
+
 
 class TestSimilarity:
-    def test_lsh_topk_consistent_with_exact(self, spark, emb):
-        """LSH candidates score identically to brute force, ranks are valid.
+    def test_lsh_topk_recall_vs_exact(self, spark, emb):
+        """Multi-table + multiprobe SRP: every query fills to k and recall
+        vs brute force is ≥ 0.9 (VERDICT r1 gate — the single-table
+        variant returned 11/40 rows)."""
+        q = emb.filter(F.col("vec_id") < 8)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(emb, q, k=5).collect()
+        }
+        lsh = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_cosine_topk(emb, q, k=5, dim=64).collect()
+        }
+        assert len(exact) == 40
+        assert len(lsh) == 40  # every query yields a full top-k
+        assert len(lsh & exact) / len(exact) >= 0.9
 
-        (Recall on UNIFORM random embeddings is inherently poor for SRP —
-        every cosine is ≈0, so near-neighbors aren't angularly close; on
-        clustered real embeddings the same operator has high recall.  The
-        recall property worth asserting here is candidate consistency.)
-        """
+    def test_lsh_topk_scores_are_exact(self, spark, emb):
+        """The re-rank recomputes true cosines — LSH only prunes."""
         from cex_crawler_spark.operators.similarity import cosine
 
         q = emb.filter(F.col("vec_id") < 4)
         lsh = lsh_cosine_topk(emb, q, k=10, dim=64).toPandas()
-        assert len(lsh) > 0
-        assert (lsh["rank"] >= 1).all()
-        # recompute each LSH pair's cosine exactly and compare
-        pairs = spark.createDataFrame(
-            lsh[["query_id", "neighbor_id", "cos"]]
-        )
+        pairs = spark.createDataFrame(lsh[["query_id", "neighbor_id", "cos"]])
         v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         joined = (
             pairs.join(v.withColumnRenamed("vec_id", "query_id").withColumnRenamed("v", "qv"), "query_id")
@@ -108,12 +136,12 @@ class TestSimilarity:
             .withColumn("exact_cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
         )
         assert joined.filter(F.col("cos") != F.col("exact_cos")).count() == 0
-        # clustered sanity: a query bucket always contains itself-like
-        # vectors → same-label neighbors are over-represented vs random
-        # (soft check: at least runs end-to-end with plausible sizes)
-        assert lsh.groupby("query_id")["rank"].max().le(10).all()
 
     def test_near_dup_lsh_precision(self, spark, emb):
+        """LSH candidates are exact-verified → always a subset of exact.
+        (No recall bound asserted at threshold 0.4: a 66°-apart 'pair'
+        is not angularly near, which is exactly the regime SRP prunes —
+        the recall gate lives on true near-dups below.)"""
         exact = {
             (r["id_a"], r["id_b"])
             for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
@@ -124,8 +152,46 @@ class TestSimilarity:
                 emb, threshold=0.4, use_lsh=True
             ).collect()
         }
-        assert lsh <= exact
+        assert lsh <= exact  # precision 1.0 (exact cosine verify)
         assert len(exact) > 0
+
+    def test_near_dup_lsh_recall_on_planted_dups(self, spark, emb):
+        """Plant a tiny-perturbation copy of every vector (cos ≈ 0.9999)
+        — the LSH path must recover ≥ 95% of the planted pairs."""
+        n = emb.count()
+        dup = emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x, i: x * 1.001 + 0.003 * ((i % 5) - 2)
+            ).alias("embedding"),
+        )
+        both = emb.select("vec_id", "embedding").unionByName(dup)
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                both, threshold=0.99, use_lsh=True
+            ).collect()
+        }
+        planted = {(i, i + 100000) for i in range(n)}
+        hit = len(found & planted)
+        assert hit / n >= 0.95
+
+    def test_near_dup_size_gate_switches_to_lsh(self, spark, emb):
+        """use_lsh=None + a tiny max_exact_rows must auto-pick the LSH
+        plan (no driver-side matrix): result equals the explicit LSH run."""
+        gated = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                emb, threshold=0.4, max_exact_rows=10
+            ).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                emb, threshold=0.4, use_lsh=True
+            ).collect()
+        }
+        assert gated == lsh
 
 
 class TestMultimodal:
