@@ -581,7 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 8)
         return lsh_cosine_topk(
-            emb, queries_df, k=5, dim=64, n_tables=32
+            emb, queries_df, k=5, dim=64, n_tables=64
         ).orderBy("query_id", "rank")
 
     q["ann_lsh_topk"] = ann_lsh_topk

@@ -81,18 +81,26 @@ class SnapshotCatalog:
         round_id: int,
         writes: dict[str, tuple[DataFrame, str]],
         extra: dict | None = None,
+        partition_by: dict[str, list[str]] | None = None,
     ) -> int:
         """Atomically commit ``{table: (df, OVERWRITE|APPEND)}`` as one round.
 
         DataFrames are materialized (parquet write = the action) before
         the manifest flips; returns the new manifest version.
+        ``partition_by`` maps table → hive-partition columns (the Iceberg
+        partition-spec analog): scans filtered on those columns prune
+        whole directories (SURVEY §4 frontier layout).
         """
         m = self.manifest()
         version = m["version"] + 1
         tables = {k: dict(v) for k, v in m["tables"].items()}
         for table, (df, mode) in writes.items():
             path = str(self.root / table / f"v{version:06d}")
-            df.write.mode("overwrite").parquet(path)
+            writer = df.write.mode("overwrite")
+            cols = (partition_by or {}).get(table)
+            if cols:
+                writer = writer.partitionBy(*cols)
+            writer.parquet(path)
             if mode == APPEND and table in tables:
                 tables[table] = {"paths": tables[table]["paths"] + [path]}
             else:

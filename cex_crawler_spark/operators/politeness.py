@@ -33,7 +33,10 @@ time filter before existence check, binance.py:240-255):
   fetch (weex/bitunix/blofin, exchange/weex.py:156-164) are NOT filtered
   here; their stale rows consume budget and are placeholdered post-fetch.
 - ``dup_skipped``: same canonical URL appears earlier in this round
-  (the reference's second ``os.path.exists`` hit).
+  among SCHEDULABLE rows (the reference's second ``os.path.exists``
+  hit).  Robots/stale rows never claim first occurrence — a fetchable
+  row sharing a stale placeholder's hash is fetched, not dup-skipped,
+  exactly as the replayer oracle's sequential pass behaves.
 - ``scheduled``: rank ≤ budget; ``host_seq`` = rank (the crawl order).
 - ``deferred``: schedulable but over budget — stays in the frontier.
 """
@@ -151,23 +154,26 @@ def schedule_round(
         "budget_per_round", "__robots", "__stale",
     )
 
-    # dup detection: first occurrence per url_hash by (section_rank, seq,
-    # seed_id) — a map-side-combinable groupBy-min instead of a window
-    # sort over the full frontier
-    first = narrow.groupBy("url_hash").agg(
-        F.min(F.struct("section_rank", "seq", "seed_id")).alias("__first")
-    )
-    narrow = narrow.join(first, "url_hash").withColumn(
-        "__is_first", F.col("seed_id") == F.col("__first.seed_id")
-    )
-
-    terminal = (
+    # robots/stale disposition first; dup detection then runs over the
+    # REMAINING (schedulable) rows only — matching the replayer oracle,
+    # where a stale placeholder never claims first-occurrence (a non-stale
+    # row sharing its hash is fetchable, not dup_skipped;
+    # replayer.py:105-123).  One row_number window on url_hash replaces
+    # the r1 groupBy-min + join-back (one fewer full-frontier shuffle);
+    # url_hash partitions are tiny (dup multiplicity), so no skew risk.
+    pre_terminal = (
         F.when(F.col("__robots"), STATUS_ROBOTS)
         .when(F.col("__stale"), STATUS_STALE)
-        .when(~F.col("__is_first"), STATUS_DUP)
     )
-    narrow = narrow.withColumn("__terminal", terminal)
-    schedulable = narrow.filter(F.col("__terminal").isNull())
+    narrow = narrow.withColumn("__pre", pre_terminal)
+    w_dup = Window.partitionBy("url_hash").orderBy(
+        "section_rank", "seq", "seed_id"
+    )
+    sched_cand = (
+        narrow.filter(F.col("__pre").isNull())
+        .withColumn("__dup_rn", F.row_number().over(w_dup))
+    )
+    schedulable = sched_cand.filter(F.col("__dup_rn") == 1).drop("__dup_rn")
 
     # phase 1: salted per-(host, salt) prune — any row ranked past the
     # budget within its salt bucket can never be scheduled, so the hot
@@ -194,17 +200,29 @@ def schedule_round(
     )
 
     verdicts = (
-        narrow.select("seed_id", "__terminal")
-        .join(scheduled, "seed_id", "left")
+        narrow.filter(F.col("__pre").isNotNull())
         .select(
             "seed_id",
-            F.coalesce(
-                F.col("__terminal"),
-                F.when(F.col("host_seq").isNotNull(), STATUS_SCHEDULED).otherwise(
-                    STATUS_DEFERRED
-                ),
-            ).alias("status"),
-            "host_seq",
+            F.col("__pre").alias("status"),
+            F.lit(None).cast("long").alias("host_seq"),
+        )
+        .unionByName(
+            sched_cand.filter(F.col("__dup_rn") > 1).select(
+                "seed_id",
+                F.lit(STATUS_DUP).alias("status"),
+                F.lit(None).cast("long").alias("host_seq"),
+            )
+        )
+        .unionByName(
+            schedulable.select("seed_id")
+            .join(scheduled, "seed_id", "left")
+            .select(
+                "seed_id",
+                F.when(
+                    F.col("host_seq").isNotNull(), STATUS_SCHEDULED
+                ).otherwise(STATUS_DEFERRED).alias("status"),
+                "host_seq",
+            )
         )
     )
     # single wide join: frontier payload columns meet their verdicts once

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import OVERWRITE, SnapshotCatalog
 from ..operators.seen import BloomFilter64, build_bloom
-from .round import ingest_seeds, run_round
+from .round import ingest_seeds, run_round, with_host_bucket
 
 
 def bootstrap(
@@ -26,8 +26,12 @@ def bootstrap(
     """Round -1: ingest seeds as frontier v1 (idempotent — skips if present)."""
     if catalog.has_table("frontier"):
         return
-    catalog.commit(-1, {"frontier": (ingest_seeds(seeds), OVERWRITE)},
-                   extra={"watermark": watermark})
+    catalog.commit(
+        -1,
+        {"frontier": (with_host_bucket(ingest_seeds(seeds)), OVERWRITE)},
+        extra={"watermark": watermark},
+        partition_by={"frontier": ["host_bucket"]},
+    )
 
 
 def crawl(
@@ -61,17 +65,14 @@ def crawl(
     if catalog.read(spark, "frontier").isEmpty():
         return stats_log
     for _ in range(max_rounds):
+        # the round itself OR-updates the Bloom from its cached seen delta
+        # (folded in — r1 paid a parquet re-read + extra job per round)
         stats = run_round(
             spark, catalog, host_policy, watermark, round_id,
             bloom=bloom, salt_buckets=salt_buckets,
             fetch_parallelism=fetch_parallelism, expand=expand,
+            bloom_expected=bloom_expected,
         )
-        if bloom is not None:
-            # incremental maintenance: OR-in this round's seen delta only
-            delta = spark.read.parquet(
-                catalog.manifest()["tables"]["seen"]["paths"][-1]
-            )
-            bloom.merge(build_bloom(delta, "url_hash", bloom_expected))
         stats_log.append({"round": round_id, **stats})
         round_id += 1
         if stats.get("deferred", 0) == 0:

@@ -41,6 +41,17 @@ RESULT_COLS = [
     "valid", "psnr_db",
 ]
 
+# frontier hive-partition fan-out: pmod(xxhash64(host), N).  Host-targeted
+# scans (recrawl one host, inspect a host's backlog) prune to 1/N of the
+# files; the full-frontier round scan reads everything either way.
+HOST_BUCKETS = 16
+
+
+def with_host_bucket(df: DataFrame, n_buckets: int = HOST_BUCKETS) -> DataFrame:
+    return df.withColumn(
+        "host_bucket", F.pmod(F.xxhash64("host"), F.lit(n_buckets))
+    )
+
 
 def ingest_seeds(seeds: DataFrame) -> DataFrame:
     """Canonicalize + hash raw seed rows into frontier shape."""
@@ -57,8 +68,14 @@ def run_round(
     salt_buckets: int = 16,
     fetch_parallelism: int | None = None,
     expand: bool = False,
+    bloom_expected: int = 1_000_000,
 ) -> dict:
-    """Execute one round against catalog state; returns round stats."""
+    """Execute one round against catalog state; returns round stats.
+
+    When ``bloom`` is given it is OR-updated in place with this round's
+    seen delta as part of the round — built from the still-cached
+    results delta, not re-read from the just-written parquet (r1 spent
+    an extra read job per round on that)."""
     frontier = catalog.read(spark, "frontier")
     seen = catalog.read(spark, "seen") if catalog.has_table("seen") else None
 
@@ -181,14 +198,20 @@ def run_round(
     catalog.commit(
         round_id,
         {
-            "frontier": (new_frontier, OVERWRITE),
+            "frontier": (with_host_bucket(new_frontier), OVERWRITE),
             "seen": (seen_delta, APPEND),
             "results": (results_delta, APPEND),
             "metrics": (metrics_delta, APPEND),
             "lineage": (lineage_delta, APPEND),
         },
         extra={"watermark": watermark, "stats": stats},
+        partition_by={"frontier": ["host_bucket"]},
     )
+    if bloom is not None:
+        # incremental Bloom maintenance folded into the round: the delta
+        # scan hits the persisted results_delta, so this costs one pass
+        # over cached partitions (never a re-read of written parquet)
+        bloom.merge(build_bloom(seen_delta, "url_hash", bloom_expected))
     decisions.unpersist()
     results_delta.unpersist()
     return stats

@@ -46,3 +46,30 @@ def test_vacuum_keeps_recent_reachable(spark, cat):
     assert cat.read(spark, "log").count() == 5
     with pytest.raises(Exception):
         cat.read(spark, "t", version=1).count()
+
+
+def test_frontier_partition_pruning(spark, tmp_path):
+    """Frontier commits hive-partitioned by host_bucket: a host-targeted
+    scan prunes to that bucket's files (SURVEY §4 layout)."""
+    from cex_crawler_spark.plans.driver import bootstrap
+    from cex_crawler_spark.plans.round import HOST_BUCKETS
+    from cex_crawler_spark.synth import gen_frontier
+    from pyspark.sql import functions as F
+
+    cat = SnapshotCatalog(tmp_path / "cat")
+    bootstrap(cat, gen_frontier(spark, 500, n_payloads=50), "2025-08-29 00:00:00")
+    frontier = cat.read(spark, "frontier")
+    assert "host_bucket" in frontier.columns
+    one = frontier.filter(F.col("host_bucket") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # the bucket predicate lands in PartitionFilters (directory pruning at
+    # the file index), NOT in DataFilters/post-scan
+    assert "PartitionFilters: [isnotnull(host_bucket" in plan
+    assert "= 3)]" in plan
+    # pruning must not lose rows: union of buckets == full read
+    n_full = frontier.count()
+    n_sum = sum(
+        frontier.filter(F.col("host_bucket") == b).count()
+        for b in range(HOST_BUCKETS)
+    )
+    assert n_full == n_sum
