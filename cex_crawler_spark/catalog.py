@@ -82,6 +82,7 @@ class SnapshotCatalog:
         writes: dict[str, tuple[DataFrame, str]],
         extra: dict | None = None,
         partition_by: dict[str, list[str]] | None = None,
+        serial_first: list[str] | None = None,
     ) -> int:
         """Atomically commit ``{table: (df, OVERWRITE|APPEND)}`` as one round.
 
@@ -90,17 +91,47 @@ class SnapshotCatalog:
         ``partition_by`` maps table → hive-partition columns (the Iceberg
         partition-spec analog): scans filtered on those columns prune
         whole directories (SURVEY §4 frontier layout).
+        ``serial_first`` names tables whose plans materialize shared
+        caches (e.g. the fetch stage): they write sequentially FIRST; the
+        remaining writes — cheap scans over those caches — run in
+        parallel threads, overlapping their per-job fixed cost.  Data
+        files are still all-or-nothing: the manifest flips only after
+        every write returns.
         """
         m = self.manifest()
         version = m["version"] + 1
         tables = {k: dict(v) for k, v in m["tables"].items()}
-        for table, (df, mode) in writes.items():
+
+        def write_one(table: str) -> str:
+            df, _mode = writes[table]
             path = str(self.root / table / f"v{version:06d}")
             writer = df.write.mode("overwrite")
             cols = (partition_by or {}).get(table)
             if cols:
                 writer = writer.partitionBy(*cols)
             writer.parquet(path)
+            if cols and not any(Path(path).rglob("*.parquet")):
+                # dynamic-partition write of ZERO rows leaves no data file
+                # (so no schema to read back); rewrite the empty frame
+                # unpartitioned, which emits a schema-bearing empty file
+                df.write.mode("overwrite").parquet(path)
+            return path
+
+        serial = [t for t in (serial_first or []) if t in writes]
+        rest = [t for t in writes if t not in serial]
+        paths = {t: write_one(t) for t in serial}
+        if len(rest) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(rest)) as pool:
+                for t, p in zip(rest, pool.map(write_one, rest)):
+                    paths[t] = p
+        else:
+            for t in rest:
+                paths[t] = write_one(t)
+
+        for table, (df, mode) in writes.items():
+            path = paths[table]
             if mode == APPEND and table in tables:
                 tables[table] = {"paths": tables[table]["paths"] + [path]}
             else:
@@ -115,6 +146,16 @@ class SnapshotCatalog:
         tmp.write_text(json.dumps(new_manifest, indent=1, sort_keys=True))
         os.rename(tmp, self._manifest_path(version))
         return version
+
+    def amend(self, version: int, extra: dict) -> None:
+        """Merge audit-only keys (e.g. round stats) into an existing
+        manifest, atomically.  Never used for tables/round — resume
+        correctness cannot depend on amended fields."""
+        m = self.manifest(version)
+        m.update(extra)
+        tmp = self._manifest_path(version).with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(m, indent=1, sort_keys=True))
+        os.rename(tmp, self._manifest_path(version))
 
     # --------------------------------------------------------------- vacuum
 

@@ -83,12 +83,19 @@ def _ranked_per_host(df: DataFrame) -> DataFrame:
     sort columns themselves — ``(section_rank, seq div W)`` is
     order-aligned by construction (no range-sampling pass needed):
 
-    1. row_number within (host, chunk) — parallelism = #chunks;
-    2. global rank = local rank + total count of earlier chunks of the
+    1. row_number within (host, chunk) — parallelism = #chunks — in ONE
+       shuffle; the chunk-count aggregate reuses that same partitioning
+       (Catalyst adds no second exchange for groupBy(host, chunk));
+    2. rows whose LOCAL rank already exceeds the host budget can never
+       be scheduled (offsets only add) — pruned before the offset join,
+       so the join output is ≤ budget × #chunks per host;
+    3. global rank = local rank + total count of earlier chunks of the
        same host (chunk counts are a tiny broadcast).
 
     Each chunk holds ≤ W rows, so a 10^10-row host ranks with 10^10/W
-    parallel tasks.
+    parallel tasks.  This replaces r1's separate salted pre-prune
+    window — a second full-frontier shuffle that bought nothing the
+    local-rank prune doesn't.
     """
     chunk = F.struct(
         F.col("section_rank").alias("s"),
@@ -109,8 +116,9 @@ def _ranked_per_host(df: DataFrame) -> DataFrame:
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
     ).select("host", "__chunk", "__off")
+    pruned = local.filter(F.col("__lrn") <= F.col("budget_per_round"))
     return (
-        local.join(F.broadcast(offsets), ["host", "__chunk"])
+        pruned.join(F.broadcast(offsets), ["host", "__chunk"])
         .withColumn("__rank", F.col("__lrn") + F.col("__off"))
         .drop("__chunk", "__lrn", "__off")
     )
@@ -121,12 +129,21 @@ def schedule_round(
     host_policy: DataFrame,
     watermark: str,
     salt_buckets: int = 16,
+    caches: list | None = None,
 ) -> DataFrame:
     """Assign a status (and host_seq for scheduled rows) to every candidate.
 
     ``candidates``: frontier rows already anti-joined against the seen
     set, carrying canonical_url + url_hash.  ``watermark``: 'YYYY-MM-DD
     HH:MM:SS' UTC cutoff (explicit parameter — never wall-clock).
+
+    ``caches``: optional registry the caller owns.  When given, the
+    NARROW projection (~40 B/row — not the wide frontier rows, whose
+    cache was measured slower than pruned re-scans in r1) is persisted
+    and appended to it; the verdict DAG fans out into ~8 consumer
+    branches, and without the cache each branch re-executes the
+    scan→policy-join→regex subtree.  The caller unpersists after the
+    round's actions (plans/round.py) — no session-lifetime leak.
     """
     c = (
         candidates.join(F.broadcast(host_policy), "host", "left")
@@ -158,43 +175,55 @@ def schedule_round(
     # REMAINING (schedulable) rows only — matching the replayer oracle,
     # where a stale placeholder never claims first-occurrence (a non-stale
     # row sharing its hash is fetchable, not dup_skipped;
-    # replayer.py:105-123).  One row_number window on url_hash replaces
-    # the r1 groupBy-min + join-back (one fewer full-frontier shuffle);
-    # url_hash partitions are tiny (dup multiplicity), so no skew risk.
+    # replayer.py:105-123).
     pre_terminal = (
         F.when(F.col("__robots"), STATUS_ROBOTS)
         .when(F.col("__stale"), STATUS_STALE)
     )
     narrow = narrow.withColumn("__pre", pre_terminal)
+    if caches is not None:
+        narrow = narrow.persist()
+        caches.append(narrow)
+    fetchable = narrow.filter(F.col("__pre").isNull())
+
+    # dup detection in two steps sized to reality (most hashes are unique):
+    # 1. hashes appearing >1× — a map-side-combinable 16 B/row count agg
+    #    whose output (only the colliding hashes) is a tiny broadcast;
+    # 2. an exact first-occurrence window over ONLY those collided rows.
+    # This keeps the full frontier out of a window sort: the wide rows
+    # never shuffle for dup detection, only (url_hash, count) partials do.
+    collided = (
+        fetchable.groupBy("url_hash")
+        .count()
+        .filter(F.col("count") > 1)
+        .select("url_hash")
+    )
+    # no broadcast hints: AQE broadcasts these when they are small (the
+    # common case) and falls back to shuffle joins under adversarial
+    # all-duplicate inputs instead of OOMing a forced broadcast
+    in_collision = fetchable.join(collided, "url_hash", "left_semi")
     w_dup = Window.partitionBy("url_hash").orderBy(
         "section_rank", "seq", "seed_id"
     )
-    sched_cand = (
-        narrow.filter(F.col("__pre").isNull())
-        .withColumn("__dup_rn", F.row_number().over(w_dup))
+    sched_cand = in_collision.withColumn(
+        "__dup_rn", F.row_number().over(w_dup)
     )
-    schedulable = sched_cand.filter(F.col("__dup_rn") == 1).drop("__dup_rn")
+    schedulable = fetchable.join(
+        sched_cand.filter(F.col("__dup_rn") > 1).select("seed_id"),
+        "seed_id",
+        "left_anti",
+    )
 
-    # phase 1: salted per-(host, salt) prune — any row ranked past the
-    # budget within its salt bucket can never be scheduled, so the hot
-    # host sheds (frontier_share - S·B) rows across S parallel tasks
-    # before exact ranking
-    salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets))
-    w1 = Window.partitionBy("host", "__salt").orderBy(
-        "section_rank", "seq", "url_hash"
-    )
-    pre = (
-        schedulable.withColumn("__salt", salt)
-        .withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= F.col("budget_per_round"))
-        .drop("__salt", "__r1")
-    )
-    # phase 2: exact per-host rank, PARALLEL within a host: range-partition
-    # on the sort key so each host's order splits into contiguous chunks,
-    # rank locally per (host, chunk), then add per-chunk offsets (a tiny
-    # broadcast).  A plain `row_number() OVER (PARTITION BY host)` would
-    # sort a 50%-skew host in one task regardless of cluster size.
-    ranked = _ranked_per_host(pre)
+    # exact per-host rank, PARALLEL within a host: one shuffle splits each
+    # host's order into contiguous chunks, ranks locally per (host,
+    # chunk), prunes local ranks past the budget, then adds per-chunk
+    # offsets (a tiny broadcast).  A plain `row_number() OVER (PARTITION
+    # BY host)` would sort a 50%-skew host in one task regardless of
+    # cluster size.  (``salt_buckets`` is kept in the signature for API
+    # stability; the r1 salted pre-prune window was dropped — the
+    # local-rank prune inside _ranked_per_host supersedes it with one
+    # fewer full-frontier shuffle.)
+    ranked = _ranked_per_host(schedulable)
     scheduled = ranked.filter(F.col("__rank") <= F.col("budget_per_round")).select(
         "seed_id", F.col("__rank").alias("host_seq")
     )

@@ -85,7 +85,10 @@ def run_round(
     # re-scans are cheaper than materializing a wide cache of candidates
     # (measured: +9s/round at 1M rows with a persist here).
     candidates = anti_join_seen(frontier, seen, "url_hash", bloom)
-    decisions = schedule_round(candidates, host_policy, watermark, salt_buckets)
+    round_caches: list = []
+    decisions = schedule_round(
+        candidates, host_policy, watermark, salt_buckets, caches=round_caches
+    )
     # one pass, many consumers (results / frontier' / metrics) → cache
     decisions = decisions.persist()
 
@@ -186,27 +189,34 @@ def run_round(
         )
     )
 
-    # one action over the (persisted) decisions instead of two extra jobs
-    # (results groupBy + frontier count): metrics_delta carries everything
-    # the loop needs, including the deferred count that drives termination
-    stats_rows = metrics_delta.collect()
-    stats: dict[str, int] = {}
-    for r in stats_rows:
-        stats[r["status"]] = stats.get(r["status"], 0) + r["n"]
-    stats.setdefault("deferred", 0)
-
-    catalog.commit(
+    # no pre-commit action: the results write IS the round's driving job
+    # (schedule → fetch → union run as one job, filling both caches), the
+    # other four writes overlap in threads over those caches, and the
+    # loop's stats come back from the just-written (tiny) metrics table —
+    # r1 paid a full extra barrier collecting metrics before the fetch
+    # could start
+    version = catalog.commit(
         round_id,
         {
+            "results": (results_delta, APPEND),
             "frontier": (with_host_bucket(new_frontier), OVERWRITE),
             "seen": (seen_delta, APPEND),
-            "results": (results_delta, APPEND),
             "metrics": (metrics_delta, APPEND),
             "lineage": (lineage_delta, APPEND),
         },
-        extra={"watermark": watermark, "stats": stats},
+        extra={"watermark": watermark},
         partition_by={"frontier": ["host_bucket"]},
+        # results first: its write runs the fetch stage and pins the
+        # decisions + results caches the parallel writes then scan
+        serial_first=["results"],
     )
+    stats: dict[str, int] = {}
+    for r in spark.read.parquet(
+        catalog.manifest()["tables"]["metrics"]["paths"][-1]
+    ).collect():
+        stats[r["status"]] = stats.get(r["status"], 0) + r["n"]
+    stats.setdefault("deferred", 0)
+    catalog.amend(version, {"stats": stats})
     if bloom is not None:
         # incremental Bloom maintenance folded into the round: the delta
         # scan hits the persisted results_delta, so this costs one pass
@@ -214,4 +224,6 @@ def run_round(
         bloom.merge(build_bloom(seen_delta, "url_hash", bloom_expected))
     decisions.unpersist()
     results_delta.unpersist()
+    for cached in round_caches:
+        cached.unpersist()
     return stats

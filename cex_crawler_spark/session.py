@@ -69,11 +69,6 @@ def get_spark(
         # single node sees; on a real cluster tune upward with executor
         # count.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
-        # parallelismFirst uses minPartitionSize as the coalesce floor; the
-        # default 1 MB caps a 40 MB narrow scheduling shuffle at ~20 tasks
-        # — below the 32 cores this box runs.  512 KB keeps post-shuffle
-        # parallelism ≥ cores for the frontier's narrow projections.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "512k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Binary image payloads ride Arrow batches; cap rows/batch so a
         # batch of wide rows stays well under executor memory.
