@@ -586,6 +586,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    def ann_ivf_topk(spark, sf):
+        """IVF ANN (k-means cells + n_probe scan) — approximate by
+        design (rows-only); recall ≥ 0.9 gated in pytest."""
+        from cex_crawler_spark.operators.similarity import ivf_cosine_topk
+
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 8)
+        return ivf_cosine_topk(
+            emb, queries_df, k=5, n_centroids=16, n_probe=6
+        ).orderBy("query_id", "rank")
+
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     def embedding_near_dups(spark, sf):
         emb = _t(spark, sf, "embeddings")
         return embedding_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")

@@ -107,7 +107,10 @@ def fetch_and_validate(scheduled: DataFrame, parallelism: int | None = None) -> 
     """
     src = scheduled.select("url_hash", "image_id")
     if parallelism is None:
-        parallelism = scheduled.sparkSession.sparkContext.defaultParallelism
+        # 4 tasks per core: with exactly one task per core a single
+        # straggler stretches the whole stage; payload work varies per
+        # row, so slack partitions smooth the tail
+        parallelism = 4 * scheduled.sparkSession.sparkContext.defaultParallelism
     src = src.repartition(parallelism, F.col("url_hash"))
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -183,6 +183,96 @@ def lsh_cosine_topk(
     )
 
 
+def _kmeans_centroids(
+    sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Tiny driver-side spherical k-means over a bounded sample (the
+    training step of IVF — the sample is a few thousand rows however big
+    the corpus is, so this is deliberately NOT distributed)."""
+    rng = np.random.default_rng(seed)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / (np.linalg.norm(v) or 1.0)
+    return cents
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_rows: int = 2048,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other classic ANN
+    scale path next to :func:`lsh_cosine_topk`:
+
+    1. train: spherical k-means centroids on a bounded deterministic
+       sample (driver-side numpy, broadcast);
+    2. assign: every corpus vector to its nearest centroid (one
+       vectorized pandas UDF) — the inverted lists are just a ``cell``
+       column, so the "index" is a partitioning, not a data structure;
+    3. probe: each query scans its ``n_probe`` nearest cells only;
+       exact cosine re-rank inside the probed cells.
+
+    Shuffle is one equi-join on the 4-byte cell id; recall grows with
+    ``n_probe`` (= exact when n_probe == n_centroids), gated ≥ 0.9 in
+    tests.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    sample_tbl = (
+        c.orderBy("neighbor_id").limit(train_rows).select("cv").toArrow()
+    )
+    sample = np.array(
+        [np.asarray(x, dtype=np.float64) for x in sample_tbl.column("cv").to_pylist()]
+    )
+    cents = _kmeans_centroids(sample, n_centroids, seed=seed)
+    b = corpus.sparkSession.sparkContext.broadcast(cents)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def nearest_cells(vecs: pd.Series, n: pd.Series) -> pd.Series:
+        cents_ = b.value
+        m = np.stack(vecs.to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ cents_.T
+        order = np.argsort(-sims, axis=1)
+        return pd.Series([row[:k_].astype("int32") for row, k_ in zip(order, n)])
+
+    ckeys = c.withColumn(
+        "cell", F.element_at(nearest_cells(F.col("cv"), F.lit(1)), 1)
+    )
+    qkeys = q.withColumn(
+        "cell", F.explode(nearest_cells(F.col("qv"), F.lit(n_probe)))
+    )
+    scored = (
+        ckeys.join(F.broadcast(qkeys), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 # rows above which the exact broadcast-GEMM path refuses to run and the
 # near-dup search auto-switches to LSH candidates (a 2M×64 double matrix
 # is ~1 GB broadcast — comfortably inside executor memory; beyond that

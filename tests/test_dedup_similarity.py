@@ -137,6 +137,24 @@ class TestSimilarity:
         )
         assert joined.filter(F.col("cos") != F.col("exact_cos")).count() == 0
 
+    def test_ivf_topk_recall_vs_exact(self, spark, emb):
+        """IVF cells + 6/16 probes: full top-k per query, recall ≥ 0.9."""
+        from cex_crawler_spark.operators.similarity import ivf_cosine_topk
+
+        q = emb.filter(F.col("vec_id") < 8)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(emb, q, k=5).collect()
+        }
+        ivf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_cosine_topk(
+                emb, q, k=5, n_centroids=16, n_probe=6
+            ).collect()
+        }
+        assert len(ivf) == 40
+        assert len(ivf & exact) / len(exact) >= 0.9
+
     def test_near_dup_lsh_precision(self, spark, emb):
         """LSH candidates are exact-verified → always a subset of exact.
         (No recall bound asserted at threshold 0.4: a 66°-apart 'pair'
