@@ -594,7 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 8)
         return ivf_cosine_topk(
-            emb, queries_df, k=5, n_centroids=16, n_probe=6
+            emb, queries_df, k=5, n_centroids=16, n_probe=12
         ).orderBy("query_id", "rank")
 
     q["ann_ivf_topk"] = ann_ivf_topk

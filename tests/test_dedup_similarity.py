@@ -138,7 +138,11 @@ class TestSimilarity:
         assert joined.filter(F.col("cos") != F.col("exact_cos")).count() == 0
 
     def test_ivf_topk_recall_vs_exact(self, spark, emb):
-        """IVF cells + 6/16 probes: full top-k per query, recall ≥ 0.9."""
+        """IVF cells + 12/16 probes: full top-k per query, recall ≥ 0.9.
+        (Near-uniform random embeddings are the adversarial case for any
+        partition-based ANN — true neighbors of a random vector have low
+        cosine and scatter across cells, so the probe count here is far
+        above what clustered real embeddings need.)"""
         from cex_crawler_spark.operators.similarity import ivf_cosine_topk
 
         q = emb.filter(F.col("vec_id") < 8)
@@ -149,7 +153,7 @@ class TestSimilarity:
         ivf = {
             (r["query_id"], r["neighbor_id"])
             for r in ivf_cosine_topk(
-                emb, q, k=5, n_centroids=16, n_probe=6
+                emb, q, k=5, n_centroids=16, n_probe=12
             ).collect()
         }
         assert len(ivf) == 40
