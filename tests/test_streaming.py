@@ -65,3 +65,39 @@ def test_sessionize_gap_semantics(spark):
         for r in sessionize_events(df, gap_minutes=30).collect()
     }
     assert got == {(1, 1): (2, 3.0), (1, 2): (1, 3.0), (2, 1): (1, 4.0)}
+
+
+def test_stream_first_seen_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState: each url_hash emitted EXACTLY once across
+    micro-batches (per-host seen state persists between triggers)."""
+    src = tmp_path / "frontier_stream"
+    src.mkdir()
+    schema = "host string, url_hash long, canonical_url string"
+    b1 = [("h1", 1, "u1"), ("h1", 2, "u2"), ("h2", 10, "u10"), ("h1", 1, "u1")]
+    b2 = [("h1", 2, "u2"), ("h1", 3, "u3"), ("h2", 10, "u10"), ("h2", 11, "u11")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    from cex_crawler_spark.streaming.frontier_stream import stream_first_seen
+
+    out = stream_first_seen(
+        spark, str(src) + "/*", schema, max_files_per_trigger=1
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from first_seen").collect()
+    emitted = [(r["host"], r["url_hash"]) for r in rows]
+    # exactly once per distinct (host, url_hash) — across batches too
+    assert sorted(emitted) == sorted(
+        {("h1", 1), ("h1", 2), ("h1", 3), ("h2", 10), ("h2", 11)}
+    )
