@@ -101,9 +101,11 @@ def main_bench() -> dict:
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        df = fn(spark, SF_DIR)
+        # time construction + execution: some operators materialize
+        # eagerly inside the builder (localCheckpoint lifecycle), so
+        # timing only .count() would under-report them
         t0 = time.perf_counter()
-        df.count()
+        fn(spark, SF_DIR).count()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
