@@ -16,12 +16,13 @@ lineage, never slept.
 
 Skew at scale: one host can hold 50%+ of a 10^10-row frontier, and
 ``row_number() OVER (PARTITION BY host)`` would funnel it into a single
-task.  Since only the top-B rows per host can ever be scheduled, ranking
-runs in two phases: (1) rank within ``(host, salt)`` buckets — salt =
-``pmod(url_hash, S)`` spreads the hot host over S tasks — keeping at
-most B rows per bucket, then (2) rank the surviving ≤ S·B rows per host
-exactly.  Phase-2 input is tiny regardless of frontier size, so the
-hot-host window never sees more than S·B rows.
+task.  Ranking instead splits each host's crawl order into contiguous
+chunks keyed by the sort columns themselves (``(section_rank,
+seq div 8192)``), ranks locally per (host, chunk) in ONE shuffle whose
+partitioning the chunk-count aggregate then reuses, prunes local ranks
+past the host budget, and adds broadcast per-chunk offsets — so a
+10^10-row host ranks with 10^10/8192 parallel tasks and the rows that
+can never be scheduled never reach the offset join.
 
 Statuses decided here (precedence mirrors the reference loop order —
 time filter before existence check, binance.py:240-255):
