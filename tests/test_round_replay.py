@@ -135,3 +135,59 @@ def test_link_expansion_matches_oracle(spark, tmp_path):
     # children (/c/ pages) were discovered and fetched
     child_fetches = [r for r in engine if "/c/" in r["url"]]
     assert len(child_fetches) > 0
+
+
+def test_stale_row_does_not_dup_skip_fresh_twin(spark):
+    """ADVICE r1 parity edge: a stale-prefetch row and a FRESH row sharing
+    a url_hash.  The replayer's first-occurrence set only registers
+    schedulable rows, so the fresh twin must be SCHEDULED (not
+    dup_skipped) while the stale one placeholds."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from cex_crawler_spark.operators.politeness import schedule_round
+
+    wm = "2025-08-29 00:00:00"
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("canonical_url", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("section", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("seed_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("release_time", T.TimestampType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("time_known_prefetch", T.BooleanType()),
+        T.StructField("duplicate_of", T.LongType()),
+    ])
+    old = datetime(2025, 8, 1)    # < watermark → stale
+    new = datetime(2025, 9, 1)    # ≥ watermark → fresh
+    u = "https://h/a"
+    rows = [
+        # stale row comes FIRST in crawl order (seq 0) and shares the hash
+        (u, u, 7, "h", "spot", 0, 100, "t", old, "img", True, None),
+        (u, u, 7, "h", "spot", 1, 101, "t", new, "img", True, None),
+        # a plain same-hash fresh pair: second must be dup_skipped
+        (u + "b", u + "b", 8, "h", "spot", 2, 102, "t", new, "img", True, None),
+        (u + "b", u + "b", 8, "h", "spot", 3, 103, "t", new, "img", True, None),
+    ]
+    frontier = spark.createDataFrame(rows, schema)
+    policy = spark.createDataFrame(
+        [("h", 10, 0, [], 8)],
+        "host string, budget_per_round int, min_delay_ms long, "
+        "robots_disallow array<string>, list_page_size int",
+    )
+    got = {
+        r["seed_id"]: r["status"]
+        for r in schedule_round(frontier, policy, wm).collect()
+    }
+    assert got == {
+        100: "stale_placeholder",
+        101: "scheduled",      # NOT dup_skipped — the stale twin never
+                               # claimed first occurrence
+        102: "scheduled",
+        103: "dup_skipped",
+    }
