@@ -508,6 +508,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_stopword_ratio"] = doc_stopword_ratio
 
+    def doc_quality(spark, sf):
+        """Composite quality score (stopword presence, token length,
+        punctuation density, length) — the training-data filter knob."""
+        from cex_crawler_spark.functions.text import quality_score
+
+        d = _t(spark, sf, "documents")
+        return (
+            d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+            .orderBy("doc_id")
+            .limit(500)
+        )
+
+    q["doc_quality"] = doc_quality
+
+    def hkt_render(spark, sf):
+        """HKT export edge: UTC event timestamps rendered as the
+        reference's Asia/Hong_Kong strings (binance.py:239)."""
+        from cex_crawler_spark.operators.aggregate import hkt_export_view
+
+        e = _t(spark, sf, "events")
+        return (
+            hkt_export_view(e.select("event_id", "ts"), ("ts",))
+            .orderBy("event_id")
+            .limit(500)
+        )
+
+    q["hkt_render"] = hkt_render
+
     def doc_fingerprint(spark, sf):
         d = _t(spark, sf, "documents")
         return (
@@ -983,6 +1011,36 @@ def oracle_sql() -> dict[str, str]:
     o["doc_stopword_ratio"] = f"""
         SELECT doc_id, round({_STOP_RATIO}, 6) AS stop_ratio
         FROM documents ORDER BY doc_id LIMIT 500
+    """
+
+    _MTL = (
+        f"CASE WHEN len({_TOKS}) > 0 THEN "
+        f"list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE / len({_TOKS}) "
+        "ELSE 0.0 END"
+    )
+    _PUNCT = (
+        "CASE WHEN length(text) > 0 THEN "
+        "length(regexp_replace(text, '[^\\.,;:!\\?''\"()\\-]', '', 'g'))::DOUBLE "
+        "/ length(text) ELSE 0.0 END"
+    )
+    o["doc_quality"] = f"""
+        SELECT doc_id,
+               round(
+                 least(({_STOP_RATIO}) * 4, 1.0) * 0.4
+                 + (CASE WHEN ({_MTL}) >= 3 AND ({_MTL}) <= 10
+                         THEN 1.0 ELSE 0.0 END) * 0.3
+                 + greatest(0.0, 1 - ({_PUNCT}) * 5) * 0.2
+                 + least(len({_TOKS}) / 20.0, 1.0) * 0.1,
+               6) AS quality
+        FROM documents ORDER BY doc_id LIMIT 500
+    """
+
+    # Asia/Hong_Kong has been fixed UTC+8 since 1941 — the interval form
+    # avoids a DuckDB ICU dependency while matching from_utc_timestamp
+    o["hkt_render"] = """
+        SELECT event_id,
+               strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%d %H:%M:%S') AS ts
+        FROM events ORDER BY event_id LIMIT 500
     """
 
     o["doc_fingerprint"] = f"""
