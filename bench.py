@@ -269,7 +269,11 @@ if __name__ == "__main__":
         print(json.dumps(crawl_only(int(sys.argv[2]), int(sys.argv[3]))))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         s = scaling_bench()
-        update_baseline_md(s)
+        # print only — BASELINE.md's BENCH section is curated by hand
+        # across repetitions (single noisy runs kept clobbering it);
+        # pass --write-baseline to regenerate it from this one run
+        if "--write-baseline" in sys.argv:
+            update_baseline_md(s)
         print(json.dumps(s))
     else:
         print(json.dumps(main_bench()))
