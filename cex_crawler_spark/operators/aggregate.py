@@ -113,10 +113,22 @@ def export_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
     """CSV sink (reference K4/K5: main.py:67,85,94 ``to_csv``).
 
     ``single_file=True`` coalesces to one part for export parity with the
-    reference's one-file CSVs; leave False at scale.
+    reference's one-file CSVs; leave False at scale.  Quotes escape by
+    DOUBLING (escape='"', RFC 4180 / pandas ``to_csv`` convention) so the
+    newline- and quote-heavy content column round-trips through any
+    standard CSV reader — Spark's default backslash escaping does not.
     """
     out = df.coalesce(1) if single_file else df
-    out.write.mode("overwrite").option("header", True).csv(path)
+    (
+        out.write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        # the writer TRIMS cell whitespace by default — lossless export
+        # must keep the reference content byte-identical
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
 
 
 EXPORT_TZ = "Asia/Hong_Kong"

@@ -99,3 +99,36 @@ def test_futures_pivot_matches_shipped_csv(consolidated):
         piv.toPandas(), f"{REF}/announcements_futures.csv", FUTURES_CEX
     )
     assert reference_column_order(piv, FUTURES_CEX) == list(ref.columns)
+
+
+def test_export_csv_roundtrip_real_corpus(spark, tmp_path, consolidated):
+    """S10/K4 on the real corpus: export_csv writes the consolidated view
+    and a Spark CSV scan reads it back losslessly (embedded newlines,
+    quotes and CJK content survive the round trip)."""
+    from pyspark.sql import functions as F
+
+    from cex_crawler_spark.operators.aggregate import export_csv
+
+    path = str(tmp_path / "announcements_csv")
+    export_csv(consolidated, path)
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    assert back.count() == 473
+    key = ["release_time", "exchange", "symbol", "action", "time", "url"]
+    a = sorted(map(tuple, consolidated.select(*key).collect()))
+    b = sorted(map(tuple, back.select(*key).collect()))
+    assert a == b
+    # content column (newline-heavy) survives byte-for-byte
+    orig = {
+        r["url"]: r["content"]
+        for r in consolidated.select("url", "content").dropDuplicates(["url"]).collect()
+    }
+    got = {
+        r["url"]: r["content"]
+        for r in back.select("url", "content").dropDuplicates(["url"]).collect()
+    }
+    assert orig == got
