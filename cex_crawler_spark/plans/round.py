@@ -75,7 +75,15 @@ def run_round(
     When ``bloom`` is given it is OR-updated in place with this round's
     seen delta as part of the round — built from the still-cached
     results delta, not re-read from the just-written parquet (r1 spent
-    an extra read job per round on that)."""
+    an extra read job per round on that).
+
+    Every Spark job the round launches is tagged with job group
+    ``round-<id>`` so the per-round job count is observable via the
+    status tracker (fixed per-round job count is the scaling lever the
+    8→32 profile identified; tests pin an upper bound)."""
+    spark.sparkContext.setJobGroup(
+        f"round-{round_id}", f"crawl round {round_id}", False
+    )
     frontier = catalog.read(spark, "frontier")
     seen = catalog.read(spark, "seen") if catalog.has_table("seen") else None
 

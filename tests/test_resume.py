@@ -55,3 +55,25 @@ def test_resume_with_bloom_matches_no_bloom(spark, tmp_path):
           bloom_expected=5000)
 
     assert _final_state(spark, cat_a) == _final_state(spark, cat_b)
+
+
+def test_round_job_count_bounded(spark, tmp_path):
+    """The per-round Spark job count is the fixed cost that dominates
+    small rounds (PLANS.md) — pin an upper bound so a refactor that
+    silently adds per-round jobs fails here rather than in BENCH."""
+    from cex_crawler_spark.catalog import SnapshotCatalog
+    from cex_crawler_spark.plans.driver import bootstrap, crawl
+    from cex_crawler_spark.synth import gen_frontier, gen_host_policy
+
+    cat = SnapshotCatalog(tmp_path / "jobcount")
+    bootstrap(cat, gen_frontier(spark, 300, n_payloads=50), "2025-08-29 00:00:00")
+    tracker = spark.sparkContext.statusTracker()
+    # job groups accumulate per session — count only THIS crawl's jobs
+    before = set(tracker.getJobIdsForGroup("round-0"))
+    crawl(spark, cat, gen_host_policy(spark), "2025-08-29 00:00:00",
+          max_rounds=1)
+    jobs = set(tracker.getJobIdsForGroup("round-0")) - before
+    # measured 48 with AQE on (every adaptive query stage is its own
+    # job; 6 actions x their stage chains).  The bound catches a
+    # refactor that silently multiplies per-round actions.
+    assert 0 < len(jobs) <= 56, f"round-0 launched {len(jobs)} jobs"
