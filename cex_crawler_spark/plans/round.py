@@ -48,8 +48,11 @@ HOST_BUCKETS = 16
 
 
 def with_host_bucket(df: DataFrame, n_buckets: int = HOST_BUCKETS) -> DataFrame:
+    # int cast: hive partition-column inference reads the directory value
+    # back as IntegerType, and the empty-snapshot fallback writes the
+    # column as DATA — the cast keeps both paths the same type (ADVICE r2)
     return df.withColumn(
-        "host_bucket", F.pmod(F.xxhash64("host"), F.lit(n_buckets))
+        "host_bucket", F.pmod(F.xxhash64("host"), F.lit(n_buckets)).cast("int")
     )
 
 

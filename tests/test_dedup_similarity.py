@@ -159,6 +159,28 @@ class TestSimilarity:
         assert len(ivf) == 40
         assert len(ivf & exact) / len(exact) >= 0.9
 
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+    def test_ivf_oracle_probe_covers_exact_topk(self, spark, sf):
+        """The oracle precondition, at BOTH SFs (the r2 LSH lesson:
+        recall is SF-dependent — the local parity twin runs sf0.001, the
+        driver runs sf0.01): at the query's n_probe=15 the IVF result
+        EQUALS the exact top-k, ranks included."""
+        from cex_crawler_spark.operators.similarity import ivf_cosine_topk
+
+        emb = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 8)
+        exact = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in cosine_topk(emb, q, k=5).collect()
+        )
+        ivf = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in ivf_cosine_topk(
+                emb, q, k=5, n_centroids=16, n_probe=15
+            ).collect()
+        )
+        assert ivf == exact
+
     def test_near_dup_lsh_precision(self, spark, emb):
         """LSH candidates are exact-verified → always a subset of exact.
         (No recall bound asserted at threshold 0.4: a 66°-apart 'pair'
@@ -214,6 +236,89 @@ class TestSimilarity:
             ).collect()
         }
         assert gated == lsh
+
+    def test_near_dup_row_hint_decides_gate_without_count_job(self, spark, emb):
+        """approx_rows picks the path WITHOUT a count job (at 100 TB a
+        .count() is a full scan spent on a branch decision).  With a
+        large hint the LSH plan is chosen and building it launches ZERO
+        Spark jobs; the result matches the explicit-LSH run."""
+        tracker = spark.sparkContext.statusTracker()
+        spark.sparkContext.setJobGroup("hint-gate", "gate decision", False)
+        try:
+            hinted = embedding_near_dup_pairs(
+                emb, threshold=0.4, approx_rows=10**9
+            )
+            jobs = tracker.getJobIdsForGroup("hint-gate")
+        finally:
+            spark.sparkContext.setJobGroup("", "", False)
+        assert jobs == [], f"gate decision launched jobs: {jobs}"
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                emb, threshold=0.4, use_lsh=True
+            ).collect()
+        }
+        assert {(r["id_a"], r["id_b"]) for r in hinted.collect()} == lsh
+
+
+class TestBucketCaps:
+    """Degenerate-key guard: 10⁴ identical docs make ONE bucket; without
+    a cap the self-join emits ~5·10⁷ pairs (quadratic).  With the cap the
+    run is bounded in time and output, and the cluster keeps exactly
+    C(cap, 2) representative pairs."""
+
+    def _identical_docs(self, spark, n=10_000):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the same boilerplate page text repeated verbatim").alias(
+                "text"
+            ),
+        )
+
+    def test_minhash_cap_bounds_identical_corpus(self, spark):
+        docs = self._identical_docs(spark)
+        pairs = minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=64, bands=16,
+            threshold=0.5, bucket_cap=32,
+        )
+        n = pairs.count()
+        # every surviving pair is within the 32 kept representatives
+        assert n == 32 * 31 // 2
+        assert pairs.filter(F.col("id_a") >= 32).count() == 0
+
+    def test_simhash_cap_bounds_identical_corpus(self, spark):
+        docs = self._identical_docs(spark)
+        cand = simhash_dedup_candidates(docs, "text", "doc_id", bucket_cap=32)
+        assert cand.count() == 32 * 31 // 2
+
+    def test_embedding_lsh_cap_bounds_identical_corpus(self, spark):
+        one = [0.1] * 64
+        vecs = spark.range(5_000).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(x) for x in one]).alias("embedding"),
+        )
+        pairs = embedding_near_dup_pairs(
+            vecs, threshold=0.99, use_lsh=True, bucket_cap=32
+        )
+        assert pairs.count() == 32 * 31 // 2
+
+    def test_default_cap_is_above_small_corpora(self, spark, docs):
+        """The default cap must not change results on realistic corpora
+        (the oracle corpus is far below 100k rows/bucket)."""
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                docs, "text", "doc_id", num_hashes=64, bands=32, threshold=0.5
+            ).collect()
+        }
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                docs, "text", "doc_id", num_hashes=64, bands=32,
+                threshold=0.5, bucket_cap=None,
+            ).collect()
+        }
+        assert capped == uncapped
 
 
 class TestMultimodal:
