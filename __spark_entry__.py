@@ -520,7 +520,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def extractor_announcements(spark, sf):
         """U2 fallback-analyzer fidelity cases: both-families emission
         (delisting ⊃ listing substring), dash pairs, lowercase symbols,
-        Chinese + non-padded dates, duplicate symbols kept, first-3 cap."""
+        Chinese + non-padded dates, duplicate symbols kept, first-3 cap.
+        Runs through the pluggable extractor strategy (U1 shape,
+        functions/analyzer.py) — the oracle guards the indirection."""
+        from cex_crawler_spark.functions.analyzer import default_extractor
+
+        extractor = default_extractor()
         p = _t(spark, sf, "part")
         letter = F.char(F.lit(65) + F.col("p_partkey") % 26)
         m = F.col("p_partkey") % 5
@@ -541,7 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             p.select("p_partkey", text.alias("text"))
             .select(
                 "p_partkey",
-                F.explode(extract_announcements(F.col("text"))).alias("ann"),
+                F.explode(extractor.announcements(F.col("text"))).alias("ann"),
             )
             .select(
                 "p_partkey",

@@ -139,12 +139,25 @@ def schedule_round(
     HH:MM:SS' UTC cutoff (explicit parameter — never wall-clock).
 
     ``caches``: optional registry the caller owns.  When given, the
-    NARROW projection (~40 B/row — not the wide frontier rows, whose
+    NARROW projection (~60 B/row — not the wide frontier rows, whose
     cache was measured slower than pruned re-scans in r1) is persisted
-    and appended to it; the verdict DAG fans out into ~8 consumer
+    and appended to it; the verdict DAG fans out into several consumer
     branches, and without the cache each branch re-executes the
     scan→policy-join→regex subtree.  The caller unpersists after the
     round's actions (plans/round.py) — no session-lifetime leak.
+
+    Returns a NARROW decisions frame — (seed_id, url_hash,
+    canonical_url, host, section, section_rank, seq, budget_per_round,
+    min_delay_ms, status, host_seq) — never the wide frontier rows.
+    r2 joined every verdict back to the wide frontier here, which cost
+    a full-width shuffle of BOTH sides plus a 3-leg union; the r2
+    scaling profile pinned the 8→32 gap on exactly this kind of
+    fixed-stage latency.  Callers that need wide rows (the fetch stage
+    needs image_id, the next-round frontier needs title/url) join the
+    small status-filtered id sets back against the frontier lineage
+    instead (plans/round.py) — those joins broadcast their build side
+    at any realistic round size and degrade to the same shuffle join r2
+    always paid only in the worst case.
     """
     c = (
         candidates.join(F.broadcast(host_policy), "host", "left")
@@ -163,13 +176,15 @@ def schedule_round(
         "__stale", stale_prefetch
     )
 
-    # All ranking runs on a NARROW projection (~40 B/row) — at 10^10 rows
-    # the frontier carries urls/titles that would otherwise ride through
-    # every window shuffle.  Statuses join back by seed_id at the end
-    # (ONE wide shuffle instead of one per window).
+    # All ranking runs on a NARROW projection — at 10^10 rows the
+    # frontier carries urls/titles that would otherwise ride through
+    # every window shuffle.  canonical_url + min_delay_ms ride along so
+    # downstream results/metrics never need the wide rows; the two
+    # window shuffles below re-project down to their key columns first.
     narrow = c.select(
-        "seed_id", "url_hash", "host", "section_rank", "seq",
-        "budget_per_round", "__robots", "__stale",
+        "seed_id", "url_hash", "canonical_url", "host", "section",
+        "section_rank", "seq", "budget_per_round", "min_delay_ms",
+        "__robots", "__stale",
     )
 
     # robots/stale disposition first; dup detection then runs over the
@@ -185,7 +200,11 @@ def schedule_round(
     if caches is not None:
         narrow = narrow.persist()
         caches.append(narrow)
-    fetchable = narrow.filter(F.col("__pre").isNull())
+    # the dup/rank shuffles move ONLY these 5 columns (~36 B/row)
+    fetchable = narrow.filter(F.col("__pre").isNull()).select(
+        "seed_id", "url_hash", "host", "section_rank", "seq",
+        "budget_per_round",
+    )
 
     # dup detection in two steps sized to reality (most hashes are unique):
     # 1. hashes appearing >1× — a map-side-combinable 16 B/row count agg
@@ -206,14 +225,12 @@ def schedule_round(
     w_dup = Window.partitionBy("url_hash").orderBy(
         "section_rank", "seq", "seed_id"
     )
-    sched_cand = in_collision.withColumn(
-        "__dup_rn", F.row_number().over(w_dup)
+    dup_ids = (
+        in_collision.withColumn("__dup_rn", F.row_number().over(w_dup))
+        .filter(F.col("__dup_rn") > 1)
+        .select("seed_id")
     )
-    schedulable = fetchable.join(
-        sched_cand.filter(F.col("__dup_rn") > 1).select("seed_id"),
-        "seed_id",
-        "left_anti",
-    )
+    schedulable = fetchable.join(dup_ids, "seed_id", "left_anti")
 
     # exact per-host rank, PARALLEL within a host: one shuffle splits each
     # host's order into contiguous chunks, ranks locally per (host,
@@ -229,31 +246,27 @@ def schedule_round(
         "seed_id", F.col("__rank").alias("host_seq")
     )
 
-    verdicts = (
-        narrow.filter(F.col("__pre").isNotNull())
-        .select(
-            "seed_id",
-            F.col("__pre").alias("status"),
-            F.lit(None).cast("long").alias("host_seq"),
+    # verdict assembly: two left joins of SMALL id sets (dups are the
+    # collided minority, scheduled is budget-bounded) against the cached
+    # narrow rows — no union barrier, no wide join.  AQE broadcasts the
+    # build sides; the status is a single CASE whose precedence mirrors
+    # the reference loop order (robots → stale → dup → budget).
+    return (
+        narrow
+        .join(dup_ids.withColumn("__dup", F.lit(True)), "seed_id", "left")
+        .join(scheduled, "seed_id", "left")
+        .withColumn(
+            "status",
+            F.coalesce(
+                F.col("__pre"),
+                F.when(F.col("__dup"), STATUS_DUP),
+                F.when(F.col("host_seq").isNotNull(), STATUS_SCHEDULED),
+                F.lit(STATUS_DEFERRED),
+            ),
         )
-        .unionByName(
-            sched_cand.filter(F.col("__dup_rn") > 1).select(
-                "seed_id",
-                F.lit(STATUS_DUP).alias("status"),
-                F.lit(None).cast("long").alias("host_seq"),
-            )
+        .withColumn(
+            "host_seq",
+            F.when(F.col("status") == STATUS_SCHEDULED, F.col("host_seq")),
         )
-        .unionByName(
-            schedulable.select("seed_id")
-            .join(scheduled, "seed_id", "left")
-            .select(
-                "seed_id",
-                F.when(
-                    F.col("host_seq").isNotNull(), STATUS_SCHEDULED
-                ).otherwise(STATUS_DEFERRED).alias("status"),
-                "host_seq",
-            )
-        )
+        .drop("__robots", "__stale", "__pre", "__dup")
     )
-    # single wide join: frontier payload columns meet their verdicts once
-    return c.drop("__robots", "__stale", "path").join(verdicts, "seed_id")

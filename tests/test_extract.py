@@ -127,3 +127,93 @@ def test_extractor_matches_twin_on_reference_corpus(spark):
         if expected:
             n_nonempty += 1
     assert n_nonempty > 100  # the corpus genuinely exercises the extractor
+
+
+class TestExtractorStrategy:
+    """U1-shape seam (functions/analyzer.py): a model-backed batch
+    extractor slots in where the rule-based one runs; rules remain the
+    deterministic default; primary→fallback composes per row."""
+
+    def test_rule_strategy_equals_direct_function(self, spark):
+        from cex_crawler_spark.functions.analyzer import default_extractor
+
+        df = spark.createDataFrame(
+            [(0, "listing ABC/USDT on 2025-01-02"), (1, "nothing here")],
+            "id long, text string",
+        )
+        direct = df.select(
+            "id", extract_announcements(F.col("text")).alias("a")
+        ).collect()
+        via = default_extractor().apply(df, out_col="a").select("id", "a").collect()
+        assert sorted(map(str, direct)) == sorted(map(str, via))
+
+    def test_mock_batch_extractor_swaps_in(self, spark):
+        """A pandas-batch extractor (the production model slot) replaces
+        the rules wholesale — downstream shape unchanged."""
+        import pandas as pd
+
+        from cex_crawler_spark.functions.analyzer import PandasBatchExtractor
+
+        def mock_model(texts: pd.Series) -> pd.Series:
+            # content-derived (batch boundaries are arbitrary — a
+            # batch-positional mock would not be deterministic)
+            return pd.Series(
+                [
+                    [{"symbol": f"MOCK{len(t)}/USDT", "action": "上架",
+                      "type": "现货", "time": "2025-01-01"}]
+                    for t in texts
+                ]
+            )
+
+        df = spark.createDataFrame(
+            [(0, "whatever"), (1, "text")], "id long, text string"
+        )
+        out = (
+            PandasBatchExtractor(mock_model)
+            .apply(df, out_col="a")
+            .select("id", F.explode("a").alias("r"))
+            .select("id", "r.symbol", "r.action")
+            .collect()
+        )
+        assert {(r["symbol"], r["action"]) for r in out} == {
+            ("MOCK8/USDT", "上架"), ("MOCK4/USDT", "上架"),
+        }
+
+    def test_fallback_composes_null_primary_to_rules(self, spark):
+        """Rows the primary cannot answer (null) degrade to the rule
+        extractor — the reference's LLM→fallback path
+        (deepseek_analyzer.py:95-102)."""
+        import pandas as pd
+
+        from cex_crawler_spark.functions.analyzer import (
+            FallbackExtractor,
+            PandasBatchExtractor,
+            RuleExtractor,
+        )
+
+        def flaky_model(texts: pd.Series) -> pd.Series:
+            # answers only texts containing 'answered'; others → None
+            return pd.Series(
+                [
+                    [{"symbol": "LLM/USDT", "action": "上架",
+                      "type": "现货", "time": "2025-01-01"}]
+                    if "answered" in t else None
+                    for t in texts
+                ]
+            )
+
+        ext = FallbackExtractor(
+            PandasBatchExtractor(flaky_model), RuleExtractor()
+        )
+        df = spark.createDataFrame(
+            [(0, "answered text"), (1, "listing DEF/USDT on 2025-01-02")],
+            "id long, text string",
+        )
+        out = (
+            ext.apply(df, out_col="a")
+            .select("id", F.explode("a").alias("r"))
+            .select("id", "r.symbol")
+            .collect()
+        )
+        got = {(r["id"], r["symbol"]) for r in out}
+        assert got == {(0, "LLM/USDT"), (1, "DEF/USDT")}
