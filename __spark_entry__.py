@@ -4,8 +4,8 @@
 plus the training-data operators (dedup, similarity, text analysis,
 multimodal) over the driver-provided testdata tables; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for each (omitted only for genuinely
-non-SQL-expressible ops — MinHash/SimHash approximations, image-feature
-UDF stages, crawl-round simulation — which get rows-only checks).
+non-SQL-expressible ops — the token-hash SimHash approximation and the
+image-feature pixel-decode UDF stage — which get rows-only checks).
 
 Column names are aliased identically on both sides (the driver hashes
 values after sorting columns by name).
@@ -735,6 +735,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_lsh"] = dedup_minhash_lsh
 
+    def dedup_clusters(spark, sf):
+        """Pairs → connected components → one representative per
+        cluster (the step a training pipeline actually applies: a~b~c
+        collapses even when the (a,c) pair was never emitted).
+        Distributed min-label propagation; oracle = DuckDB recursive-CTE
+        transitive closure over the same exact-Jaccard pairs."""
+        from cex_crawler_spark.operators.dedup import (
+            dedup_cluster_representatives,
+        )
+
+        d = _t(spark, sf, "documents")
+        pairs = ngram_jaccard_pairs(
+            d, "text", "doc_id", k=3, threshold=0.5, max_df=None
+        )
+        return (
+            dedup_cluster_representatives(d, pairs, "doc_id")
+            .select("doc_id", "component", "is_representative")
+            .orderBy("doc_id")
+        )
+
+    q["dedup_clusters"] = dedup_clusters
+
     def dedup_simhash(spark, sf):
         """4×16-bit multi-block candidates; with radius 3 ≤ blocks−1 the
         output is EXACTLY all pairs at Hamming ≤ 3 (pigeonhole) — still
@@ -1226,6 +1248,29 @@ def oracle_sql() -> dict[str, str]:
     # the observed pair distribution (all true pairs ≥0.9) is ~1-1e-20, so the
     # exact-Jaccard oracle is the correct expected output.
     o["dedup_minhash_lsh"] = _JACCARD_PAIRS_SQL
+
+    # dedup_clusters: transitive closure of the same exact-Jaccard pairs
+    # via recursive CTE (UNION dedups, so the walk terminates); component
+    # = min reachable doc_id, singletons label themselves.
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(root, node) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT root AS doc_id, min(node) AS component
+          FROM reach GROUP BY root
+        )
+        SELECT doc_id, component, doc_id = component AS is_representative
+        FROM comp ORDER BY doc_id
+    """
     # dedup_simhash: approximate candidate generation — rows-only check.
 
     o["ann_cosine_topk"] = """

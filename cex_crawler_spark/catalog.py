@@ -104,6 +104,12 @@ class SnapshotCatalog:
 
         def write_one(table: str) -> str:
             df, _mode = writes[table]
+            if callable(df):
+                # lazily-built plan: resolved at write time, AFTER the
+                # serial_first writes — lets a caller swap in a cheaper
+                # plan based on what those writes observed (e.g. an
+                # empty-frontier write when the round deferred nothing)
+                df = df()
             path = str(self.root / table / f"v{version:06d}")
             writer = df.write.mode("overwrite")
             cols = (partition_by or {}).get(table)
@@ -112,9 +118,14 @@ class SnapshotCatalog:
             writer.parquet(path)
             if cols and not any(Path(path).rglob("*.parquet")):
                 # dynamic-partition write of ZERO rows leaves no data file
-                # (so no schema to read back); rewrite the empty frame
-                # unpartitioned, which emits a schema-bearing empty file
-                df.write.mode("overwrite").parquet(path)
+                # (so no schema to read back); emit a schema-bearing empty
+                # file BUILT FROM THE SCHEMA — rewriting `df` itself would
+                # re-execute its whole plan a second time (measured: the
+                # drain's empty-frontier write re-ran a full-frontier
+                # anti-join just to write nothing)
+                df.sparkSession.createDataFrame([], df.schema).write.mode(
+                    "overwrite"
+                ).parquet(path)
             return path
 
         serial = [t for t in (serial_first or []) if t in writes]

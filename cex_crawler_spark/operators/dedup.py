@@ -256,6 +256,107 @@ def minhash_lsh_pairs(
     return _materialize_release(result, buckets)
 
 
+# ------------------------------------------------- cluster assignment
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs`` — component =
+    the smallest id transitively reachable (deterministic labels).
+
+    Near-dup PAIRS are not CLUSTERS: a training-data dedup keeps one
+    representative per connected component of the pair graph (a~b~c must
+    collapse to one doc even if (a,c) was never emitted).  This is the
+    step between the pair operators above and "drop the duplicates".
+
+    Algorithm: distributed min-label propagation — each iteration is one
+    join + map-side-combinable min-aggregate (labels flow along edges;
+    a node adopts the smallest label seen).  Converges in O(diameter)
+    iterations; dedup components are near-cliques (LSH emits most
+    in-cluster pairs), so the diameter is small — the alternating
+    large-star/small-star contraction (O(log n) worst case) is the
+    upgrade path if adversarial chain graphs ever matter.  Each
+    iteration localCheckpoints (lineage stays O(1)) and the loop exits
+    early at fixpoint, detected from the SAME aggregate that builds the
+    next labels (no extra comparison join).
+    """
+    edges_fwd = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = (
+        edges_fwd.unionByName(
+            edges_fwd.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    # init: every node labels itself with min(self, smallest neighbor)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("nmin")).alias("component"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        pushed = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), F.col("component"))
+        )
+        merged = (
+            labels.unionByName(pushed)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # fixpoint check folded into the same pass: count of ids whose
+        # label shrank this iteration (one extra agg over the join, no
+        # second action)
+        old = labels.select(
+            F.col("id").alias("oid"), F.col("component").alias("old_component")
+        )
+        merged = merged.join(old, merged["id"] == old["oid"], "left").select(
+            "id", "component", "old_component"
+        ).localCheckpoint(eager=True)
+        changed = merged.filter(
+            F.col("component") < F.col("old_component")
+        ).limit(1).count()
+        labels = merged.select("id", "component")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """``df`` with ``component`` (cluster id; singletons label
+    themselves) and ``is_representative`` (True for the smallest id per
+    component — the row a dedup pipeline keeps)."""
+    comp = connected_components(pairs, id_a, id_b).withColumnRenamed(
+        "id", "__cid"
+    )
+    out = (
+        df.join(comp, df[id_col] == comp["__cid"], "left")
+        .drop("__cid")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    return out.withColumn(
+        "is_representative", F.col(id_col) == F.col("component")
+    )
+
+
 # ----------------------------------------------------------------- SimHash
 
 @F.pandas_udf(T.LongType())

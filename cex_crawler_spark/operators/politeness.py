@@ -71,6 +71,19 @@ def section_rank(col=None):
 
 _ORDER_COLS = ["section_rank", "seq", "url_hash"]
 
+# the columns every decisions row carries — narrow, but SELF-SUFFICIENT
+# for every downstream consumer except the next-round frontier: the
+# fetch stage needs (url_hash, image_id) plus the post-fetch freshness
+# triple (release_time, time_known_prefetch, canonical_url), so carrying
+# them here (~25 B on top of ~100 B/row) means the fetch path never
+# joins back to the wide frontier at all.  Only title/url/duplicate_of
+# (the wide payload) stay out.
+_NARROW_COLS = [
+    "seed_id", "url_hash", "canonical_url", "host", "section",
+    "section_rank", "seq", "budget_per_round", "min_delay_ms",
+    "image_id", "release_time", "time_known_prefetch",
+]
+
 
 _CHUNK_WIDTH = 8192
 
@@ -87,16 +100,18 @@ def _ranked_per_host(df: DataFrame) -> DataFrame:
     1. row_number within (host, chunk) — parallelism = #chunks — in ONE
        shuffle; the chunk-count aggregate reuses that same partitioning
        (Catalyst adds no second exchange for groupBy(host, chunk));
-    2. rows whose LOCAL rank already exceeds the host budget can never
-       be scheduled (offsets only add) — pruned before the offset join,
-       so the join output is ≤ budget × #chunks per host;
-    3. global rank = local rank + total count of earlier chunks of the
-       same host (chunk counts are a tiny broadcast).
+    2. global rank = local rank + total count of earlier chunks of the
+       same host (chunk counts are a tiny broadcast, and the offset
+       join is map-side).
+
+    EVERY input row comes back with its ``__rank`` — over-budget rows
+    are the DEFERRED verdict, so "pruning" them here (r2) only forced a
+    join later to find them again; the offset join is map-side, so
+    ranking them costs one hash-lookup + add per row.
 
     Each chunk holds ≤ W rows, so a 10^10-row host ranks with 10^10/W
     parallel tasks.  This replaces r1's separate salted pre-prune
-    window — a second full-frontier shuffle that bought nothing the
-    local-rank prune doesn't.
+    window — a second full-frontier shuffle that bought nothing.
     """
     chunk = F.struct(
         F.col("section_rank").alias("s"),
@@ -117,10 +132,9 @@ def _ranked_per_host(df: DataFrame) -> DataFrame:
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
     ).select("host", "__chunk", "__off")
-    pruned = local.filter(F.col("__lrn") <= F.col("budget_per_round"))
     return (
-        pruned.join(F.broadcast(offsets), ["host", "__chunk"])
-        .withColumn("__rank", F.col("__lrn") + F.col("__off"))
+        local.join(F.broadcast(offsets), ["host", "__chunk"])
+        .withColumn("__rank", (F.col("__lrn") + F.col("__off")).cast("long"))
         .drop("__chunk", "__lrn", "__off")
     )
 
@@ -179,13 +193,8 @@ def schedule_round(
     # All ranking runs on a NARROW projection — at 10^10 rows the
     # frontier carries urls/titles that would otherwise ride through
     # every window shuffle.  canonical_url + min_delay_ms ride along so
-    # downstream results/metrics never need the wide rows; the two
-    # window shuffles below re-project down to their key columns first.
-    narrow = c.select(
-        "seed_id", "url_hash", "canonical_url", "host", "section",
-        "section_rank", "seq", "budget_per_round", "min_delay_ms",
-        "__robots", "__stale",
-    )
+    # downstream results/metrics never need the wide rows.
+    narrow = c.select(*_NARROW_COLS, "__robots", "__stale")
 
     # robots/stale disposition first; dup detection then runs over the
     # REMAINING (schedulable) rows only — matching the replayer oracle,
@@ -200,18 +209,15 @@ def schedule_round(
     if caches is not None:
         narrow = narrow.persist()
         caches.append(narrow)
-    # the dup/rank shuffles move ONLY these 5 columns (~36 B/row)
-    fetchable = narrow.filter(F.col("__pre").isNull()).select(
-        "seed_id", "url_hash", "host", "section_rank", "seq",
-        "budget_per_round",
-    )
+    fetchable = narrow.filter(F.col("__pre").isNull()).drop("__pre")
 
     # dup detection in two steps sized to reality (most hashes are unique):
     # 1. hashes appearing >1× — a map-side-combinable 16 B/row count agg
     #    whose output (only the colliding hashes) is a tiny broadcast;
     # 2. an exact first-occurrence window over ONLY those collided rows.
-    # This keeps the full frontier out of a window sort: the wide rows
-    # never shuffle for dup detection, only (url_hash, count) partials do.
+    # This keeps the full frontier out of a window sort: only (url_hash,
+    # count) partials shuffle for dup detection, plus the (small)
+    # collided subset through the window.
     collided = (
         fetchable.groupBy("url_hash")
         .count()
@@ -225,48 +231,50 @@ def schedule_round(
     w_dup = Window.partitionBy("url_hash").orderBy(
         "section_rank", "seq", "seed_id"
     )
-    dup_ids = (
+    dup_rows = (
         in_collision.withColumn("__dup_rn", F.row_number().over(w_dup))
         .filter(F.col("__dup_rn") > 1)
-        .select("seed_id")
+        .drop("__dup_rn")
     )
-    schedulable = fetchable.join(dup_ids, "seed_id", "left_anti")
+    schedulable = fetchable.join(
+        dup_rows.select("seed_id"), "seed_id", "left_anti"
+    )
 
-    # exact per-host rank, PARALLEL within a host: one shuffle splits each
-    # host's order into contiguous chunks, ranks locally per (host,
-    # chunk), prunes local ranks past the budget, then adds per-chunk
-    # offsets (a tiny broadcast).  A plain `row_number() OVER (PARTITION
-    # BY host)` would sort a 50%-skew host in one task regardless of
-    # cluster size.  (``salt_buckets`` is kept in the signature for API
-    # stability; the r1 salted pre-prune window was dropped — the
-    # local-rank prune inside _ranked_per_host supersedes it with one
-    # fewer full-frontier shuffle.)
+    # exact per-host rank, PARALLEL within a host: one shuffle splits
+    # each host's order into contiguous chunks, ranks locally per (host,
+    # chunk), then adds per-chunk offsets (a tiny map-side broadcast
+    # join).  A plain `row_number() OVER (PARTITION BY host)` would sort
+    # a 50%-skew host in one task regardless of cluster size.
+    # (``salt_buckets`` is kept in the signature for API stability.)
     ranked = _ranked_per_host(schedulable)
-    scheduled = ranked.filter(F.col("__rank") <= F.col("budget_per_round")).select(
-        "seed_id", F.col("__rank").alias("host_seq")
-    )
 
-    # verdict assembly: two left joins of SMALL id sets (dups are the
-    # collided minority, scheduled is budget-bounded) against the cached
-    # narrow rows — no union barrier, no wide join.  AQE broadcasts the
-    # build sides; the status is a single CASE whose precedence mirrors
-    # the reference loop order (robots → stale → dup → budget).
+    # verdict assembly: a 3-leg UNION over the cached narrow rows — NO
+    # joins, NO broadcast builds (r3.0 assembled statuses with two
+    # id-set joins; on a full-drain round the "small" build sides are
+    # O(frontier) and the broadcast construction alone cost seconds).
+    # Every schedulable row carries its rank, so scheduled-vs-deferred
+    # is a row-local comparison; precedence mirrors the reference loop
+    # order (robots → stale → dup → budget).
+    no_seq = F.lit(None).cast("long").alias("host_seq")
     return (
-        narrow
-        .join(dup_ids.withColumn("__dup", F.lit(True)), "seed_id", "left")
-        .join(scheduled, "seed_id", "left")
-        .withColumn(
-            "status",
-            F.coalesce(
-                F.col("__pre"),
-                F.when(F.col("__dup"), STATUS_DUP),
-                F.when(F.col("host_seq").isNotNull(), STATUS_SCHEDULED),
-                F.lit(STATUS_DEFERRED),
-            ),
+        narrow.filter(F.col("__pre").isNotNull())
+        .select(*_NARROW_COLS, F.col("__pre").alias("status"), no_seq)
+        .unionByName(
+            dup_rows.select(
+                *_NARROW_COLS, F.lit(STATUS_DUP).alias("status"), no_seq
+            )
         )
-        .withColumn(
-            "host_seq",
-            F.when(F.col("status") == STATUS_SCHEDULED, F.col("host_seq")),
+        .unionByName(
+            ranked.select(
+                *_NARROW_COLS,
+                F.when(
+                    F.col("__rank") <= F.col("budget_per_round"),
+                    STATUS_SCHEDULED,
+                ).otherwise(STATUS_DEFERRED).alias("status"),
+                F.when(
+                    F.col("__rank") <= F.col("budget_per_round"),
+                    F.col("__rank"),
+                ).alias("host_seq"),
+            )
         )
-        .drop("__robots", "__stale", "__pre", "__dup")
     )

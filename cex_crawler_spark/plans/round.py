@@ -126,16 +126,13 @@ def run_round(
         obs, *[F.count_if(F.col("status") == s).alias(s) for s in all_statuses]
     )
 
-    sched_ids = decisions.filter(F.col("status") == STATUS_SCHEDULED).select(
-        "seed_id", "host_seq"
-    )
-    # wide columns for the fetch stage: budget-bounded id set joined back
-    # against the frontier lineage (AQE broadcasts it; no full-width
-    # shuffle — candidates only re-scan with column pruning)
-    scheduled = candidates.select(
-        "seed_id", "url_hash", "canonical_url", "host", "release_time",
-        "time_known_prefetch", "image_id",
-    ).join(sched_ids, "seed_id")
+    # the fetch input comes STRAIGHT from the decisions cache — the
+    # narrow projection carries image_id + the post-fetch freshness
+    # columns precisely so no join back to the wide frontier is needed
+    # here (r3.0 joined a sched_ids set against the frontier lineage;
+    # on a drain round that meant an extra full scan + a six-figure-row
+    # broadcast build)
+    scheduled = decisions.filter(F.col("status") == STATUS_SCHEDULED)
     # fused fetch→decode→validate: bytes never leave the Python worker,
     # and results persist captions + verdicts, never raw payloads
     # (matching the reference, which stores extracted records only —
@@ -221,6 +218,19 @@ def run_round(
         children = expand_links(fetched).select(*FRONTIER_COLS)
         new_frontier = new_frontier.unionByName(children)
 
+    frontier_write = with_host_bucket(new_frontier)
+
+    def frontier_plan() -> DataFrame:
+        # resolved AFTER the serial results write: when the observe()
+        # counters show nothing deferred (and expansion can't add
+        # children), the next frontier is empty BY CONSTRUCTION — write
+        # it from the schema instead of re-scanning the whole frontier
+        # through the anti-join just to emit zero rows (the final round
+        # of every drain hits this)
+        if not expand and obs.get.get(STATUS_DEFERRED, 0) == 0:
+            return spark.createDataFrame([], frontier_write.schema)
+        return frontier_write
+
     metrics_delta = decisions.groupBy(
         F.lit(round_id).alias("round"), "host", "status"
     ).agg(
@@ -248,7 +258,7 @@ def run_round(
         round_id,
         {
             "results": (results_delta, APPEND),
-            "frontier": (with_host_bucket(new_frontier), OVERWRITE),
+            "frontier": (frontier_plan, OVERWRITE),
             "seen": (seen_delta, APPEND),
             "metrics": (metrics_delta, APPEND),
             "lineage": (lineage_delta, APPEND),

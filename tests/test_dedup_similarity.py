@@ -261,6 +261,57 @@ class TestSimilarity:
         assert {(r["id_a"], r["id_b"]) for r in hinted.collect()} == lsh
 
 
+class TestConnectedComponents:
+    """Pairs → clusters: transitive collapse, singleton handling, and
+    convergence on a chain (the worst case for label propagation)."""
+
+    def test_transitive_chain_collapses(self, spark):
+        from cex_crawler_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+            "id_a long, id_b long",
+        )
+        comp = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert comp == {
+            1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20,
+        }
+
+    def test_long_path_converges(self, spark):
+        """A pure path is label propagation's worst case (the min label
+        advances ONE hop per iteration), so a path whose diameter is
+        just under the default max_iters proves both convergence and
+        the early-exit bound."""
+        from cex_crawler_spark.operators.dedup import connected_components
+
+        n = 24  # diameter must fit the default max_iters
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        comp = connected_components(pairs)
+        assert comp.filter(F.col("component") != 0).count() == 0
+        assert comp.count() == n + 1
+
+    def test_representatives_keep_min_and_singletons(self, spark):
+        from cex_crawler_spark.operators.dedup import (
+            dedup_cluster_representatives,
+        )
+
+        docs = spark.range(6).select(F.col("id").alias("doc_id"))
+        pairs = spark.createDataFrame(
+            [(0, 3), (3, 5)], "id_a long, id_b long"
+        )
+        out = dedup_cluster_representatives(docs, pairs, "doc_id").collect()
+        by_id = {r["doc_id"]: (r["component"], r["is_representative"]) for r in out}
+        assert by_id == {
+            0: (0, True), 1: (1, True), 2: (2, True),
+            3: (0, False), 4: (4, True), 5: (0, False),
+        }
+
+
 class TestBucketCaps:
     """Degenerate-key guard: 10⁴ identical docs make ONE bucket; without
     a cap the self-join emits ~5·10⁷ pairs (quadratic).  With the cap the
