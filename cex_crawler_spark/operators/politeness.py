@@ -153,25 +153,26 @@ def schedule_round(
     HH:MM:SS' UTC cutoff (explicit parameter — never wall-clock).
 
     ``caches``: optional registry the caller owns.  When given, the
-    NARROW projection (~60 B/row — not the wide frontier rows, whose
+    NARROW projection (~130 B/row — not the wide frontier rows, whose
     cache was measured slower than pruned re-scans in r1) is persisted
     and appended to it; the verdict DAG fans out into several consumer
     branches, and without the cache each branch re-executes the
     scan→policy-join→regex subtree.  The caller unpersists after the
     round's actions (plans/round.py) — no session-lifetime leak.
 
-    Returns a NARROW decisions frame — (seed_id, url_hash,
-    canonical_url, host, section, section_rank, seq, budget_per_round,
-    min_delay_ms, status, host_seq) — never the wide frontier rows.
-    r2 joined every verdict back to the wide frontier here, which cost
-    a full-width shuffle of BOTH sides plus a 3-leg union; the r2
-    scaling profile pinned the 8→32 gap on exactly this kind of
-    fixed-stage latency.  Callers that need wide rows (the fetch stage
-    needs image_id, the next-round frontier needs title/url) join the
-    small status-filtered id sets back against the frontier lineage
-    instead (plans/round.py) — those joins broadcast their build side
-    at any realistic round size and degrade to the same shuffle join r2
-    always paid only in the worst case.
+    Returns a NARROW decisions frame — ``_NARROW_COLS`` + (status,
+    host_seq) — never the wide frontier payload (title/url/
+    duplicate_of).  Statuses are a JOIN-FREE 3-leg union over the
+    cached narrow rows (terminal / dup / ranked): every schedulable row
+    keeps its global rank, so scheduled-vs-deferred is a row-local
+    comparison.  r2 instead joined a 3-leg verdict union full-width
+    back to the frontier (a sort of both 1M-row sides); an r3
+    intermediate assembled statuses with two id-set LEFT joins, whose
+    "small" build sides are O(frontier) on drain rounds and cost
+    seconds of broadcast construction (PLANS.md has the measured
+    ladder).  The narrow frame is self-sufficient for the fetch stage
+    (image_id + freshness columns ride along); only the next-round
+    frontier write joins back to the wide candidates (plans/round.py).
     """
     c = (
         candidates.join(F.broadcast(host_policy), "host", "left")
