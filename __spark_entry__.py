@@ -757,6 +757,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = dedup_clusters
 
+    def corpus_curation(spark, sf):
+        """The canonical training-data pipeline END-TO-END in one plan:
+        quality gate + language gate + exact-dedup representative — the
+        composition a 100 TB curation job runs, filters and dedup fused
+        so Catalyst pushes the gates below the dedup aggregation."""
+        from cex_crawler_spark.functions.text import lang_id, quality_score
+        from cex_crawler_spark.operators.dedup import exact_dedup
+
+        d = _t(spark, sf, "documents")
+        scored = d.select(
+            "doc_id", "text",
+            quality_score(F.col("text")).alias("quality"),
+            lang_id(F.col("text")).alias("lang_pred"),
+        )
+        kept = scored.filter(
+            (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+        )
+        return (
+            exact_dedup(kept, "text", "doc_id")
+            .select("doc_id", "quality")
+            .orderBy("doc_id")
+        )
+
+    q["corpus_curation"] = corpus_curation
+
     def dedup_simhash(spark, sf):
         """4×16-bit multi-block candidates; with radius 3 ≤ blocks−1 the
         output is EXACTLY all pairs at Hamming ≤ 3 (pigeonhole) — still
@@ -1214,6 +1239,35 @@ def oracle_sql() -> dict[str, str]:
                  + least(len({_TOKS}) / 20.0, 1.0) * 0.1,
                6) AS quality
         FROM documents ORDER BY doc_id LIMIT 500
+    """
+
+    # corpus_curation: the composed pipeline (quality ≥ 0.5 AND lang 'en'
+    # AND exact-dedup representative); md5 stands in for the engine's
+    # xxhash-based fingerprint — same normalization, same groups.
+    o["corpus_curation"] = f"""
+        WITH scored AS (
+          SELECT doc_id, text,
+                 round(
+                   least(({_STOP_RATIO}) * 4, 1.0) * 0.4
+                   + (CASE WHEN ({_MTL}) >= 3 AND ({_MTL}) <= 10
+                           THEN 1.0 ELSE 0.0 END) * 0.3
+                   + greatest(0.0, 1 - ({_PUNCT}) * 5) * 0.2
+                   + least(len({_TOKS}) / 20.0, 1.0) * 0.1,
+                 6) AS quality,
+                 CASE WHEN {_STOP_RATIO} >= 0.08 THEN 'en' ELSE 'other' END
+                   AS lang_pred
+          FROM documents
+        ),
+        kept AS (
+          SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
+        ),
+        reps AS (
+          SELECT md5({_NORM}) AS fp, min(doc_id) AS rep_id
+          FROM kept GROUP BY 1
+        )
+        SELECT k.doc_id, k.quality
+        FROM kept k JOIN reps r ON k.doc_id = r.rep_id
+        ORDER BY k.doc_id
     """
 
     # Asia/Hong_Kong has been fixed UTC+8 since 1941 — the interval form
