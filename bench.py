@@ -97,6 +97,12 @@ def main_bench() -> dict:
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
     queries = entry_mod.queries()
+    # one untimed warm-up action: JVM/codegen/Arrow initialization
+    # otherwise lands entirely on the first timed query (r2 measured
+    # q1 absorbing ~1-2 s of it, showing up as a phantom regression)
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).select(F.sum("id")).collect()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
