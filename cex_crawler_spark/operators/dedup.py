@@ -13,8 +13,9 @@ Four families, each picked for a different scale/precision trade-off:
   banded into b×r, bucket-join on band hash, then EXACT Jaccard verify
   of candidates.  The scale path: shuffle volume is O(docs·bands),
   never O(pairs).
-- SimHash: 64-bit sign-aggregated token-hash fingerprint (vectorized
-  pandas UDF), Hamming-distance bucketing for near-dup candidates.
+- SimHash: 64-bit sign-aggregated token-hash fingerprint (tokens hashed
+  JVM-side via xxhash64, bit-majority in a vectorized pandas UDF),
+  Hamming-distance bucketing for near-dup candidates.
 
 The reference has no dedup beyond the URL-seen set (SURVEY §2.6 A5);
 these are the corpus-level additions the target workload needs.
@@ -360,27 +361,57 @@ def dedup_cluster_representatives(
 # ----------------------------------------------------------------- SimHash
 
 @F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (numpy-vectorized per batch)."""
-    from ..functions.hashing import xxh64_str
+def _simhash_majority64(token_hashes: pd.Series) -> pd.Series:
+    """array<long> token hashes → 64-bit SimHash (per-bit sign majority).
 
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = (t or "").lower().split()
-        if not toks:
+    Pure numpy over pre-hashed longs: the tokenize+hash stage runs
+    JVM-side (whole-stage codegen xxhash64 — the same split MinHash uses,
+    :func:`_signature_expr`), so no interpreted-Python per-token work
+    remains (VERDICT r3 item 1; the r2 version called the from-spec
+    pure-Python XXH64 once per token inside the batch loop).
+    """
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.empty(len(token_hashes), dtype=np.int64)
+    for i, hs in enumerate(token_hashes):
+        if hs is None or len(hs) == 0:
             out[i] = 0
             continue
-        hs = np.array(
-            [xxh64_str(tok) & 0xFFFFFFFFFFFFFFFF for tok in toks], dtype=np.uint64
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-        v = np.uint64(0)
-        maj = (2 * bits - 1).sum(axis=0) > 0
-        for b in range(64):
-            if maj[b]:
-                v |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(v)
+        h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        ones = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+        maj = (2 * ones) > h.size
+        out[i] = (maj.astype(np.uint64) << shifts).sum(dtype=np.uint64).astype(np.int64)
     return pd.Series(out)
+
+
+def simhash64(text) -> F.Column:
+    """64-bit SimHash of a text column over lowercase whitespace tokens.
+
+    Token hashing is Spark's JVM ``xxhash64`` (seed 42) — identical to
+    the pure-Python twin ``hashing.xxh64_str``, so the single-node
+    replayer can reproduce hashes bit-for-bit (tested).
+    """
+    toks = F.filter(
+        F.split(F.lower(text), r"\s+"), lambda t: t != F.lit("")
+    )
+    return _simhash_majority64(F.transform(toks, lambda t: F.xxhash64(t)))
+
+
+def py_simhash64(text: str) -> int:
+    """Single-node twin of :func:`simhash64` (signed int64)."""
+    from ..functions.hashing import xxh64_str
+
+    toks = (text or "").lower().split()
+    if not toks:
+        return 0
+    hs = np.array(
+        [xxh64_str(t) & 0xFFFFFFFFFFFFFFFF for t in toks], dtype=np.uint64
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+    ones = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+    maj = (2 * ones) > hs.size
+    return int(
+        (maj.astype(np.uint64) << shifts).sum(dtype=np.uint64).astype(np.int64)
+    )
 
 
 def simhash_dedup_candidates(
@@ -410,7 +441,7 @@ def simhash_dedup_candidates(
     bw = 64 // n_blocks
     mask = (1 << bw) - 1
     h = df.select(
-        F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("simhash")
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash")
     )
     blocks = F.array(
         *[

@@ -79,15 +79,41 @@ class TestDedup:
         }
         assert pairs.get((0, 1), 99) <= 10
 
+    def test_simhash_twin_parity(self, spark, docs):
+        """JVM-side token hashing (xxhash64 seed 42) must reproduce the
+        pure-Python twin bit-for-bit — the guarantee that moving the
+        per-token hash out of Python (VERDICT r3 item 1) changed the
+        execution plan, not the fingerprint."""
+        from cex_crawler_spark.operators.dedup import py_simhash64, simhash64
+
+        rows = docs.select(
+            "doc_id", "text", simhash64(F.col("text")).alias("sh")
+        ).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r["sh"] == py_simhash64(r["text"]), r["doc_id"]
+        edge = spark.createDataFrame(
+            [(0, None), (1, ""), (2, "   "), (3, "ONE one OnE")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["sh"]
+            for r in edge.select(
+                "doc_id", simhash64(F.col("text")).alias("sh")
+            ).collect()
+        }
+        assert got[0] == 0 and got[1] == 0 and got[2] == 0
+        assert got[3] == py_simhash64("one one one")
+
     def test_simhash_multiblock_guarantee(self, spark, docs):
         """Pigeonhole property: EVERY pair at Hamming ≤ n_blocks−1 = 3 is
         a candidate (the r1 single-prefix block missed top-bit diffs)."""
-        from cex_crawler_spark.operators.dedup import _simhash64
+        from cex_crawler_spark.operators.dedup import simhash64
 
         hashes = {
             r["doc_id"]: r["sh"]
             for r in docs.select(
-                "doc_id", _simhash64(F.col("text")).alias("sh")
+                "doc_id", simhash64(F.col("text")).alias("sh")
             ).collect()
         }
         cand = {
