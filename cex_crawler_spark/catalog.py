@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,7 +80,7 @@ class SnapshotCatalog:
     def commit(
         self,
         round_id: int,
-        writes: dict[str, tuple[DataFrame, str]],
+        writes: dict[str, tuple[DataFrame | Callable[[], DataFrame], str]],
         extra: dict | None = None,
         partition_by: dict[str, list[str]] | None = None,
         serial_first: list[str] | None = None,
@@ -153,8 +154,16 @@ class SnapshotCatalog:
                 th.start()
             for th in threads:
                 th.join()
-            if errors:
+            if len(errors) == 1:
                 raise next(iter(errors.values()))
+            if errors:
+                # every failure surfaces — raising one arbitrary
+                # exception hid the other threads' root causes (ADVICE r3)
+                raise ExceptionGroup(
+                    "parallel table writes failed: "
+                    + ", ".join(sorted(errors)),
+                    list(errors.values()),
+                )
         else:
             for t in rest:
                 paths[t] = write_one(t)

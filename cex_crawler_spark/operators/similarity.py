@@ -189,6 +189,11 @@ def _kmeans_centroids(
     """Tiny driver-side spherical k-means over a bounded sample (the
     training step of IVF — the sample is a few thousand rows however big
     the corpus is, so this is deliberately NOT distributed)."""
+    if len(sample) == 0:
+        raise ValueError(
+            "IVF training sample is empty — the corpus has no embedding "
+            "rows; ivf_cosine_topk needs a non-empty corpus"
+        )
     rng = np.random.default_rng(seed)
     # degenerate-corpus guards (ADVICE r2): zero-norm vectors would make
     # the normalization divide by zero, and a sample smaller than

@@ -37,6 +37,32 @@ def test_unreferenced_manifest_is_invisible(spark, cat, tmp_path):
     assert cat.read(spark, "t").count() == 7  # still the committed state
 
 
+def test_parallel_write_failures_all_surface(spark, cat):
+    """ADVICE r3: when several parallel table writes fail, every root
+    cause must surface (ExceptionGroup), not one arbitrary exception —
+    and no manifest may flip."""
+
+    def boom_a():
+        raise ValueError("write A failed")
+
+    def boom_b():
+        raise KeyError("write B failed")
+
+    before = cat.current_version()
+    with pytest.raises(ExceptionGroup) as ei:
+        cat.commit(
+            2,
+            {
+                "bad_a": (boom_a, OVERWRITE),
+                "bad_b": (boom_b, OVERWRITE),
+                "ok": (spark.range(3), OVERWRITE),
+            },
+        )
+    kinds = {type(e) for e in ei.value.exceptions}
+    assert kinds == {ValueError, KeyError}
+    assert cat.current_version() == before  # atomicity: nothing committed
+
+
 def test_vacuum_keeps_recent_reachable(spark, cat):
     deleted = cat.vacuum(keep_versions=1)
     # v1's overwritten t-version is deleted; append history of log stays

@@ -163,6 +163,17 @@ class TestSimilarity:
         )
         assert joined.filter(F.col("cos") != F.col("exact_cos")).count() == 0
 
+    def test_ivf_empty_corpus_raises_clearly(self):
+        """ADVICE r3: an empty embeddings table must fail with a clear
+        message at the training step, not crash later in the k-means
+        argmax over a zero-column matrix."""
+        import numpy as np
+
+        from cex_crawler_spark.operators.similarity import _kmeans_centroids
+
+        with pytest.raises(ValueError, match="empty"):
+            _kmeans_centroids(np.zeros((0, 8)), n_centroids=4)
+
     def test_ivf_topk_recall_vs_exact(self, spark, emb):
         """IVF cells + 12/16 probes: full top-k per query, recall ≥ 0.9.
         (Near-uniform random embeddings are the adversarial case for any
@@ -320,6 +331,32 @@ class TestConnectedComponents:
         comp = connected_components(pairs)
         assert comp.filter(F.col("component") != 0).count() == 0
         assert comp.count() == n + 1
+
+    def test_adversarial_chain_graph_10k(self, spark):
+        """VERDICT r3 item 3: a 10⁴-node path graph (diameter 9999) must
+        converge within the default 25 iterations — path halving makes
+        iterations O(log diameter); plain one-hop propagation would need
+        ~10⁴ sequential driver actions here."""
+        from cex_crawler_spark.operators.dedup import connected_components
+
+        n = 10_000
+        pairs = spark.range(n - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        comp = connected_components(pairs)
+        assert comp.count() == n
+        assert comp.filter(F.col("component") != 0).count() == 0
+
+    def test_nonconvergence_raises_not_silent(self, spark):
+        """ADVICE r3: exhausting max_iters must raise, never hand back
+        silently split components."""
+        from cex_crawler_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iters=2)
 
     def test_representatives_keep_min_and_singletons(self, spark):
         from cex_crawler_spark.operators.dedup import (
