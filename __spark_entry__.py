@@ -782,6 +782,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_curation"] = corpus_curation
 
+    def corpus_curation_neardup(spark, sf):
+        """The curation pipeline a 100 TB job actually ends with
+        (VERDICT r3 item 2): quality + language gates, then NEAR-dup
+        collapse — MinHash-LSH candidate pairs (exact-Jaccard-verified)
+        → connected components → one representative per cluster, with
+        the cluster size each representative stands for.  Oracle: the
+        same gates in DuckDB + a recursive-CTE transitive closure over
+        exact-Jaccard pairs (LSH recall is 1.0 here: candidate
+        generation is per-doc, so recall on the gated subset is ≥ the
+        full-corpus recall dedup_minhash_lsh's hash-green oracle
+        already rests on)."""
+        from cex_crawler_spark.functions.text import lang_id, quality_score
+        from cex_crawler_spark.operators.dedup import (
+            dedup_cluster_representatives,
+        )
+
+        d = _t(spark, sf, "documents")
+        scored = d.select(
+            "doc_id", "text",
+            quality_score(F.col("text")).alias("quality"),
+            lang_id(F.col("text")).alias("lang_pred"),
+        )
+        kept = scored.filter(
+            (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+        )
+        pairs = minhash_lsh_pairs(
+            kept, "text", "doc_id", num_hashes=64, bands=32, shingle_k=3,
+            threshold=0.5,
+        )
+        reps = dedup_cluster_representatives(kept, pairs, "doc_id")
+        sizes = reps.groupBy("component").agg(
+            F.count("*").alias("cluster_size")
+        )
+        return (
+            reps.filter(F.col("is_representative"))
+            .join(sizes, "component")
+            .select("doc_id", "quality", "cluster_size")
+            .orderBy("doc_id")
+        )
+
+    q["corpus_curation_neardup"] = corpus_curation_neardup
+
     def dedup_simhash(spark, sf):
         """4×16-bit multi-block candidates; with radius 3 ≤ blocks−1 the
         output is EXACTLY all pairs at Hamming ≤ 3 (pigeonhole) — still
@@ -1268,6 +1310,69 @@ def oracle_sql() -> dict[str, str]:
         SELECT k.doc_id, k.quality
         FROM kept k JOIN reps r ON k.doc_id = r.rep_id
         ORDER BY k.doc_id
+    """
+
+    # corpus_curation_neardup: the same gates, then transitive closure
+    # over exact-Jaccard pairs OF THE GATED SUBSET (recursive CTE — the
+    # dedup_clusters pattern) and one representative + cluster size per
+    # component.  The engine side generates candidates with MinHash-LSH;
+    # candidate generation is per-doc, so subset recall ≥ the full-corpus
+    # recall already verified hash-green for dedup_minhash_lsh.
+    o["corpus_curation_neardup"] = f"""
+        WITH RECURSIVE scored AS (
+          SELECT doc_id, text,
+                 round(
+                   least(({_STOP_RATIO}) * 4, 1.0) * 0.4
+                   + (CASE WHEN ({_MTL}) >= 3 AND ({_MTL}) <= 10
+                           THEN 1.0 ELSE 0.0 END) * 0.3
+                   + greatest(0.0, 1 - ({_PUNCT}) * 5) * 0.2
+                   + least(len({_TOKS}) / 20.0, 1.0) * 0.1,
+                 6) AS quality,
+                 CASE WHEN {_STOP_RATIO} >= 0.08 THEN 'en' ELSE 'other' END
+                   AS lang_pred
+          FROM documents
+        ),
+        kept AS (
+          SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
+        ),
+        n AS (
+          SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM kept
+        ),
+        g AS (
+          SELECT doc_id,
+                 list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS sh
+          FROM n
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(root, node) AS (
+          SELECT doc_id, doc_id FROM kept
+          UNION
+          SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT root AS doc_id, min(node) AS component
+          FROM reach GROUP BY root
+        ),
+        sizes AS (
+          SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+        )
+        SELECT c.doc_id, k.quality, s.cluster_size
+        FROM comp c
+        JOIN kept k USING (doc_id)
+        JOIN sizes s ON s.component = c.component
+        WHERE c.doc_id = c.component
+        ORDER BY c.doc_id
     """
 
     # Asia/Hong_Kong has been fixed UTC+8 since 1941 — the interval form

@@ -101,8 +101,11 @@ def ngram_jaccard_pairs(
 
     ``max_df`` drops shingles appearing in more than that many docs
     (stop-shingles) BEFORE the self-join — the standard guard against
-    quadratic blowup on common n-grams.  Dropping a shingle from both
-    sets changes Jaccard, so max_df=None for oracle-exact semantics.
+    quadratic blowup on common n-grams.  The drop changes Jaccard in
+    BOTH directions (asserted contract, test_ngram_max_df_drop_semantics):
+    a pair sharing the stop-shingle can fall below the threshold, and a
+    pair where only one side has it can rise above — so max_df=None for
+    oracle-exact semantics.
     """
     # join/aggregate on the 8-byte shingle hash, not the string — thinner
     # shuffles; the collision risk at 64 bits is negligible vs corpus sizes

@@ -47,6 +47,40 @@ class TestDedup:
         # collapse to the original 500 min ids
         assert ids == sorted(r["doc_id"] for r in d.select("doc_id").collect())
 
+    def test_ngram_max_df_drop_semantics(self, spark):
+        """Pin what the max_df stop-shingle guard DOES to Jaccard
+        (VERDICT r3 item 6): a shingle above the document-frequency cap
+        is removed from EVERY doc's set before the join, so Jaccard is
+        computed over the surviving shingles only — pairs can appear OR
+        disappear relative to the uncapped semantics, and the docstring's
+        "changes semantics" warning is now an asserted contract.
+
+        k=1 word shingles; 'stop' appears in 3 docs (df=3 > max_df=2):
+        - (0,1) share it → dropping it LOWERS Jaccard 2/4 → 1/3 (pair lost);
+        - only doc2 of (2,3) has it → dropping it RAISES Jaccard
+          1/4 → 1/2 (pair gained).
+        """
+        rows = [
+            (0, "stop a b"),
+            (1, "stop a c"),
+            (2, "stop x"),
+            (3, "x y"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def pairs(max_df):
+            return {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(
+                    df, "text", "doc_id", k=1, threshold=0.5, max_df=max_df
+                ).collect()
+            }
+
+        uncapped = pairs(None)
+        assert uncapped == {(0, 1): 0.5}
+        capped = pairs(2)
+        assert capped == {(2, 3): 0.5}
+
     def test_minhash_recall_vs_exact(self, spark, docs):
         exact = {
             (r["id_a"], r["id_b"])
