@@ -215,10 +215,23 @@ class SnapshotCatalog:
                 keep.update(entry["paths"])
         deleted = []
         for table_dir in self.root.iterdir():
-            if table_dir.name == "_manifests" or not table_dir.is_dir():
+            # "_"-prefixed dirs are catalog metadata (manifests, bloom
+            # sidecars), not table data — handled separately below
+            if table_dir.name.startswith("_") or not table_dir.is_dir():
                 continue
             for vdir in table_dir.iterdir():
                 if str(vdir) not in keep:
                     shutil.rmtree(vdir)
                     deleted.append(str(vdir))
+        bloom_dir = self.root / "_bloom"
+        if bloom_dir.is_dir():
+            keep_blooms = set()
+            for v in range(max(1, current - keep_versions + 1), current + 1):
+                entry = self.manifest(v).get("bloom")
+                if entry:
+                    keep_blooms.add(entry["file"])
+            for f in bloom_dir.iterdir():
+                if f.name not in keep_blooms:
+                    f.unlink()
+                    deleted.append(str(f))
         return deleted

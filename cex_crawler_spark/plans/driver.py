@@ -5,10 +5,11 @@ each call to :func:`crawl` resumes from the catalog's last committed
 round (nothing to re-do after a kill — the manifest is the checkpoint)
 and runs rounds until the frontier drains or ``max_rounds`` is hit.
 
-Bloom filter lifecycle: sized once per crawl (``n_expected``), rebuilt
-from the full seen table only on resume (cold start), then maintained by
-OR-merging each round's seen-delta — the per-round cost is one pass over
-the delta, never the full history.
+Bloom filter lifecycle: sized once per crawl (``n_expected``), loaded
+on resume from the bitmap sidecar each round persists with its manifest
+(cold-rebuilt from the full seen table only when no valid sidecar
+exists), then maintained by OR-merging each round's seen-delta — the
+per-round cost is one pass over the delta, never the full history.
 """
 
 from __future__ import annotations
@@ -17,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import OVERWRITE, SnapshotCatalog
 from ..operators.seen import BloomFilter64, build_bloom
-from .round import ingest_seeds, run_round, with_host_bucket
+from .round import (
+    ingest_seeds,
+    load_bloom_sidecar,
+    run_round,
+    with_host_bucket,
+)
 
 
 def bootstrap(
@@ -51,10 +57,16 @@ def crawl(
     produces a bit-identical final seen/results state."""
     bloom = None
     if use_bloom and catalog.has_table("seen"):
-        # resume: cold-rebuild from the committed seen table
-        bloom = build_bloom(
-            catalog.read(spark, "seen"), "url_hash", bloom_expected
-        )
+        # resume: each round persists its merged bitmap against the
+        # manifest it covers, so a resume is a ~1 MB file read; the cold
+        # rebuild from the full seen table (a scan that grows with crawl
+        # age) remains only as the fallback for pre-sidecar catalogs, a
+        # changed n_expected, or a kill between commit and sidecar amend
+        bloom = load_bloom_sidecar(catalog, bloom_expected)
+        if bloom is None:
+            bloom = build_bloom(
+                catalog.read(spark, "seen"), "url_hash", bloom_expected
+            )
     elif use_bloom:
         bloom = BloomFilter64(bloom_expected)
 

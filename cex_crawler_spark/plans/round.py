@@ -15,6 +15,9 @@ kill at any point resumes from the previous round bit-identically.
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,6 +64,55 @@ def with_host_bucket(df: DataFrame, n_buckets: int = HOST_BUCKETS) -> DataFrame:
 def ingest_seeds(seeds: DataFrame) -> DataFrame:
     """Canonicalize + hash raw seed rows into frontier shape."""
     return with_canonical_url(seeds).select(*FRONTIER_COLS)
+
+
+def save_bloom_sidecar(
+    catalog: SnapshotCatalog, version: int, bloom: BloomFilter64,
+    n_expected: int,
+) -> None:
+    """Persist the Bloom bitmap next to the manifest version it covers.
+
+    Resume previously cold-rebuilt the filter from the FULL seen table —
+    a scan whose cost grows with crawl age (VERDICT r3 item 4).  The
+    bitmap is written (atomic tmp+rename) to ``_bloom/v<N>.bin`` and
+    referenced from manifest ``v<N>`` via :meth:`SnapshotCatalog.amend`
+    AFTER the round's seen-delta was OR-merged, so a persisted bitmap is
+    always a SUPERSET of that manifest's seen keys (a bloom missing keys
+    would break the anti-join's exactness; a superset only costs extra
+    join probes).  A kill between commit and this amend leaves the
+    manifest without a ``bloom`` entry → the resume path falls back to
+    the cold rebuild, so correctness never depends on the sidecar.
+    """
+    d = catalog.root / "_bloom"
+    d.mkdir(exist_ok=True)
+    path = d / f"v{version:06d}.bin"
+    tmp = path.with_suffix(".tmp")
+    tmp.write_bytes(bloom.bits.tobytes())
+    os.rename(tmp, path)
+    catalog.amend(
+        version,
+        {"bloom": {"file": path.name, "m": bloom.m, "k": bloom.k,
+                   "n_expected": n_expected}},
+    )
+
+
+def load_bloom_sidecar(
+    catalog: SnapshotCatalog, n_expected: int
+) -> BloomFilter64 | None:
+    """Reconstruct the persisted Bloom filter for the CURRENT manifest,
+    or ``None`` when absent / sized for a different ``n_expected`` /
+    missing on disk — callers then cold-rebuild from the seen table."""
+    entry = catalog.manifest().get("bloom")
+    if not entry or entry["n_expected"] != n_expected:
+        return None
+    path = catalog.root / "_bloom" / entry["file"]
+    if not path.exists():
+        return None
+    bits = np.frombuffer(path.read_bytes(), dtype=np.uint8).copy()
+    bf = BloomFilter64(n_expected, bits=bits)
+    if bf.m != entry["m"] or bf.k != entry["k"]:
+        return None
+    return bf
 
 
 def run_round(
@@ -282,6 +334,9 @@ def run_round(
         # scan hits the persisted results_delta, so this costs one pass
         # over cached partitions (never a re-read of written parquet)
         bloom.merge(build_bloom(seen_delta, "url_hash", bloom_expected))
+        # persist the merged bitmap against this round's manifest so a
+        # resume loads it instead of re-scanning the whole seen table
+        save_bloom_sidecar(catalog, version, bloom, bloom_expected)
     decisions.unpersist()
     results_delta.unpersist()
     for cached in round_caches:

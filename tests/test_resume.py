@@ -57,6 +57,54 @@ def test_resume_with_bloom_matches_no_bloom(spark, tmp_path):
     assert _final_state(spark, cat_a) == _final_state(spark, cat_b)
 
 
+def test_resume_loads_persisted_bloom_no_seen_rescan(spark, tmp_path, monkeypatch):
+    """VERDICT r3 item 4: each round persists its merged Bloom bitmap
+    with the manifest, so a resume loads ~1 MB from disk instead of
+    re-scanning the whole seen table (a cost that grows with crawl age).
+    The cold rebuild must NOT run; the loaded bitmap must cover every
+    committed seen key (no false negatives possible); the final state
+    must still equal the no-bloom ground truth; vacuum must prune old
+    sidecars without touching the live one."""
+    import numpy as np
+
+    import cex_crawler_spark.plans.driver as drv
+    from cex_crawler_spark.plans.round import load_bloom_sidecar
+
+    seeds = gen_frontier(spark, 250, n_payloads=60)
+    policy = gen_host_policy(spark).withColumn("budget_per_round", F.lit(30))
+
+    cat = SnapshotCatalog(tmp_path / "bloomsidecar")
+    bootstrap(cat, seeds, WATERMARK)
+    crawl(spark, cat, policy, WATERMARK, max_rounds=2, bloom_expected=5000)
+
+    def no_rebuild(*a, **k):
+        raise AssertionError("resume cold-rebuilt the bloom from the seen table")
+
+    # round-level delta builds (round.build_bloom) stay intact; only the
+    # driver's cold-rebuild path is fenced off
+    monkeypatch.setattr(drv, "build_bloom", no_rebuild)
+    crawl(spark, cat, policy, WATERMARK, max_rounds=30, bloom_expected=5000)
+
+    bf = load_bloom_sidecar(cat, 5000)
+    assert bf is not None
+    keys = np.array(
+        [r["url_hash"] for r in cat.read(spark, "seen").collect()],
+        dtype=np.int64,
+    )
+    assert keys.size > 0 and bf.might_contain(keys).all()
+    # sized-for-a-different-crawl sidecars are rejected (fallback path)
+    assert load_bloom_sidecar(cat, 9999) is None
+
+    deleted = cat.vacuum(keep_versions=1)
+    assert any("_bloom" in d for d in deleted)
+    assert load_bloom_sidecar(cat, 5000) is not None
+
+    cat_a = SnapshotCatalog(tmp_path / "nobloom_truth")
+    bootstrap(cat_a, seeds, WATERMARK)
+    crawl(spark, cat_a, policy, WATERMARK, max_rounds=30, use_bloom=False)
+    assert _final_state(spark, cat_a) == _final_state(spark, cat)
+
+
 def test_round_job_count_bounded(spark, tmp_path):
     """The per-round Spark job count is the fixed cost that dominates
     small rounds (PLANS.md) — pin an upper bound so a refactor that
