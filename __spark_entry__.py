@@ -181,6 +181,10 @@ def gen_sim_frontier(spark: SparkSession, n: int = SIM_N) -> DataFrame:
         url.alias("url"),
         host.alias("host"),
         section.alias("section"),
+        # NON-constant priority levels so the oracle actually verifies
+        # priority-major crawl order (lower = sooner), not just the
+        # reference's section order
+        ((target * 7919) % 3).cast("long").alias("priority"),
         sid.alias("seed_id"),
         F.format_string("sim %d", target).alias("title"),
         release_time.alias("release_time"),
@@ -215,6 +219,7 @@ def _sim_oracle_sql() -> str:
                  CASE WHEN (target * 2654435761) % 26 < 13 THEN 0
                       ELSE (target * 2654435761) % 26 - 12 END AS host_idx,
                  ((target * 40503 + 7) % 13 = 0) AS robots_hit,
+                 (target * 7919) % 3 AS priority,
                  (target * 48271) % 3 AS section_idx,
                  TIMESTAMP '2025-09-12 00:00:00'
                    - ((target * 16807) % 30) * INTERVAL '1 day'
@@ -222,7 +227,8 @@ def _sim_oracle_sql() -> str:
           FROM base
         ),
         named AS (
-          SELECT a.seed_id, a.release_time, h.host, h.budget_per_round,
+          SELECT a.seed_id, a.priority, a.release_time, h.host,
+                 h.budget_per_round,
                  h.host NOT IN ({post_fetch}) AS time_known_prefetch,
                  {section_case} AS section,
                  CASE WHEN a.robots_hit THEN '/private/a/' || a.target
@@ -250,13 +256,15 @@ def _sim_oracle_sql() -> str:
         dups AS (
           SELECT seed_id,
                  row_number() OVER (PARTITION BY canonical_url
-                                    ORDER BY section_rank, seq, seed_id) AS dup_rn
+                                    ORDER BY priority, section_rank, seq,
+                                             seed_id) AS dup_rn
           FROM pre WHERE pre_status IS NULL
         ),
         ranked AS (
           SELECT p.seed_id,
                  row_number() OVER (PARTITION BY p.host
-                                    ORDER BY p.section_rank, p.seq) AS host_rank
+                                    ORDER BY p.priority, p.section_rank,
+                                             p.seq) AS host_rank
           FROM pre p JOIN dups d USING (seed_id)
           WHERE d.dup_rn = 1
         )

@@ -74,6 +74,9 @@ def expand_links(
         url.alias("url"),
         F.col("host"),
         section.alias("section"),
+        # discovered links crawl at the default level, after same-level
+        # seeds only by (section, seq); a scoring crawler would set this
+        F.lit(0).cast("long").alias("priority"),
         (F.col("seed_id") * 8 + F.col("k") + F.lit(CHILD_SEQ_BASE)).alias("seed_id"),
         F.format_string("Linked article %d", child_ref).alias("title"),
         release_time.alias("release_time"),
@@ -109,6 +112,7 @@ def py_expand_children(
                 "url_hash": xxh64_str(canon),
                 "host": row["host"],
                 "section": SECTIONS[ref % 3],
+                "priority": 0,
                 "seed_id": row["seed_id"] * 8 + k + CHILD_SEQ_BASE,
                 "title": f"Linked article {ref}",
                 "release_time": base - timedelta(days=ref % 13),

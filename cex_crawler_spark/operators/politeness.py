@@ -9,7 +9,10 @@ cross-host ordering (processes run in parallel, main.py:176-186).
 
 Engine mapping: the per-round fetch batch for a host is the top
 ``budget_per_round`` rows of that host's frontier ordered by
-``(section_rank, seq, url_hash)`` — rank order IS crawl order, so the
+``(priority, section_rank, seq, url_hash)`` — an explicit priority
+level (lower = sooner; 0 everywhere reproduces the reference, whose
+only priority is section order) ahead of the reference's section/list
+order — rank order IS crawl order, so the
 per-host sequence is deterministic and matches the reference replay.
 Delays become declarative budgets; ``min_delay_ms`` is recorded in
 lineage, never slept.
@@ -17,7 +20,7 @@ lineage, never slept.
 Skew at scale: one host can hold 50%+ of a 10^10-row frontier, and
 ``row_number() OVER (PARTITION BY host)`` would funnel it into a single
 task.  Ranking instead splits each host's crawl order into contiguous
-chunks keyed by the sort columns themselves (``(section_rank,
+chunks keyed by the sort columns themselves (``(priority, section_rank,
 seq div 8192)``), ranks locally per (host, chunk) in ONE shuffle whose
 partitioning the chunk-count aggregate then reuses, prunes local ranks
 past the host budget, and adds broadcast per-chunk offsets — so a
@@ -69,7 +72,12 @@ def section_rank(col=None):
     return expr
 
 
-_ORDER_COLS = ["section_rank", "seq", "url_hash"]
+# crawl order within a host: explicit priority level first (SURVEY §1.1
+# "priority queue"; lower = sooner), then the reference's section order,
+# list position, and the url hash as a deterministic tiebreak.  Level 0
+# everywhere reproduces the reference exactly (sections ARE its only
+# priority).
+_ORDER_COLS = ["priority", "section_rank", "seq", "url_hash"]
 
 # the columns every decisions row carries — narrow, but SELF-SUFFICIENT
 # for every downstream consumer except the next-round frontier: the
@@ -79,7 +87,7 @@ _ORDER_COLS = ["section_rank", "seq", "url_hash"]
 # joins back to the wide frontier at all.  Only title/url/duplicate_of
 # (the wide payload) stay out.
 _NARROW_COLS = [
-    "seed_id", "url_hash", "canonical_url", "host", "section",
+    "seed_id", "url_hash", "canonical_url", "host", "section", "priority",
     "section_rank", "seq", "budget_per_round", "min_delay_ms",
     "image_id", "release_time", "time_known_prefetch",
 ]
@@ -94,7 +102,7 @@ def _ranked_per_host(df: DataFrame) -> DataFrame:
     A plain ``row_number() OVER (PARTITION BY host)`` sorts a 50%-skew
     host in ONE task regardless of cluster size.  Instead the host's
     order is split into contiguous chunks by a key computed from the
-    sort columns themselves — ``(section_rank, seq div W)`` is
+    sort columns themselves — ``(priority, section_rank, seq div W)`` is
     order-aligned by construction (no range-sampling pass needed):
 
     1. row_number within (host, chunk) — parallelism = #chunks — in ONE
@@ -114,6 +122,7 @@ def _ranked_per_host(df: DataFrame) -> DataFrame:
     window — a second full-frontier shuffle that bought nothing.
     """
     chunk = F.struct(
+        F.col("priority").alias("p"),
         F.col("section_rank").alias("s"),
         F.floor(F.col("seq") / F.lit(_CHUNK_WIDTH)).alias("c"),
     )
@@ -174,6 +183,9 @@ def schedule_round(
     (image_id + freshness columns ride along); only the next-round
     frontier write joins back to the wide candidates (plans/round.py).
     """
+    if "priority" not in candidates.columns:
+        # pre-priority frontiers (and fixtures): one level, reference order
+        candidates = candidates.withColumn("priority", F.lit(0).cast("long"))
     c = (
         candidates.join(F.broadcast(host_policy), "host", "left")
         .withColumn("section_rank", section_rank())
@@ -230,7 +242,7 @@ def schedule_round(
     # all-duplicate inputs instead of OOMing a forced broadcast
     in_collision = fetchable.join(collided, "url_hash", "left_semi")
     w_dup = Window.partitionBy("url_hash").orderBy(
-        "section_rank", "seq", "seed_id"
+        "priority", "section_rank", "seq", "seed_id"
     )
     dup_rows = (
         in_collision.withColumn("__dup_rn", F.row_number().over(w_dup))

@@ -37,8 +37,9 @@ from ..functions.urlnorm import with_canonical_url
 
 # frontier columns persisted across rounds
 FRONTIER_COLS = [
-    "url", "canonical_url", "url_hash", "host", "section", "seq", "seed_id",
-    "title", "release_time", "image_id", "time_known_prefetch", "duplicate_of",
+    "url", "canonical_url", "url_hash", "host", "section", "priority", "seq",
+    "seed_id", "title", "release_time", "image_id", "time_known_prefetch",
+    "duplicate_of",
 ]
 
 RESULT_COLS = [
@@ -62,7 +63,11 @@ def with_host_bucket(df: DataFrame, n_buckets: int = HOST_BUCKETS) -> DataFrame:
 
 
 def ingest_seeds(seeds: DataFrame) -> DataFrame:
-    """Canonicalize + hash raw seed rows into frontier shape."""
+    """Canonicalize + hash raw seed rows into frontier shape.  Seed
+    sources without an explicit ``priority`` get level 0 (the reference
+    semantics, where section order is the only priority)."""
+    if "priority" not in seeds.columns:
+        seeds = seeds.withColumn("priority", F.lit(0).cast("long"))
     return with_canonical_url(seeds).select(*FRONTIER_COLS)
 
 

@@ -64,6 +64,7 @@ def replay_crawl(
         frontier.append(
             {
                 **r,
+                "priority": r.get("priority") or 0,
                 "canonical_url": canon,
                 "url_hash": py_url_hash(canon),
                 "section_rank": SECTION_RANK[r["section"]],
@@ -100,10 +101,12 @@ def replay_crawl(
         first_occurrence: set[int] = set()
 
         # deterministic pass order for dup detection: first occurrence by
-        # (section_rank, seq, seed_id) wins — same rule as the engine's
-        # row_number window
+        # (priority, section_rank, seq, seed_id) wins — same rule as the
+        # engine's row_number window
         for r in sorted(
-            candidates, key=lambda x: (x["section_rank"], x["seq"], x["seed_id"])
+            candidates,
+            key=lambda x: (x["priority"], x["section_rank"], x["seq"],
+                           x["seed_id"]),
         ):
             pol = policy[r["host"]]
             if any(r["path"].startswith(p) for p in pol["robots_disallow"]):
@@ -128,7 +131,10 @@ def replay_crawl(
         for r in schedulable:
             by_host.setdefault(r["host"], []).append(r)
         for host, rows in by_host.items():
-            rows.sort(key=lambda x: (x["section_rank"], x["seq"], x["url_hash"]))
+            rows.sort(
+                key=lambda x: (x["priority"], x["section_rank"], x["seq"],
+                               x["url_hash"])
+            )
             budget = policy[host]["budget_per_round"]
             for host_seq, r in enumerate(rows[:budget], start=1):
                 if not r["time_known_prefetch"] and r["release_time"] < wm:

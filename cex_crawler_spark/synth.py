@@ -101,6 +101,12 @@ def gen_frontier(spark: SparkSession, n: int, n_payloads: int = 1000) -> DataFra
         url.alias("url"),
         host.alias("host"),
         section.alias("section"),
+        # explicit frontier priority (SURVEY §1.1 schema): LOWER value =
+        # crawled sooner, ahead of section order.  Seeds default to one
+        # level (0) so the reference replay — where sections ARE the
+        # priority — is unchanged; callers set real levels per row
+        # (crawl order becomes (priority, section_rank, seq, url_hash))
+        F.lit(0).cast("long").alias("priority"),
         F.col("id").alias("seed_id"),
         title.alias("title"),
         release_time.alias("release_time"),

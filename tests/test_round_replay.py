@@ -51,6 +51,34 @@ def _key(r):
             r["status"], r["caption"] or "")
 
 
+def test_priority_replay_parity(spark, tmp_path):
+    """SURVEY §1.1's explicit frontier priority: with NON-constant
+    levels (lower = sooner) the engine must still match the replayer
+    row-for-row, and the outcome must actually differ from the
+    all-level-0 crawl — i.e. priority preempts section order rather
+    than riding along."""
+    seeds = gen_frontier(spark, 300, n_payloads=60).withColumn(
+        "priority", F.pmod(F.xxhash64("url"), F.lit(3))
+    )
+    policy = gen_host_policy(spark)
+    catalog = SnapshotCatalog(tmp_path / "prio")
+    bootstrap(catalog, seeds, WATERMARK)
+    crawl(spark, catalog, policy, WATERMARK, max_rounds=4,
+          bloom_expected=10_000)
+    engine = [r.asDict() for r in catalog.read(spark, "results").collect()]
+
+    seed_rows = [r.asDict() for r in seeds.collect()]
+    policy_rows = [r.asDict() for r in policy.collect()]
+    oracle = replay_crawl(seed_rows, policy_rows, WATERMARK, max_rounds=4)
+    assert sorted(map(_key, engine)) == sorted(map(_key, oracle))
+
+    flat = replay_crawl(
+        [{**r, "priority": 0} for r in seed_rows], policy_rows, WATERMARK,
+        max_rounds=4,
+    )
+    assert sorted(map(_key, oracle)) != sorted(map(_key, flat))
+
+
 def test_result_rows_match_oracle_exactly(crawl_state):
     _, engine, oracle, _ = crawl_state
     e = sorted(map(_key, engine))
