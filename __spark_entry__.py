@@ -832,6 +832,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_curation_neardup"] = corpus_curation_neardup
 
+    def doc_dup_span_stats(spark, sf):
+        """Linear-cost substring-dedup screen: per-doc count/ratio of
+        5-token spans shared with ≥ 2 documents (no pair join — the
+        first-pass signal at scales where even LSH candidate pair
+        output is too much)."""
+        from cex_crawler_spark.operators.dedup import duplicate_span_stats
+
+        d = _t(spark, sf, "documents")
+        return (
+            duplicate_span_stats(d, "text", "doc_id", k=5, min_df=2)
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id")
+        )
+
+    q["doc_dup_span_stats"] = doc_dup_span_stats
+
     def dedup_simhash(spark, sf):
         """4×16-bit multi-block candidates; with radius 3 ≤ blocks−1 the
         output is EXACTLY all pairs at Hamming ≤ 3 (pigeonhole) — still
@@ -1399,6 +1415,31 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes s ON s.component = c.component
         WHERE c.doc_id = c.component
         ORDER BY c.doc_id
+    """
+
+    # doc_dup_span_stats: independent DuckDB derivation — 5-token spans
+    # via list slicing (the engine uses a regex-lookahead window + JVM
+    # hashing), document frequency by plain count over distinct
+    # (doc, span) rows.
+    o["doc_dup_span_stats"] = f"""
+        WITH n AS (
+          SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(toks[i:i+4], ' ')
+                                for i in range(1, greatest(len(toks) - 4, 0) + 1)]) AS sp
+          FROM n
+        ),
+        e AS (SELECT doc_id, unnest(sp) AS s FROM g),
+        dfreq AS (SELECT s, count(*) AS df FROM e GROUP BY s)
+        SELECT e.doc_id,
+               count(*) AS n_spans,
+               count(*) FILTER (d.df >= 2) AS n_dup_spans,
+               round(count(*) FILTER (d.df >= 2)::DOUBLE / count(*), 6)
+                 AS dup_ratio
+        FROM e JOIN dfreq d ON d.s = e.s
+        GROUP BY e.doc_id ORDER BY e.doc_id
     """
 
     # Asia/Hong_Kong has been fixed UTC+8 since 1941 — the interval form

@@ -260,6 +260,58 @@ def minhash_lsh_pairs(
     return _materialize_release(result, buckets)
 
 
+# --------------------------------------------- duplicated-span statistics
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document cross-corpus duplicated-span statistics — the
+    doc-level signal substring dedup acts on (a k-token span occurring
+    in ≥ ``min_df`` documents is boilerplate/copy; cf. Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — public paper).
+
+    Returns ``(id, n_spans, n_dup_spans, dup_ratio)`` per doc with at
+    least one k-token span (shorter docs have no spans and drop out,
+    matching the SQL oracle).
+
+    This is the LINEAR-cost member of the dedup family: explode distinct
+    span hashes → map-side-combinable document-frequency aggregate →
+    hash join back → per-doc aggregate.  No pair join at all, so it
+    scales past the point where even LSH's O(docs × bands) candidate
+    generation is too much output — the 100 TB first-pass screen that
+    decides which corpus slices need the pair operators.  Skewed spans
+    (one boilerplate line in 10⁶ docs) are a single agg key, not a
+    self-join bucket — AQE's skew handling covers the join back.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.array_distinct(word_shingles(F.col(text_col), k)),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("sh"),
+    )
+    # (id, sh) pairs are distinct per doc, so count(*) = document freq
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count_if(F.col("df") >= min_df).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_ratio", F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+        )
+    )
+
+
 # ------------------------------------------------- cluster assignment
 
 def connected_components(

@@ -47,6 +47,30 @@ class TestDedup:
         # collapse to the original 500 min ids
         assert ids == sorted(r["doc_id"] for r in d.select("doc_id").collect())
 
+    def test_duplicate_span_stats_planted_boilerplate(self, spark):
+        """Linear substring-dedup screen: a 5-token boilerplate line
+        shared by two docs is counted as duplicated in both; unique
+        spans are not; docs shorter than k drop out (oracle-consistent)."""
+        from cex_crawler_spark.operators.dedup import duplicate_span_stats
+
+        boiler = "all rights reserved by example corp"
+        rows = [
+            (0, f"alpha beta gamma delta epsilon {boiler}"),
+            (1, f"one two three four five six {boiler}"),
+            (2, "totally unrelated words in this document here"),
+            (3, "too short"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["id"]: (r["n_spans"], r["n_dup_spans"])
+            for r in duplicate_span_stats(df, "text", "doc_id", k=5).collect()
+        }
+        assert 3 not in out                       # < 5 tokens → no spans
+        assert out[2][1] == 0                     # nothing shared
+        # the 6-token boilerplate contributes 2 shared 5-grams per doc
+        assert out[0][1] == 2 and out[1][1] == 2
+        assert out[0][0] == 7 and out[1][0] == 8  # (tokens - k + 1) spans
+
     def test_ngram_max_df_drop_semantics(self, spark):
         """Pin what the max_df stop-shingle guard DOES to Jaccard
         (VERDICT r3 item 6): a shingle above the document-frequency cap
