@@ -848,6 +848,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_dup_span_stats"] = doc_dup_span_stats
 
+    def corpus_mix_sample(spark, sf):
+        """Deterministic stratified sampling for training-data mixing:
+        keep 50% of 'en'-classified docs and 10% of the rest, selected
+        by a pure modular mix of doc_id — reproducible across runs and
+        engines (no RNG, SURVEY §2.10 determinism rule), trivially
+        repartitionable at 100 TB because the predicate is row-local."""
+        from cex_crawler_spark.functions.text import lang_id
+
+        d = _t(spark, sf, "documents")
+        bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+        rate = F.when(lang_id(F.col("text")) == "en", F.lit(50)).otherwise(
+            F.lit(10)
+        )
+        return (
+            d.filter(bucket < rate)
+            .select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+            .orderBy("doc_id")
+        )
+
+    q["corpus_mix_sample"] = corpus_mix_sample
+
     def dedup_simhash(spark, sf):
         """4×16-bit multi-block candidates; with radius 3 ≤ blocks−1 the
         output is EXACTLY all pairs at Hamming ≤ 3 (pigeonhole) — still
@@ -1440,6 +1461,17 @@ def oracle_sql() -> dict[str, str]:
                  AS dup_ratio
         FROM e JOIN dfreq d ON d.s = e.s
         GROUP BY e.doc_id ORDER BY e.doc_id
+    """
+
+    # corpus_mix_sample: same modular mix + stop-ratio language rule
+    o["corpus_mix_sample"] = f"""
+        SELECT doc_id,
+               CASE WHEN {_STOP_RATIO} >= 0.08 THEN 'en' ELSE 'other' END
+                 AS lang_pred
+        FROM documents
+        WHERE (doc_id * 2654435761) % 100 <
+              CASE WHEN {_STOP_RATIO} >= 0.08 THEN 50 ELSE 10 END
+        ORDER BY doc_id
     """
 
     # Asia/Hong_Kong has been fixed UTC+8 since 1941 — the interval form

@@ -11,9 +11,12 @@ Protocol:
 - data files first: each table version writes parquet under
   ``<root>/<table>/v<N>/`` (a new directory per commit — never mutated);
 - manifest last: ``<root>/_manifests/v<N>.json`` is written to a temp
-  file and ``os.rename``d into place (atomic on POSIX).  The current
-  state is the highest-numbered manifest; orphan data dirs from a crash
-  are unreferenced and harmless.
+  file and ``os.link``ed into place — an atomic create-if-absent, so
+  two writers racing to commit the same version see exactly one winner
+  (``CommitConflictError`` for the loser — Iceberg-style optimistic
+  concurrency).  The current state is the highest-numbered manifest;
+  orphan data dirs from a crash or a lost race are unreferenced and
+  harmless (vacuumable).
 - append tables (``seen``, ``results``, ``lineage``, ``metrics``) list
   ALL their data paths in the manifest; overwrite tables (``frontier``)
   list only the newest.
@@ -33,6 +36,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 OVERWRITE = "overwrite"
 APPEND = "append"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same manifest version first.
+
+    The Iceberg-style optimistic-concurrency failure: data files are
+    write-once under version-named dirs, so the loser's files are
+    orphans (harmless, vacuumable) and the catalog state is untouched.
+    Callers retry by re-reading the current manifest and re-committing
+    against it."""
 
 
 class SnapshotCatalog:
@@ -102,6 +115,14 @@ class SnapshotCatalog:
         m = self.manifest()
         version = m["version"] + 1
         tables = {k: dict(v) for k, v in m["tables"].items()}
+        # unique per-ATTEMPT data dirs (the Iceberg file-naming pattern):
+        # two writers racing to commit the same version must not share
+        # data paths, or the conflict loser clobbers the winner's files
+        # before the manifest link detects the race.  The loser's dirs
+        # become unreferenced orphans — vacuumable, never visible.
+        import uuid
+
+        attempt = uuid.uuid4().hex[:8]
 
         def write_one(table: str) -> str:
             df, _mode = writes[table]
@@ -111,7 +132,7 @@ class SnapshotCatalog:
                 # plan based on what those writes observed (e.g. an
                 # empty-frontier write when the round deferred nothing)
                 df = df()
-            path = str(self.root / table / f"v{version:06d}")
+            path = str(self.root / table / f"v{version:06d}-{attempt}")
             writer = df.write.mode("overwrite")
             cols = (partition_by or {}).get(table)
             if cols:
@@ -182,7 +203,19 @@ class SnapshotCatalog:
         }
         tmp = self._manifest_path(version).with_suffix(".json.tmp")
         tmp.write_text(json.dumps(new_manifest, indent=1, sort_keys=True))
-        os.rename(tmp, self._manifest_path(version))
+        try:
+            # link(2) fails with EEXIST if the target exists — an ATOMIC
+            # create-if-absent, unlike rename(2) which silently clobbers.
+            # Two writers racing to commit version N: exactly one link
+            # succeeds; the loser's data dirs are unreferenced orphans.
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError:
+            tmp.unlink()
+            raise CommitConflictError(
+                f"manifest v{version} was committed concurrently — "
+                "re-read the catalog and retry the commit"
+            ) from None
+        tmp.unlink()
         return version
 
     def amend(self, version: int, extra: dict) -> None:

@@ -4,7 +4,12 @@ import json
 
 import pytest
 
-from cex_crawler_spark.catalog import APPEND, OVERWRITE, SnapshotCatalog
+from cex_crawler_spark.catalog import (
+    APPEND,
+    OVERWRITE,
+    CommitConflictError,
+    SnapshotCatalog,
+)
 
 
 @pytest.fixture()
@@ -35,6 +40,23 @@ def test_unreferenced_manifest_is_invisible(spark, cat, tmp_path):
     spark.range(100).write.parquet(str(tmp_path / "t" / "v000099"))
     assert cat.current_version() == 2
     assert cat.read(spark, "t").count() == 7  # still the committed state
+
+
+def test_concurrent_commit_loses_cleanly(spark, cat, monkeypatch):
+    """Optimistic concurrency: two writers racing to the same manifest
+    version → exactly one wins; the loser gets CommitConflictError and
+    the winner's state is untouched (its loser's data dirs are orphans)."""
+    stale = cat.manifest()  # both writers read version 2
+
+    winner = SnapshotCatalog(cat.root)
+    winner.commit(2, {"t": (spark.range(9), OVERWRITE)})  # lands v3 first
+
+    monkeypatch.setattr(cat, "manifest", lambda version=None: stale)
+    with pytest.raises(CommitConflictError):
+        cat.commit(2, {"t": (spark.range(1), OVERWRITE)})
+
+    assert winner.current_version() == 3
+    assert winner.read(spark, "t").count() == 9
 
 
 def test_parallel_write_failures_all_surface(spark, cat):
