@@ -955,6 +955,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_features"] = image_features
 
+    def image_phash_near_dups(spark, sf):
+        """Multimodal near-dup detection: perceptual hashes of the
+        synthetic image corpus PLUS a pixel-jittered re-encode of every
+        image (real decode → ±8 checkerboard → PNG re-encode), bucketed
+        by the generalized multi-block Hamming scheme.  The jitter is
+        zero-mean per phash cell so each (original, edited) pair lands
+        at Hamming ≤ 3 — inside the 4-block pigeonhole radius; this is
+        the image analog of text SimHash dedup.  Rows-only (imaging is
+        not SQL-expressible)."""
+        from cex_crawler_spark.operators.dedup import (
+            hamming_near_dup_candidates,
+        )
+        from cex_crawler_spark.operators.multimodal import jitter_images
+        from cex_crawler_spark.synth import gen_payloads
+
+        ship_package(spark)
+        base = gen_payloads(spark, 120)
+        variants = jitter_images(base).withColumn(
+            "image_id", F.concat(F.col("image_id"), F.lit("_r"))
+        )
+        feats = extract_image_features(
+            base.select("image_id", "bytes", "fmt").unionByName(
+                variants.select("image_id", "bytes", "fmt")
+            )
+        ).filter(F.col("decode_ok"))
+        return (
+            hamming_near_dup_candidates(feats, "phash", "image_id")
+            .filter(F.col("hamming") <= 3)
+            .orderBy("id_a", "id_b")
+        )
+
+    q["image_phash_near_dups"] = image_phash_near_dups
+
     def crawl_round_sim(spark, sf):
         """One politeness-scheduled round — the engine's spine query —
         over the SQL-expressible deterministic frontier, so every per-row

@@ -495,26 +495,30 @@ def py_simhash64(text: str) -> int:
     )
 
 
-def simhash_dedup_candidates(
+def hamming_near_dup_candidates(
     df: DataFrame,
-    text_col: str,
+    hash_col: str,
     id_col: str,
     n_blocks: int = 4,
     bucket_cap: int | None = 100_000,
 ) -> DataFrame:
-    """Near-dup candidate pairs via the classic multi-block SimHash scheme:
-    split the 64-bit hash into ``n_blocks`` equal blocks and emit every
-    pair equal in ANY block (union via explode + equi-join on
-    (block_no, block), deduped).
+    """Near-dup candidate pairs over ANY 64-bit fingerprint column via
+    the classic multi-block scheme: split the hash into ``n_blocks``
+    equal blocks and emit every pair equal in ANY block (union via
+    explode + equi-join on (block_no, block), deduped).
+
+    Works for text SimHash (:func:`simhash_dedup_candidates`), image
+    perceptual hashes (the payload table's ``phash``), or any other
+    64-bit locality-preserving fingerprint.
 
     Pigeonhole guarantee: any pair with Hamming distance ≤ n_blocks − 1
     has at least one untouched block → is ALWAYS a candidate (with the
     default 4×16-bit split, all pairs at Hamming ≤ 3).  Emits the full
     64-bit Hamming distance so callers pick their radius.  Shuffle is
-    O(docs × n_blocks) on a ≤16-bit key — never all-pairs.
+    O(rows × n_blocks) on a ≤16-bit key — never all-pairs.
 
     ``bucket_cap`` bounds rows per (block_no, block) against degenerate
-    keys (identical docs share all four blocks) — see
+    keys (identical fingerprints share all four blocks) — see
     :func:`cap_bucket_rows`.  Note the cap weakens the pigeonhole
     guarantee only WITHIN capped buckets, i.e. inside clusters that
     already have ``cap`` representatives.
@@ -522,17 +526,17 @@ def simhash_dedup_candidates(
     bw = 64 // n_blocks
     mask = (1 << bw) - 1
     h = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash")
+        F.col(id_col).alias("id"), F.col(hash_col).alias("__fp")
     )
     blocks = F.array(
         *[
-            F.shiftrightunsigned("simhash", b * bw).bitwiseAND(F.lit(mask))
+            F.shiftrightunsigned("__fp", b * bw).bitwiseAND(F.lit(mask))
             for b in range(n_blocks)
         ]
     )
     keyed = cap_bucket_rows(
         h.select(
-            "id", "simhash", F.posexplode(blocks).alias("block_no", "block")
+            "id", "__fp", F.posexplode(blocks).alias("block_no", "block")
         ),
         ["block_no", "block"], "id", bucket_cap,
     )
@@ -548,8 +552,23 @@ def simhash_dedup_candidates(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))
             ).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def simhash_dedup_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_blocks: int = 4,
+    bucket_cap: int | None = 100_000,
+) -> DataFrame:
+    """Text near-dup candidates: 64-bit SimHash fingerprint →
+    :func:`hamming_near_dup_candidates` multi-block bucketing."""
+    h = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash")
+    )
+    return hamming_near_dup_candidates(h, "simhash", "id", n_blocks, bucket_cap)

@@ -102,6 +102,42 @@ def resize_images(payloads: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return src.mapInPandas(run, schema=schema)
 
 
+def jitter_images(payloads: DataFrame, amplitude: int = 8) -> DataFrame:
+    """Deterministic ±``amplitude`` checkerboard pixel jitter, re-encoded
+    as PNG — emulates lossy re-encode noise (the small pixel-level edits
+    perceptual-hash dedup exists to see through; the checkerboard is
+    zero-mean per phash cell, so the 8×8 average-hash moves ≤ a few
+    bits — measured 0-3 over the synthetic corpus).
+
+    Returns (image_id, bytes, fmt).
+    """
+    src = payloads.select("image_id", "bytes", "fmt")
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("fmt", T.StringType()),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.imaging import decode_image, png_encode
+
+        for pdf in it:
+            rows = []
+            for iid, b, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = decode_image(bytes(b), fmt).astype(np.int16)
+                h, w, _ = arr.shape
+                cb = ((np.add.outer(np.arange(h), np.arange(w)) % 2) * 2 - 1)[
+                    ..., None
+                ]
+                jit = np.clip(arr + amplitude * cb, 0, 255).astype(np.uint8)
+                rows.append((iid, png_encode(jit), "png"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
     """STUB — video frame sampling.
 

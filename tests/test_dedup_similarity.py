@@ -137,6 +137,41 @@ class TestDedup:
         }
         assert pairs.get((0, 1), 99) <= 10
 
+    def test_image_phash_near_dups_planted(self, spark):
+        """The generalized multi-block Hamming bucketing over image
+        perceptual hashes: a zero-mean pixel jitter (re-encode noise)
+        keeps every original/edited pair within the 4-block pigeonhole
+        radius, and the candidate join recovers 100% of them."""
+        from cex_crawler_spark.operators.dedup import (
+            hamming_near_dup_candidates,
+        )
+        from cex_crawler_spark.operators.multimodal import (
+            extract_image_features,
+            jitter_images,
+        )
+        from cex_crawler_spark.synth import gen_payloads
+
+        base = gen_payloads(spark, 40)
+        variants = jitter_images(base).withColumn(
+            "image_id", F.concat(F.col("image_id"), F.lit("_j"))
+        )
+        feats = extract_image_features(
+            base.select("image_id", "bytes", "fmt").unionByName(
+                variants.select("image_id", "bytes", "fmt")
+            )
+        ).filter(F.col("decode_ok"))
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in hamming_near_dup_candidates(feats, "phash", "image_id")
+            .filter(F.col("hamming") <= 3)
+            .collect()
+        }
+        planted = {
+            p for p in pairs
+            if p[0] + "_j" == p[1] or p[1] + "_j" == p[0]
+        }
+        assert len(planted) == 40
+
     def test_simhash_twin_parity(self, spark, docs):
         """JVM-side token hashing (xxhash64 seed 42) must reproduce the
         pure-Python twin bit-for-bit — the guarantee that moving the
