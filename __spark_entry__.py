@@ -869,6 +869,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_mix_sample"] = corpus_mix_sample
 
+    def doc_winnow_fingerprints(spark, sf):
+        """Winnowing fingerprints (SIGMOD'03 / MOSS): per-doc selected
+        set of window-min md5 k-gram hashes — any shared substring of
+        length ≥ w+k−1 = 11 chars yields a shared fingerprint.  Fully
+        relational (transform + posexplode + min-over-window), so the
+        DuckDB oracle replays it exactly (md5 agrees byte-for-byte
+        across engines).  Bounded to 100 docs at any SF."""
+        from cex_crawler_spark.operators.dedup import winnow_fingerprints
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+        return (
+            winnow_fingerprints(d, "text", "doc_id", k=8, w=4)
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id", "fp")
+        )
+
+    q["doc_winnow_fingerprints"] = doc_winnow_fingerprints
+
     def dedup_simhash(spark, sf):
         """4×16-bit multi-block candidates; with radius 3 ≤ blocks−1 the
         output is EXACTLY all pairs at Hamming ≤ 3 (pigeonhole) — still
@@ -1505,6 +1523,32 @@ def oracle_sql() -> dict[str, str]:
         WHERE (doc_id * 2654435761) % 100 <
               CASE WHEN {_STOP_RATIO} >= 0.08 THEN 50 ELSE 10 END
         ORDER BY doc_id
+    """
+
+    # doc_winnow_fingerprints: independent DuckDB winnowing replay —
+    # positions via unnest(range), k=8-gram md5, min over a 4-window,
+    # complete windows only (k + w - 1 = 11 chars minimum)
+    o["doc_winnow_fingerprints"] = f"""
+        WITH n AS (
+          SELECT doc_id, {_NORM} AS t FROM documents
+          WHERE doc_id < 100 AND length({_NORM}) >= 11
+        ),
+        p AS (
+          SELECT doc_id, pos, md5(substr(t, pos::INT, 8)) AS fp,
+                 length(t) - 7 AS npos
+          FROM (
+            SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS pos FROM n
+          )
+        ),
+        wmin AS (
+          SELECT doc_id, pos, npos,
+                 min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wfp
+          FROM p
+        )
+        SELECT DISTINCT doc_id, wfp AS fp FROM wmin
+        WHERE pos <= npos - 3
+        ORDER BY doc_id, fp
     """
 
     # Asia/Hong_Kong has been fixed UTC+8 since 1941 — the interval form

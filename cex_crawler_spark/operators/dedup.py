@@ -32,6 +32,14 @@ from pyspark.sql.window import Window
 
 from ..functions.text import fingerprint64, normalize_text, word_shingles
 
+__all__ = [
+    "cap_bucket_rows", "exact_dedup", "ngram_jaccard_pairs",
+    "minhash_signature", "minhash_lsh_pairs", "duplicate_span_stats",
+    "winnow_fingerprints", "connected_components",
+    "dedup_cluster_representatives", "hamming_near_dup_candidates",
+    "simhash_dedup_candidates", "simhash64", "py_simhash64",
+]
+
 
 def cap_bucket_rows(
     keyed: DataFrame, part_cols: list[str], order_col: str, cap: int | None
@@ -309,6 +317,62 @@ def duplicate_span_stats(
         .withColumn(
             "dup_ratio", F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
         )
+    )
+
+
+# -------------------------------------------- winnowing fingerprints
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS substring-fingerprint scheme; public paper).
+
+    Hash every character ``k``-gram of the normalized text, slide a
+    ``w``-window over the hash sequence, and keep each window's MINIMUM
+    hash; the selected set is the document's fingerprint.  Guarantee:
+    any substring match of length ≥ ``w + k - 1`` between two documents
+    yields at least one SHARED fingerprint (tested); expected density
+    is 2/(w+1) of all positions, so the output is a bounded sketch, not
+    the full k-gram set.
+
+    Returns distinct ``(id, fp)`` rows (md5-hex fingerprints — chosen
+    because Spark and DuckDB md5 agree byte-for-byte, making the
+    operator oracle-checkable end to end).  Docs shorter than
+    ``k + w − 1`` normalized chars have no complete window and drop out.
+
+    Entirely Catalyst: k-gram transform + posexplode + min-over-window
+    + distinct — zero Python in the loop.  The window partitions by
+    doc, so the shuffle is one hash-repartition on ``id``; no
+    cross-doc operation at all (the cross-doc step — join docs sharing
+    a fingerprint — is the same explode-join shape as
+    :func:`duplicate_span_stats`).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__n")
+    ).filter(F.length("__n") >= k + w - 1)
+    exploded = base.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(__n) - {k - 1}), "
+                f"i -> md5(substring(__n, i, {k})))"
+            )
+        ).alias("pos0", "fp"),
+    )
+    per_doc = Window.partitionBy("id")
+    wspec = Window.partitionBy("id").orderBy("pos0").rowsBetween(0, w - 1)
+    return (
+        exploded.withColumn("__wmin", F.min("fp").over(wspec))
+        .withColumn("__npos", F.max("pos0").over(per_doc))
+        .filter(F.col("pos0") <= F.col("__npos") - (w - 1))
+        .select("id", F.col("__wmin").alias("fp"))
+        .distinct()
     )
 
 

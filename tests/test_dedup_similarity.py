@@ -105,6 +105,29 @@ class TestDedup:
         capped = pairs(2)
         assert capped == {(2, 3): 0.5}
 
+    def test_winnow_shared_substring_guarantee(self, spark):
+        """Winnowing's core property (Schleimer et al. §2): ANY shared
+        substring of length ≥ w + k − 1 produces at least one shared
+        fingerprint; disjoint texts share none (md5 collisions aside)."""
+        from cex_crawler_spark.operators.dedup import winnow_fingerprints
+
+        shared = "the quick brown fox jumps over the lazy dog"
+        rows = [
+            (0, f"prefix alpha {shared} suffix beta"),
+            (1, f"other words entirely {shared} more tail content"),
+            (2, "completely disjoint text with no overlap at all zzz"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps: dict[int, set] = {0: set(), 1: set(), 2: set()}
+        for r in winnow_fingerprints(df, "text", "doc_id", k=8, w=4).collect():
+            fps[r["id"]].add(r["fp"])
+        assert fps[0] & fps[1]          # shared substring → shared fp
+        assert not (fps[0] & fps[2])
+        assert not (fps[1] & fps[2])
+        # density: the sketch is much smaller than the full k-gram set
+        n_pos = len(rows[0][1]) - 8 + 1
+        assert len(fps[0]) < n_pos / 2
+
     def test_minhash_recall_vs_exact(self, spark, docs):
         exact = {
             (r["id_a"], r["id_b"])
