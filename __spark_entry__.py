@@ -362,6 +362,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["broadcast_dim_join"] = broadcast_dim_join
 
+    def q5_local_supplier_volume(spark, sf):
+        """TPC-H Q5 shape: six-table join (two big facts + four dims)
+        with revenue per nation — the multi-join reordering case; dims
+        broadcast, lineitem⋈orders/supplier stay shuffle joins under
+        AQE at scale."""
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        s = _t(spark, sf, "supplier")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+            .orderBy(F.desc("revenue"), F.asc("n_name"))
+        )
+
+    q["q5_local_supplier_volume"] = q5_local_supplier_volume
+
+    def orders_rollup(spark, sf):
+        """Hierarchical ROLLUP (the hypertable-rollup aggregation
+        shape): per (year, orderstatus) → per year → grand total in one
+        pass, grouping level disambiguated by grouping_id — partial
+        aggregation applies at every level."""
+        o = _t(spark, sf, "orders")
+        return (
+            o.withColumn("yr", F.year("o_orderdate"))
+            .rollup("yr", "o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                F.grouping_id().cast("long").alias("gid"),
+            )
+            .orderBy(
+                F.col("yr").asc_nulls_first(),
+                F.col("o_orderstatus").asc_nulls_first(),
+            )
+        )
+
+    q["orders_rollup"] = orders_rollup
+
     def window_topk_orders(spark, sf):
         o = _t(spark, sf, "orders")
         w = Window.partitionBy("o_custkey").orderBy(
@@ -1166,6 +1219,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name
+    """
+
+    o["q5_local_supplier_volume"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+    """
+
+    o["orders_rollup"] = """
+        SELECT year(o_orderdate)::INT AS yr, o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               GROUPING(year(o_orderdate), o_orderstatus)::BIGINT AS gid
+        FROM orders
+        GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+        ORDER BY yr ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
     """
 
     o["window_topk_orders"] = """
