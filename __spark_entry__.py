@@ -415,6 +415,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["orders_rollup"] = orders_rollup
 
+    def doc_length_quantiles(spark, sf):
+        """Exact interpolated quantiles (p50/p90/p99) of document
+        length per language — Spark `percentile` matches DuckDB
+        `quantile_cont` value-for-value (verified).  At 100 TB the
+        same query swaps `percentile` for `percentile_approx` (a
+        mergeable sketch with map-side partials) where exactness is
+        not required; the exact form is the oracle-checkable one."""
+        d = _t(spark, sf, "documents")
+        ln = F.length("text")
+        return (
+            d.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.round(F.percentile(ln, F.lit(0.5)), 4).alias("p50"),
+                F.round(F.percentile(ln, F.lit(0.9)), 4).alias("p90"),
+                F.round(F.percentile(ln, F.lit(0.99)), 4).alias("p99"),
+            )
+            .orderBy("lang")
+        )
+
+    q["doc_length_quantiles"] = doc_length_quantiles
+
     def window_topk_orders(spark, sf):
         o = _t(spark, sf, "orders")
         w = Window.partitionBy("o_custkey").orderBy(
@@ -1233,6 +1255,14 @@ def oracle_sql() -> dict[str, str]:
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY n_name
         ORDER BY revenue DESC, n_name ASC
+    """
+
+    o["doc_length_quantiles"] = """
+        SELECT lang, count(*) AS n_docs,
+               round(quantile_cont(length(text), 0.5), 4) AS p50,
+               round(quantile_cont(length(text), 0.9), 4) AS p90,
+               round(quantile_cont(length(text), 0.99), 4) AS p99
+        FROM documents GROUP BY lang ORDER BY lang
     """
 
     o["orders_rollup"] = """
