@@ -437,6 +437,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_length_quantiles"] = doc_length_quantiles
 
+    def events_asof_join(spark, sf):
+        """Backward as-of join (clicks ← latest at-or-before view per
+        user), built as union + last-non-null window — ONE shuffle on
+        the key, no range-explosion join.  Oracle: DuckDB's native
+        ASOF LEFT JOIN."""
+        from cex_crawler_spark.operators.temporal import asof_join
+
+        e = _t(spark, sf, "events")
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        views = (
+            e.filter(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.round(F.max("value"), 4).alias("view_value"))
+        )
+        return (
+            asof_join(clicks, views, on=["user_id"], ts_col="ts",
+                      value_cols=["view_value"])
+            .select("event_id", "user_id", "ts", "view_value")
+            .orderBy("event_id")
+        )
+
+    q["events_asof_join"] = events_asof_join
+
     def window_topk_orders(spark, sf):
         o = _t(spark, sf, "orders")
         w = Window.partitionBy("o_custkey").orderBy(
@@ -1263,6 +1288,23 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(length(text), 0.9), 4) AS p90,
                round(quantile_cont(length(text), 0.99), 4) AS p99
         FROM documents GROUP BY lang ORDER BY lang
+    """
+
+    # events_asof_join: DuckDB's NATIVE ASOF JOIN is the independent
+    # oracle for the engine's union+window formulation
+    o["events_asof_join"] = """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        views AS (
+          SELECT user_id, ts, round(max(value), 4) AS view_value
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        )
+        SELECT c.event_id, c.user_id, c.ts, v.view_value
+        FROM clicks c
+        ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY c.event_id
     """
 
     o["orders_rollup"] = """

@@ -1,0 +1,48 @@
+"""As-of join semantics: inclusivity, left-outer nulls, key isolation."""
+
+from pyspark.sql import functions as F
+
+from cex_crawler_spark.operators.temporal import asof_join
+
+
+def test_asof_backward_inclusive_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-01 10:00:00"),
+         (2, 100, "2024-01-01 11:00:00"),
+         (3, 100, "2024-01-01 09:00:00"),   # before any right row → null
+         (4, 200, "2024-01-01 10:30:00")],  # other key, isolated
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [(100, "2024-01-01 10:00:00", 1.0),   # equal ts → INCLUSIVE match
+         (100, "2024-01-01 10:30:00", 2.0),
+         (200, "2024-01-01 10:00:00", 9.0)],
+        "user_id long, ts_s string, px double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "px")
+
+    out = {
+        r["event_id"]: r["px"]
+        for r in asof_join(
+            left, right, on=["user_id"], ts_col="ts", value_cols=["px"]
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 2.0, 3: None, 4: 9.0}
+
+
+def test_asof_plan_has_no_range_join(spark):
+    """The scale property: the plan is window-over-union — no
+    BroadcastNestedLoop / cartesian from a range condition."""
+    left = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("timestamp").alias("ts")
+    )
+    right = spark.range(5).select(
+        F.col("id").alias("k"), F.col("id").cast("timestamp").alias("ts"),
+        F.lit(1.0).alias("v"),
+    )
+    plan = (
+        asof_join(left, right, on=["k"], ts_col="ts", value_cols=["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
