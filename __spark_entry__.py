@@ -462,6 +462,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_asof_join"] = events_asof_join
 
+    def range_join_shipments(spark, sf):
+        """Bucketized range join: line items shipped within each
+        order's 30-day window — interval containment as a hash join on
+        (bucket) + exact filter, never a nested-loop inequality join.
+        Oracle: plain BETWEEN join in DuckDB."""
+        from cex_crawler_spark.operators.temporal import range_join
+
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders")
+        pts = li.select(
+            F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long").alias("ship_day"),
+            "l_quantity",
+        )
+        iv = o.filter(F.col("o_orderkey") <= 320).select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long").alias("win_start"),
+        ).withColumn("win_end", F.col("win_start") + 30)
+        return (
+            range_join(pts, iv, "ship_day", "win_start", "win_end",
+                       bucket_width=7)
+            .groupBy("o_orderkey")
+            .agg(
+                F.count("*").alias("n_shipped"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+            .orderBy("o_orderkey")
+        )
+
+    q["range_join_shipments"] = range_join_shipments
+
     def window_topk_orders(spark, sf):
         o = _t(spark, sf, "orders")
         w = Window.partitionBy("o_custkey").orderBy(
@@ -1305,6 +1337,31 @@ def oracle_sql() -> dict[str, str]:
         ASOF LEFT JOIN views v
           ON c.user_id = v.user_id AND c.ts >= v.ts
         ORDER BY c.event_id
+    """
+
+    # range_join_shipments: the oracle is the direct BETWEEN join the
+    # bucketized engine plan must reproduce exactly
+    o["range_join_shipments"] = """
+        WITH pts AS (
+          SELECT datediff('day', DATE '1970-01-01', l_shipdate::DATE)
+                   AS ship_day,
+                 l_quantity
+          FROM lineitem
+        ),
+        iv AS (
+          SELECT o_orderkey,
+                 datediff('day', DATE '1970-01-01', o_orderdate::DATE)
+                   AS win_start,
+                 datediff('day', DATE '1970-01-01', o_orderdate::DATE) + 30
+                   AS win_end
+          FROM orders WHERE o_orderkey <= 320
+        )
+        SELECT iv.o_orderkey, count(*) AS n_shipped,
+               round(sum(pts.l_quantity), 2) AS sum_qty
+        FROM pts JOIN iv
+          ON pts.ship_day BETWEEN iv.win_start AND iv.win_end
+        GROUP BY iv.o_orderkey
+        ORDER BY iv.o_orderkey
     """
 
     o["orders_rollup"] = """

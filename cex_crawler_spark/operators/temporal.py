@@ -58,3 +58,48 @@ def asof_join(
     for c in value_cols:
         filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    pt_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Join every point row to every interval row containing it
+    (``start ≤ pt ≤ end``, plus optional equi-``keys``) — the range
+    join, bucketized.
+
+    Spark executes a bare inequality join as a broadcast-nested-loop
+    or cartesian: O(points × intervals) comparisons.  This form
+    explodes each interval into the ``bucket_width``-sized buckets it
+    covers and hash-joins points to interval-buckets on
+    ``(keys..., bucket)``, then applies the exact range filter — the
+    candidate set is only the pairs whose bucket overlaps, the join is
+    a plain shuffled hash join, and skew follows bucket population
+    (AQE-splittable).  Shuffle: O(points + intervals × span/width).
+    Pick ``bucket_width`` ≈ the typical interval length so intervals
+    explode into O(1) buckets each.
+
+    ``pt_col``/``start_col``/``end_col`` must be integral (cast
+    timestamps to epoch days/seconds first).  Column names of the two
+    inputs must be disjoint.
+    """
+    keys = keys or []
+    ib = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width),
+                F.floor(F.col(end_col) / bucket_width),
+            )
+        ),
+    )
+    pb = points.withColumn("__b", F.floor(F.col(pt_col) / bucket_width))
+    joined = pb.join(ib, keys + ["__b"])
+    return joined.filter(
+        (F.col(pt_col) >= F.col(start_col)) & (F.col(pt_col) <= F.col(end_col))
+    ).drop("__b")

@@ -29,6 +29,51 @@ def test_asof_backward_inclusive_semantics(spark):
     assert out == {1: 1.0, 2: 2.0, 3: None, 4: 9.0}
 
 
+def test_range_join_matches_naive_inequality_join(spark):
+    """Bucketization must be invisible: same rows as the naive
+    inequality join, for intervals that span 0, 1, and many buckets —
+    including boundary-inclusive endpoints."""
+    from cex_crawler_spark.operators.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [(i,) for i in range(0, 100)], "p long"
+    )
+    iv = spark.createDataFrame(
+        [(1, 5, 5),      # single point
+         (2, 3, 9),      # inside one bucket
+         (3, 10, 45),    # many buckets
+         (4, 98, 120)],  # runs past the data
+        "iv_id long, s long, e long",
+    )
+    got = {
+        (r["iv_id"], r["p"])
+        for r in range_join(pts, iv, "p", "s", "e", bucket_width=7).collect()
+    }
+    naive = {
+        (r["iv_id"], r["p"])
+        for r in pts.join(
+            iv, (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e"))
+        ).collect()
+    }
+    assert got == naive and len(got) == 1 + 7 + 36 + 2
+
+
+def test_range_join_plan_is_hash_join(spark):
+    from cex_crawler_spark.operators.temporal import range_join
+
+    pts = spark.range(10).select(F.col("id").alias("p"))
+    iv = spark.range(5).select(
+        F.col("id").alias("iv_id"), F.col("id").alias("s"),
+        (F.col("id") + 3).alias("e"),
+    )
+    plan = (
+        range_join(pts, iv, "p", "s", "e", bucket_width=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_plan_has_no_range_join(spark):
     """The scale property: the plan is window-over-union — no
     BroadcastNestedLoop / cartesian from a range condition."""
