@@ -494,6 +494,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["range_join_shipments"] = range_join_shipments
 
+    def event_sessionize_native(spark, sf):
+        """ST4 in its Spark-first form: the BUILT-IN ``session_window``
+        operator (30-min gap; boundary-inclusive — an event exactly at
+        prev+gap extends the session, probed empirically) instead of
+        the hand-rolled lag+cumsum of ``event_sessionize``.  The window
+        start equals the session's min ts, so the DuckDB lag+cumsum
+        oracle reproduces it exactly; in Structured Streaming the same
+        expression runs stateful with watermark-driven eviction."""
+        e = _t(spark, sf, "events")
+        return (
+            e.groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("w")
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                "user_id", F.col("w.start").alias("session_start"),
+                "n_events", "sum_value",
+            )
+            .orderBy("user_id", "session_start")
+        )
+
+    q["event_sessionize_native"] = event_sessionize_native
+
     def window_topk_orders(spark, sf):
         o = _t(spark, sf, "orders")
         w = Window.partitionBy("o_custkey").orderBy(
@@ -1874,6 +1900,31 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 4) AS sum_value
         FROM numbered GROUP BY user_id, session_no
         ORDER BY user_id, session_no
+    """
+
+    # event_sessionize_native: same sessionization rule as
+    # event_sessionize (new session strictly past the 1800 s gap —
+    # session_window is boundary-inclusive), keyed by the session's
+    # min ts (== session_window.start)
+    o["event_sessionize_native"] = """
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800 OR
+                           lag(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        numbered AS (
+          SELECT user_id, ts, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM numbered GROUP BY user_id, session_no
+        ORDER BY user_id, session_start
     """
 
     # ---- reference shipped corpus ------------------------------------------
