@@ -29,6 +29,44 @@ def test_asof_backward_inclusive_semantics(spark):
     assert out == {1: 1.0, 2: 2.0, 3: None, 4: 9.0}
 
 
+def test_asof_randomized_vs_bruteforce_twin(spark):
+    """500 random left rows × 200 random right rows over 20 keys,
+    seeded: the union+window as-of must equal the brute-force
+    definition (max right.ts ≤ left.ts per key) on every row."""
+    import numpy as np
+
+    from cex_crawler_spark.operators.temporal import asof_join
+
+    rng = np.random.default_rng(20260817)
+    lrows = [
+        (int(i), int(rng.integers(0, 20)), int(rng.integers(0, 10_000)))
+        for i in range(500)
+    ]
+    # unique (key, ts) on the right — the documented caller contract
+    seen = set()
+    rrows = []
+    while len(rrows) < 200:
+        k, t = int(rng.integers(0, 20)), int(rng.integers(0, 10_000))
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rrows.append((k, t, float(len(rrows))))
+    left = spark.createDataFrame(lrows, "event_id long, k long, ts long")
+    right = spark.createDataFrame(rrows, "k long, ts long, v double")
+
+    got = {
+        r["event_id"]: r["v"]
+        for r in asof_join(left, right, on=["k"], ts_col="ts",
+                           value_cols=["v"]).collect()
+    }
+    by_key: dict[int, list] = {}
+    for k, t, v in rrows:
+        by_key.setdefault(k, []).append((t, v))
+    for eid, k, t in lrows:
+        prior = [(rt, v) for rt, v in by_key.get(k, []) if rt <= t]
+        want = max(prior)[1] if prior else None
+        assert got[eid] == want, (eid, k, t)
+
+
 def test_range_join_matches_naive_inequality_join(spark):
     """Bucketization must be invisible: same rows as the naive
     inequality join, for intervals that span 0, 1, and many buckets —
