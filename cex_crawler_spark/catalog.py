@@ -97,6 +97,7 @@ class SnapshotCatalog:
         extra: dict | None = None,
         partition_by: dict[str, list[str]] | None = None,
         serial_first: list[str] | None = None,
+        retry_conflicts: int = 0,
     ) -> int:
         """Atomically commit ``{table: (df, OVERWRITE|APPEND)}`` as one round.
 
@@ -111,10 +112,17 @@ class SnapshotCatalog:
         parallel threads, overlapping their per-job fixed cost.  Data
         files are still all-or-nothing: the manifest flips only after
         every write returns.
+        ``retry_conflicts`` bounds automatic retries after a lost
+        manifest race (Iceberg commit-retry semantics): the already
+        written data files are REUSED — only the manifest merge re-reads
+        the new current state and re-links at the next version.  Retry
+        is offered only when every table mode is APPEND; an OVERWRITE
+        table under concurrency is a lost-update the caller must
+        re-derive from the winner's state, so those still raise
+        :class:`CommitConflictError` immediately.
         """
         m = self.manifest()
         version = m["version"] + 1
-        tables = {k: dict(v) for k, v in m["tables"].items()}
         # unique per-ATTEMPT data dirs (the Iceberg file-naming pattern):
         # two writers racing to commit the same version must not share
         # data paths, or the conflict loser clobbers the winner's files
@@ -189,20 +197,48 @@ class SnapshotCatalog:
             for t in rest:
                 paths[t] = write_one(t)
 
-        for table, (df, mode) in writes.items():
-            path = paths[table]
-            if mode == APPEND and table in tables:
-                tables[table] = {"paths": tables[table]["paths"] + [path]}
-            else:
-                tables[table] = {"paths": [path]}
-        new_manifest = {
-            "version": version,
-            "round": round_id,
-            "tables": tables,
-            **(extra or {}),
-        }
-        tmp = self._manifest_path(version).with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(new_manifest, indent=1, sort_keys=True))
+        all_append = all(mode == APPEND for _, mode in writes.values())
+        while True:
+            # re-read the CURRENT manifest on every attempt: a retry
+            # after a lost race must merge against the winner's state
+            # (its appended paths included), not the stale pre-race view
+            base = self.manifest()
+            version = base["version"] + 1
+            tables = {k: dict(v) for k, v in base["tables"].items()}
+            for table, (df, mode) in writes.items():
+                path = paths[table]
+                if mode == APPEND and table in tables:
+                    tables[table] = {
+                        "paths": tables[table]["paths"] + [path]
+                    }
+                else:
+                    tables[table] = {"paths": [path]}
+            new_manifest = {
+                "version": version,
+                "round": round_id,
+                "tables": tables,
+                **(extra or {}),
+            }
+            try:
+                self._link_manifest(version, new_manifest, attempt)
+                return version
+            except CommitConflictError:
+                if retry_conflicts > 0 and all_append:
+                    retry_conflicts -= 1
+                    continue
+                raise
+
+    def _link_manifest(
+        self, version: int, manifest: dict, attempt: str
+    ) -> None:
+        """Atomically publish ``manifest`` as version ``version`` or
+        raise :class:`CommitConflictError` if another writer got there
+        first.  The temp file is per-ATTEMPT (ADVICE r4 high): a shared
+        ``v<N>.json.tmp`` let writer B's ``write_text`` truncate the
+        same inode between writer A's write and A's ``os.link`` — A
+        "won" the link but durably published B's manifest content."""
+        tmp = self.root / "_manifests" / f"v{version:06d}.json.{attempt}.tmp"
+        tmp.write_text(json.dumps(manifest, indent=1, sort_keys=True))
         try:
             # link(2) fails with EEXIST if the target exists — an ATOMIC
             # create-if-absent, unlike rename(2) which silently clobbers.
@@ -210,21 +246,30 @@ class SnapshotCatalog:
             # succeeds; the loser's data dirs are unreferenced orphans.
             os.link(tmp, self._manifest_path(version))
         except FileExistsError:
-            tmp.unlink()
+            # missing_ok: with the old SHARED tmp the winner had already
+            # unlinked it, so the loser's unlink raised FileNotFoundError
+            # and masked the conflict; per-attempt tmps make this a
+            # belt-and-braces guard only
+            tmp.unlink(missing_ok=True)
             raise CommitConflictError(
                 f"manifest v{version} was committed concurrently — "
                 "re-read the catalog and retry the commit"
             ) from None
-        tmp.unlink()
-        return version
+        tmp.unlink(missing_ok=True)
 
     def amend(self, version: int, extra: dict) -> None:
         """Merge audit-only keys (e.g. round stats) into an existing
         manifest, atomically.  Never used for tables/round — resume
         correctness cannot depend on amended fields."""
+        import uuid
+
         m = self.manifest(version)
         m.update(extra)
-        tmp = self._manifest_path(version).with_suffix(".json.tmp")
+        # per-attempt tmp for the same reason as _link_manifest: two
+        # amenders sharing one tmp could publish each other's content
+        tmp = self.root / "_manifests" / (
+            f"v{version:06d}.json.{uuid.uuid4().hex[:8]}.tmp"
+        )
         tmp.write_text(json.dumps(m, indent=1, sort_keys=True))
         os.rename(tmp, self._manifest_path(version))
 

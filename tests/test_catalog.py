@@ -59,6 +59,83 @@ def test_concurrent_commit_loses_cleanly(spark, cat, monkeypatch):
     assert winner.read(spark, "t").count() == 9
 
 
+def test_manifest_publish_never_crosses_writers(cat):
+    """ADVICE r4 (high): with a SHARED tmp path, the link winner could
+    durably publish the LOSER's manifest content (B's write_text
+    truncated the same inode between A's write and A's link), and the
+    loser's cleanup could raise FileNotFoundError instead of
+    CommitConflictError.  Hammer the write→link window from two threads:
+    the published manifest must always carry the winner's own content,
+    the loser must always see a clean CommitConflictError, and no tmp
+    files may survive."""
+    import threading
+
+    for it in range(30):
+        v = cat.current_version() + 1
+        results: dict[str, str] = {}
+        barrier = threading.Barrier(2)
+
+        def go(tag, v=v, it=it):
+            m = {"version": v, "round": 99, "tables": {}, "who": tag}
+            barrier.wait()
+            try:
+                cat._link_manifest(v, m, f"{tag}{it}")
+                results[tag] = "won"
+            except CommitConflictError:
+                results[tag] = "lost"
+
+        ts = [threading.Thread(target=go, args=(t,)) for t in ("a", "b")]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert sorted(results.values()) == ["lost", "won"], results
+        winner = next(k for k, r in results.items() if r == "won")
+        assert cat.manifest(v)["who"] == winner
+    assert not list((cat.root / "_manifests").glob("*.tmp"))
+
+
+def test_commit_conflict_auto_retry_append(spark, cat):
+    """VERDICT r4 item 3: an append-only commit that loses the manifest
+    race retries against the re-read state — both writers land, with
+    serialized versions and BOTH appended paths visible."""
+    other = SnapshotCatalog(cat.root)
+    real = cat._link_manifest
+    injected = {"done": False}
+
+    def racing(version, manifest, attempt):
+        if not injected["done"]:
+            injected["done"] = True
+            # another writer steals the version cat is about to link
+            other.commit(5, {"log": (spark.range(4), APPEND)})
+        return real(version, manifest, attempt)
+
+    cat._link_manifest = racing
+    v = cat.commit(6, {"log": (spark.range(10), APPEND)}, retry_conflicts=3)
+    assert injected["done"]
+    assert v == other.current_version() == 4  # serialized: v3 then v4
+    # fixture 2+3, other's 4, cat's 10 — nothing lost on either side
+    assert cat.read(spark, "log").count() == 19
+    assert cat.manifest(3)["round"] == 5 and cat.manifest(4)["round"] == 6
+
+
+def test_commit_conflict_overwrite_never_retries(spark, cat):
+    """OVERWRITE under concurrency is a lost-update — auto-retry must
+    refuse and surface the conflict even when retries were requested."""
+    other = SnapshotCatalog(cat.root)
+    real = cat._link_manifest
+
+    def racing(version, manifest, attempt):
+        if other.current_version() == cat.current_version():
+            other.commit(5, {"t": (spark.range(4), OVERWRITE)})
+        return real(version, manifest, attempt)
+
+    cat._link_manifest = racing
+    with pytest.raises(CommitConflictError):
+        cat.commit(6, {"t": (spark.range(10), OVERWRITE)}, retry_conflicts=3)
+    assert other.read(spark, "t").count() == 4  # winner's state intact
+
+
 def test_parallel_write_failures_all_surface(spark, cat):
     """ADVICE r3: when several parallel table writes fail, every root
     cause must surface (ExceptionGroup), not one arbitrary exception —
