@@ -147,6 +147,13 @@ def run_round(
         f"round-{round_id}", f"crawl round {round_id}", False
     )
     frontier = catalog.read(spark, "frontier")
+    if "priority" not in frontier.columns:
+        # catalogs persisted before the priority column existed resume at
+        # the default level; without this, candidates.select(*FRONTIER_COLS)
+        # below (the next-round frontier rewrite) raises AnalysisException —
+        # the scheduler-side fallback alone only patched its local copy
+        # (ADVICE r4 medium)
+        frontier = frontier.withColumn("priority", F.lit(0).cast("long"))
     seen = catalog.read(spark, "seen") if catalog.has_table("seen") else None
 
     # NOTE: the scheduling DAG re-reads the frontier from several branches

@@ -105,6 +105,34 @@ def test_resume_loads_persisted_bloom_no_seen_rescan(spark, tmp_path, monkeypatc
     assert _final_state(spark, cat_a) == _final_state(spark, cat)
 
 
+def test_resume_pre_priority_catalog(spark, tmp_path):
+    """ADVICE r4 (medium): a catalog persisted BEFORE the priority
+    column existed must resume — both the scheduler and the next-round
+    frontier rewrite (candidates.select(*FRONTIER_COLS)) need the
+    default-level guard, and the drain must finish bit-identical to an
+    uninterrupted run (gen_frontier seeds are all priority 0, so legacy
+    default-0 semantics are exactly the modern plan's)."""
+    from cex_crawler_spark.catalog import OVERWRITE
+
+    seeds = gen_frontier(spark, 250, n_payloads=60)
+    policy = gen_host_policy(spark).withColumn("budget_per_round", F.lit(30))
+
+    cat_a = SnapshotCatalog(tmp_path / "truth")
+    bootstrap(cat_a, seeds, WATERMARK)
+    crawl(spark, cat_a, policy, WATERMARK, max_rounds=30, use_bloom=False)
+
+    cat_b = SnapshotCatalog(tmp_path / "legacy")
+    bootstrap(cat_b, seeds, WATERMARK)
+    crawl(spark, cat_b, policy, WATERMARK, max_rounds=2, use_bloom=False)
+    # simulate the legacy layout: rewrite the frontier without priority
+    legacy = cat_b.read(spark, "frontier").drop("priority")
+    assert "priority" not in legacy.columns
+    cat_b.commit(cat_b.current_round(), {"frontier": (legacy, OVERWRITE)})
+    crawl(spark, cat_b, policy, WATERMARK, max_rounds=30, use_bloom=False)
+
+    assert _final_state(spark, cat_a) == _final_state(spark, cat_b)
+
+
 def test_round_job_count_bounded(spark, tmp_path):
     """The per-round Spark job count is the fixed cost that dominates
     small rounds (PLANS.md) — pin an upper bound so a refactor that
