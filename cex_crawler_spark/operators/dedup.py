@@ -534,9 +534,14 @@ def simhash64(text) -> F.Column:
     Token hashing is Spark's JVM ``xxhash64`` (seed 42) — identical to
     the pure-Python twin ``hashing.xxh64_str``, so the single-node
     replayer can reproduce hashes bit-for-bit (tested).
+
+    The split pattern is ``(?U)\\s+`` (UNICODE_CHARACTER_CLASS): Java's
+    bare ``\\s`` is ASCII-only while the Python twin's ``str.split()``
+    breaks on Unicode whitespace (NBSP, U+2028, …), so a bare ``\\s``
+    silently diverged on non-ASCII whitespace (ADVICE r4).
     """
     toks = F.filter(
-        F.split(F.lower(text), r"\s+"), lambda t: t != F.lit("")
+        F.split(F.lower(text), r"(?U)\s+"), lambda t: t != F.lit("")
     )
     return _simhash_majority64(F.transform(toks, lambda t: F.xxhash64(t)))
 

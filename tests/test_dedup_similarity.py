@@ -220,6 +220,22 @@ class TestDedup:
         }
         assert got[0] == 0 and got[1] == 0 and got[2] == 0
         assert got[3] == py_simhash64("one one one")
+        # Unicode whitespace (ADVICE r4): Java's bare \s is ASCII-only,
+        # Python str.split() is not — the (?U) split must keep the twins
+        # bit-identical on NBSP / line-sep / ideographic-space corpora
+        uni = spark.createDataFrame(
+            [
+                (0, "alpha\u00a0beta\u00a0gamma"),      # NBSP
+                (1, "alpha\u2028beta\u2029gamma"),      # line/para sep
+                (2, "alpha\u3000beta\u2009gamma"),      # ideographic+thin
+                (3, "\u00a0 lead and trail \u00a0"),
+            ],
+            "doc_id long, text string",
+        )
+        for r in uni.select(
+            "text", simhash64(F.col("text")).alias("sh")
+        ).collect():
+            assert r["sh"] == py_simhash64(r["text"]), repr(r["text"])
 
     def test_simhash_multiblock_guarantee(self, spark, docs):
         """Pigeonhole property: EVERY pair at Hamming ≤ n_blocks−1 = 3 is
