@@ -437,6 +437,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_length_quantiles"] = doc_length_quantiles
 
+    def doc_length_quantiles_approx(spark, sf):
+        """Mergeable-sketch quantiles (VERDICT r4 item 5) — the 100 TB
+        form of doc_length_quantiles: `percentile_approx` (accuracy
+        10⁴) keeps a bounded GK summary with map-side partials instead
+        of buffering every per-group value like exact `percentile`.
+        Rank error ≤ n/accuracy rows (guaranteed by the sketch); below
+        the compression threshold the sketch is exact and returns the
+        discrete order statistic DuckDB `quantile_disc` picks — the
+        hash oracle.  The rank-error bound at sketch-compressing sizes
+        is asserted in tests/test_functions.py."""
+        d = _t(spark, sf, "documents")
+        ln = F.length("text")
+        acc = F.lit(10_000)
+        return (
+            d.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.percentile_approx(ln, F.lit(0.5), acc).cast("long").alias("p50"),
+                F.percentile_approx(ln, F.lit(0.9), acc).cast("long").alias("p90"),
+                F.percentile_approx(ln, F.lit(0.99), acc).cast("long").alias("p99"),
+            )
+            .orderBy("lang")
+        )
+
+    q["doc_length_quantiles_approx"] = doc_length_quantiles_approx
+
     def events_asof_join(spark, sf):
         """Backward as-of join (clicks ← latest at-or-before view per
         user), built as union + last-non-null window — ONE shuffle on
@@ -1045,6 +1071,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_winnow_fingerprints"] = doc_winnow_fingerprints
 
+    def winnow_near_dup_pairs(spark, sf):
+        """Cross-doc near-dups from winnowing fingerprints (VERDICT r4
+        item 6): inverted-index join on the window-min md5 sketch, pair
+        aggregate, containment ≥ 0.5 gate — the full-corpus MOSS-style
+        near-dup detector, oracled by replaying winnowing + the pair
+        join in DuckDB."""
+        from cex_crawler_spark.operators.dedup import (
+            winnow_near_dup_pairs as pairs_fn,
+        )
+
+        d = _t(spark, sf, "documents")
+        return pairs_fn(
+            d, "text", "doc_id", k=8, w=4, min_shared=5,
+            min_containment=0.5,
+        ).orderBy("id_a", "id_b")
+
+    q["winnow_near_dup_pairs"] = winnow_near_dup_pairs
+
     def dedup_simhash(spark, sf):
         """4×16-bit multi-block candidates; with radius 3 ≤ blocks−1 the
         output is EXACTLY all pairs at Hamming ≤ 3 (pigeonhole) — still
@@ -1345,6 +1389,18 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(length(text), 0.5), 4) AS p50,
                round(quantile_cont(length(text), 0.9), 4) AS p90,
                round(quantile_cont(length(text), 0.99), 4) AS p99
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+
+    # doc_length_quantiles_approx: below the sketch's compression
+    # threshold percentile_approx is exact and picks the discrete order
+    # statistic — quantile_disc, not quantile_cont (verified at sf0.001,
+    # sf0.01 and sf0.1, 15/15 group-quantile cells each)
+    o["doc_length_quantiles_approx"] = """
+        SELECT lang, count(*) AS n_docs,
+               quantile_disc(length(text), 0.5) AS p50,
+               quantile_disc(length(text), 0.9) AS p90,
+               quantile_disc(length(text), 0.99) AS p99
         FROM documents GROUP BY lang ORDER BY lang
     """
 
@@ -1781,6 +1837,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT doc_id, wfp AS fp FROM wmin
         WHERE pos <= npos - 3
         ORDER BY doc_id, fp
+    """
+
+    # winnow_near_dup_pairs: same winnowing replay over the FULL corpus,
+    # then the inverted-index pair join + containment gate (DuckDB's /
+    # on BIGINT is float division, matching Spark)
+    o["winnow_near_dup_pairs"] = f"""
+        WITH n AS (
+          SELECT doc_id, {_NORM} AS t FROM documents
+          WHERE length({_NORM}) >= 11
+        ),
+        p AS (
+          SELECT doc_id, pos, md5(substr(t, pos::INT, 8)) AS fp,
+                 length(t) - 7 AS npos
+          FROM (
+            SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS pos FROM n
+          )
+        ),
+        wmin AS (
+          SELECT doc_id, pos, npos,
+                 min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wfp
+          FROM p
+        ),
+        fps AS (
+          SELECT DISTINCT doc_id, wfp AS fp FROM wmin WHERE pos <= npos - 3
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING count(*) >= 5
+        )
+        SELECT p.id_a, p.id_b, p.n_shared,
+               round(p.n_shared / least(sa.n_fp, sb.n_fp), 6) AS containment
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE round(p.n_shared / least(sa.n_fp, sb.n_fp), 6) >= 0.5
+        ORDER BY id_a, id_b
     """
 
     # Asia/Hong_Kong has been fixed UTC+8 since 1941 — the interval form

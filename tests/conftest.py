@@ -10,6 +10,9 @@ from cex_crawler_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="cex-tests", master="local[4]", shuffle_partitions=4)
+    # local[4,2]: 2 task attempts, like a real cluster's
+    # spark.task.maxFailures>1 — the fault-injection resume test needs a
+    # failed task attempt to retry instead of failing the job
+    s = get_spark(app_name="cex-tests", master="local[4,2]", shuffle_partitions=4)
     yield s
     s.stop()

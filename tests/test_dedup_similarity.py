@@ -128,6 +128,34 @@ class TestDedup:
         n_pos = len(rows[0][1]) - 8 + 1
         assert len(fps[0]) < n_pos / 2
 
+    def test_winnow_near_dup_pairs_planted(self, spark):
+        """VERDICT r4 item 6: the cross-doc composition must surface a
+        planted near-dup (high containment) and not pair disjoint docs;
+        a boilerplate-only overlap stays below the containment gate."""
+        from cex_crawler_spark.operators.dedup import winnow_near_dup_pairs
+
+        body = (
+            "the quick brown fox jumps over the lazy dog while the "
+            "seven wild geese fly south for the winter every year"
+        )
+        boiler = "all rights reserved contact us at example dot com"
+        rows = [
+            (0, f"{body} extra tail words here {boiler}"),
+            (1, f"{body} different ending entirely {boiler}"),   # near-dup of 0
+            (2, f"completely unrelated content about spark shuffle "
+                f"partitions and adaptive execution plans {boiler}"),
+            (3, "tiny"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in winnow_near_dup_pairs(
+                df, "text", "doc_id", min_shared=2, min_containment=0.5
+            ).collect()
+        }
+        assert (0, 1) in got and got[(0, 1)] >= 0.5
+        assert all(p == (0, 1) for p in got)  # boilerplate pairs gated out
+
     def test_minhash_recall_vs_exact(self, spark, docs):
         exact = {
             (r["id_a"], r["id_b"])
