@@ -831,6 +831,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_token_stats"] = doc_token_stats
 
+    def doc_unigram_logprob(spark, sf):
+        """CCNet-style LM quality gate: per-doc mean −ln p(token) under
+        the corpus's own unigram MLE model (rare-token noise scores
+        high, boilerplate low).  Corpus total rides a one-row broadcast;
+        the token→frequency join is a plain hash join — no
+        window-over-everything."""
+        from cex_crawler_spark.functions.text import unigram_logprob_scores
+
+        d = _t(spark, sf, "documents")
+        return (
+            unigram_logprob_scores(d, "text", "doc_id")
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id")
+            .limit(500)
+        )
+
+    q["doc_unigram_logprob"] = doc_unigram_logprob
+
     def doc_lang_id(spark, sf):
         d = _t(spark, sf, "documents")
         return (
@@ -1643,6 +1661,21 @@ def oracle_sql() -> dict[str, str]:
                round(avg(len({_TOKS})), 4) AS avg_tokens,
                max(len({_TOKS})) AS max_tokens
         FROM documents GROUP BY lang ORDER BY lang
+    """
+
+    # doc_unigram_logprob: replay the self-trained unigram model — both
+    # engines use natural log and IEEE doubles; round(4) absorbs
+    # summation-order ulps (same convention as the other avg oracles)
+    o["doc_unigram_logprob"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        total AS (SELECT sum(c) AS n_total FROM freq)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(ln(n_total) - ln(c)), 4) AS avg_neg_logprob
+        FROM toks JOIN freq USING (tok) CROSS JOIN total
+        GROUP BY doc_id ORDER BY doc_id LIMIT 500
     """
 
     o["doc_lang_id"] = f"""

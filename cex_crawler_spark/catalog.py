@@ -273,6 +273,44 @@ class SnapshotCatalog:
         tmp.write_text(json.dumps(m, indent=1, sort_keys=True))
         os.rename(tmp, self._manifest_path(version))
 
+    # ------------------------------------------------------------- compact
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_file_mb: int = 128,
+    ) -> int:
+        """Rewrite an append table's accumulated per-round files into
+        few ``target_file_mb``-sized files (the Iceberg
+        ``rewrite_data_files`` analog).
+
+        A long crawl appends one parquet directory per round: after 10⁴
+        rounds every scan opens 10⁴ directories of round-sized (often
+        tiny) files — at 100 TB the file-open/list overhead dominates
+        small reads and planning.  Compaction reads the current table,
+        ``coalesce``s to ⌈bytes / target⌉ files (no shuffle — merging
+        partitions, not redistributing rows), writes ONE new directory
+        and commits a manifest version whose path list is just that
+        directory.  Properties: atomic (manifest flip), row-identical
+        (same data, new layout), time-travel intact (older manifests
+        still reference the old dirs until :meth:`vacuum`), and future
+        appends keep working (they append to the shortened path list).
+        """
+        entry = self.manifest()["tables"].get(table)
+        if entry is None:
+            raise KeyError(f"table {table!r} not in catalog")
+        n_bytes = 0
+        for p in entry["paths"]:
+            root = Path(p)
+            if root.exists():
+                n_bytes += sum(
+                    f.stat().st_size for f in root.rglob("*.parquet")
+                )
+        n_files = max(1, -(-n_bytes // (target_file_mb * 1024 * 1024)))
+        df = self.read(spark, table).coalesce(int(n_files))
+        return self.commit(self.current_round(), {table: (df, OVERWRITE)})
+
     # --------------------------------------------------------------- vacuum
 
     def vacuum(self, keep_versions: int = 2) -> list[str]:

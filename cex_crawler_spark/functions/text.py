@@ -131,3 +131,42 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.regexp_extract_all(
         normalize_text(text), F.lit(f"(?=({window}))\\S+"), 1
     )
+
+
+def unigram_logprob_scores(df, text_col: str, id_col: str):
+    """Per-document mean negative log-likelihood under the corpus's OWN
+    unigram MLE language model — the classic LM-based quality gate for
+    training-data curation (cf. Wenzek et al., "CCNet: Extracting High
+    Quality Monolingual Datasets from Web Crawl Data", arXiv:1911.00359
+    — public paper; there a KenLM model, here the self-trained unigram
+    degenerate case, which is fully relational and oracle-checkable).
+    High scores = rare-token-heavy noise; unusually low scores =
+    repetitive boilerplate.  Returns ``(id, n_tokens, avg_neg_logprob)``.
+
+    Scale shape: explode lowercased whitespace tokens; corpus term
+    frequencies via a map-side-combinable count; the corpus-total is a
+    one-row broadcast (never a window-over-everything, which would
+    single-partition the corpus); token→frequency is a plain hash join
+    whose skew (stopwords) AQE splits.  The token explode is scanned
+    twice (frequency pass + scoring pass) — at 100 TB that is cheaper
+    than persisting an exploded corpus ~10× the input size.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401 (documentation import)
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log("n_total") - F.log("c")), 4
+            ).alias("avg_neg_logprob"),
+        )
+    )

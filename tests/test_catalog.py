@@ -162,6 +162,36 @@ def test_parallel_write_failures_all_surface(spark, cat):
     assert cat.current_version() == before  # atomicity: nothing committed
 
 
+def test_compact_append_table(spark, cat):
+    """Compaction rewrites an append table's per-round directories into
+    one, row-identical, atomically, with time travel intact and future
+    appends still working (the Iceberg rewrite_data_files analog)."""
+    for i in range(3):
+        cat.commit(2 + i, {"log": (spark.range(i * 10, i * 10 + 4), APPEND)})
+    before = sorted(r["id"] for r in cat.read(spark, "log").collect())
+    n_paths_before = len(cat.manifest()["tables"]["log"]["paths"])
+    assert n_paths_before == 5  # fixture 2 + 3 appended rounds
+    pre_version = cat.current_version()
+
+    v = cat.compact(spark, "log", target_file_mb=128)
+    assert v == pre_version + 1
+    entry = cat.manifest()["tables"]["log"]
+    assert len(entry["paths"]) == 1
+    import pathlib
+    files = list(pathlib.Path(entry["paths"][0]).rglob("*.parquet"))
+    assert len(files) == 1  # tiny table → single target-sized file
+    assert sorted(r["id"] for r in cat.read(spark, "log").collect()) == before
+    # time travel to the pre-compaction layout still reads
+    assert len(cat.read(spark, "log", version=pre_version).collect()) == len(before)
+    # appends continue on the compacted list
+    cat.commit(9, {"log": (spark.range(100, 103), APPEND)})
+    assert cat.read(spark, "log").count() == len(before) + 3
+    # vacuum prunes the pre-compaction dirs once out of retention
+    deleted = cat.vacuum(keep_versions=1)
+    assert any("/log/" in d for d in deleted)
+    assert cat.read(spark, "log").count() == len(before) + 3
+
+
 def test_vacuum_keeps_recent_reachable(spark, cat):
     deleted = cat.vacuum(keep_versions=1)
     # v1's overwritten t-version is deleted; append history of log stays
