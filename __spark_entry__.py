@@ -1157,6 +1157,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def ann_ivf_pq_topk(spark, sf):
+        """IVF-PQ ANN (r5): coarse cells + product-quantized 20-byte
+        codes (16 subspaces x 16 codes over 64 dims); ADC shortlist, exact re-rank of the top `refine`.  With
+        full probes and refine=192 the shortlist provably contains the
+        true top-5 at BOTH sf0.001 and sf0.01 (verified), so the exact
+        re-rank makes the brute-force oracle apply; the recall gate at
+        economical (n_probe=4, refine=32) settings lives in pytest."""
+        from cex_crawler_spark.operators.similarity import ivf_pq_cosine_topk
+
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 8)
+        return ivf_pq_cosine_topk(
+            emb, queries_df, k=5, n_centroids=16, n_probe=16,
+            m_subspaces=16, n_codes=16, refine=192,
+        ).orderBy("query_id", "rank")
+
+    q["ann_ivf_pq_topk"] = ann_ivf_pq_topk
+
     def embedding_near_dups(spark, sf):
         emb = _t(spark, sf, "embeddings")
         return embedding_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
@@ -1993,6 +2011,10 @@ def oracle_sql() -> dict[str, str]:
     # both sf0.001 and sf0.01 (measured; same re-rank + tie-breaks) → the
     # exact oracle applies verbatim (VERDICT r2 item 2)
     o["ann_ivf_topk"] = o["ann_cosine_topk"]
+    # ann_ivf_pq_topk: full probes + refine ≫ k → the ADC shortlist
+    # covers the true top-5 and the exact re-rank reproduces brute
+    # force (verified at sf0.001 + sf0.01, like the LSH/IVF oracles)
+    o["ann_ivf_pq_topk"] = o["ann_cosine_topk"]
 
     o["embedding_near_dups"] = """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -293,6 +293,189 @@ def ivf_cosine_topk(
     )
 
 
+def _pq_codebooks(
+    sample: np.ndarray, m_subspaces: int, n_codes: int,
+    iters: int = 12, seed: int = 7,
+) -> np.ndarray:
+    """Per-subspace Euclidean k-means codebooks (the PQ training step —
+    Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011; public paper).  Driver-side numpy over the
+    same bounded sample IVF uses; returns (m, n_codes, dim/m)."""
+    if len(sample) == 0:
+        raise ValueError("PQ training sample is empty")
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    dim = sample.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(
+            f"embedding dim {dim} not divisible by m_subspaces={m_subspaces}"
+        )
+    dsub = dim // m_subspaces
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_subspaces, n_codes, dsub))
+    for j in range(m_subspaces):
+        sub = sample[:, j * dsub:(j + 1) * dsub]
+        k_ = min(n_codes, len(sub))
+        cents = sub[rng.choice(len(sub), size=k_, replace=False)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        if k_ < n_codes:  # degenerate sample: pad by repeating codes
+            cents = np.concatenate(
+                [cents, np.repeat(cents[:1], n_codes - k_, axis=0)]
+            )
+        books[j] = cents
+    return books
+
+
+def ivf_pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    refine: int = 64,
+    train_rows: int = 2048,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the MEMORY-bound ANN scale path
+    (:func:`ivf_cosine_topk` bounds comparisons; this also bounds the
+    bytes the scan reads):
+
+    1. train coarse centroids + per-subspace PQ codebooks on one
+       bounded hash-ordered sample (driver numpy, broadcast);
+    2. encode every corpus vector as (cell:int32, codes:m×uint8) — the
+       scanned index is 4+m bytes/vector instead of 8·dim (a 64-dim
+       double embedding compresses 512 B → 12 B, so a 100 TB embedding
+       table's scan phase reads ~2 TB);
+    3. queries probe ``n_probe`` cells; candidates are scored by
+       asymmetric distance (ADC): one (m × n_codes) lookup table per
+       query, sim ≈ Σ_j table[j, code_j] — no vector bytes touched;
+    4. the top ``refine`` candidates per query re-join their EXACT
+       vectors by id for the true-cosine re-rank → top-k.
+
+    No residual encoding (faiss ``by_residual=False``): simpler,
+    deterministic, and the exact re-rank absorbs the coding error.
+    Recall is governed by (n_probe, refine): with full probes and
+    ``refine`` ≫ k the result is exact top-k (the oracle setting);
+    tests also gate recall ≥ 0.9 at economical settings.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    sample_tbl = (
+        c.orderBy(F.xxhash64("neighbor_id"), "neighbor_id")
+        .limit(train_rows)
+        .select("cv")
+        .toArrow()
+    )
+    sample = np.array(
+        [np.asarray(x, dtype=np.float64)
+         for x in sample_tbl.column("cv").to_pylist()]
+    )
+    cents = _kmeans_centroids(sample, n_centroids, seed=seed)
+    books = _pq_codebooks(sample, m_subspaces, n_codes, seed=seed)
+    sc = corpus.sparkSession.sparkContext
+    b_cents = sc.broadcast(cents)
+    b_books = sc.broadcast(books)
+    dsub = books.shape[2]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def nearest_cells(vecs: pd.Series, n: pd.Series) -> pd.Series:
+        cents_ = b_cents.value
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ cents_.T), axis=1)
+        return pd.Series(
+            [row[:k_].astype("int32") for row, k_ in zip(order, n)]
+        )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def pq_encode(vecs: pd.Series) -> pd.Series:
+        books_ = b_books.value
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(m), books_.shape[0]), dtype=np.int32)
+        for j in range(books_.shape[0]):
+            sub = m[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books_[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    @F.pandas_udf(T.DoubleType())
+    def adc_score(qids: pd.Series, qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        # one (m × n_codes) table per DISTINCT query in the batch — the
+        # candidate rows arrive join-ordered, so the cache hits are the
+        # common case; table build is O(m·n_codes·dsub) per query only
+        books_ = b_books.value
+        mm = books_.shape[0]
+        tables: dict = {}
+        out = np.empty(len(qids))
+        for i, (qid, qv, cs) in enumerate(zip(qids, qvs, codes)):
+            tab = tables.get(qid)
+            if tab is None:
+                v = np.asarray(qv, dtype=np.float64)
+                v = v / max(np.linalg.norm(v), 1e-12)
+                tab = np.einsum(
+                    "jd,jkd->jk", v.reshape(mm, dsub), books_
+                )
+                tables[qid] = tab
+            out[i] = tab[np.arange(mm), np.asarray(cs)].sum()
+        return pd.Series(out)
+
+    encoded = c.select(
+        "neighbor_id",
+        F.element_at(nearest_cells(F.col("cv"), F.lit(1)), 1).alias("cell"),
+        pq_encode(F.col("cv")).alias("codes"),
+    )
+    qkeys = q.withColumn(
+        "cell", F.explode(nearest_cells(F.col("qv"), F.lit(n_probe)))
+    )
+    cands = (
+        encoded.join(F.broadcast(qkeys), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx",
+            adc_score(F.col("query_id"), F.col("qv"), F.col("codes")),
+        )
+    )
+    w_ref = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        cands.withColumn("r", F.row_number().over(w_ref))
+        .filter(F.col("r") <= refine)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    # exact re-rank: vectors re-join by ID — the shortlist shuffles ids
+    # + the broadcast query vector only, never corpus vector bytes
+    rescored = shortlist.join(c, "neighbor_id").withColumn(
+        "cos", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 # rows above which the exact broadcast-GEMM path refuses to run and the
 # near-dup search auto-switches to LSH candidates (a 2M×64 double matrix
 # is ~1 GB broadcast — comfortably inside executor memory; beyond that

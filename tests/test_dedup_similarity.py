@@ -378,6 +378,49 @@ class TestSimilarity:
         )
         assert ivf == exact
 
+    def test_ivf_pq_topk_recall_vs_exact(self, spark, emb):
+        """IVF-PQ at economical settings (12/16 probes, refine=64): the
+        20-byte-code ADC shortlist + exact re-rank keeps recall ≥ 0.9
+        vs brute force on the adversarial near-uniform embeddings."""
+        from cex_crawler_spark.operators.similarity import ivf_pq_cosine_topk
+
+        q = emb.filter(F.col("vec_id") < 8)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(emb, q, k=5).collect()
+        }
+        pq = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_pq_cosine_topk(
+                emb, q, k=5, n_centroids=16, n_probe=12,
+                m_subspaces=16, n_codes=16, refine=64,
+            ).collect()
+        }
+        assert len(pq) == 40
+        assert len(pq & exact) / len(exact) >= 0.9
+
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+    def test_ivf_pq_oracle_setting_covers_exact_topk(self, spark, sf):
+        """The ann_ivf_pq_topk oracle precondition at BOTH SFs: at full
+        probes + refine=192 the PQ shortlist contains the true top-5, so
+        the exact re-rank EQUALS brute force, ranks included."""
+        from cex_crawler_spark.operators.similarity import ivf_pq_cosine_topk
+
+        emb = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 8)
+        exact = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in cosine_topk(emb, q, k=5).collect()
+        )
+        pq = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in ivf_pq_cosine_topk(
+                emb, q, k=5, n_centroids=16, n_probe=16,
+                m_subspaces=16, n_codes=16, refine=192,
+            ).collect()
+        )
+        assert pq == exact
+
     def test_near_dup_lsh_precision(self, spark, emb):
         """LSH candidates are exact-verified → always a subset of exact.
         (No recall bound asserted at threshold 0.4: a 66°-apart 'pair'
