@@ -488,6 +488,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_asof_join"] = events_asof_join
 
+    def events_asof_join_forward(spark, sf):
+        """Forward as-of join (r5): clicks ← NEAREST at-or-after view
+        per user (next-event attribution).  Same union+window shape as
+        backward over the reversed time order — still one shuffle.
+        Oracle: DuckDB native ASOF with the <= comparator."""
+        from cex_crawler_spark.operators.temporal import asof_join
+
+        e = _t(spark, sf, "events")
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        views = (
+            e.filter(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.round(F.max("value"), 4).alias("view_value"))
+        )
+        return (
+            asof_join(clicks, views, on=["user_id"], ts_col="ts",
+                      value_cols=["view_value"], direction="forward")
+            .select("event_id", "user_id", "ts", "view_value")
+            .orderBy("event_id")
+        )
+
+    q["events_asof_join_forward"] = events_asof_join_forward
+
     def range_join_shipments(spark, sf):
         """Bucketized range join: line items shipped within each
         order's 30-day window — interval containment as a hash join on
@@ -1454,6 +1479,23 @@ def oracle_sql() -> dict[str, str]:
         FROM clicks c
         ASOF LEFT JOIN views v
           ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY c.event_id
+    """
+
+    # events_asof_join_forward: DuckDB ASOF with <= picks the NEAREST
+    # at-or-after row — the forward-direction oracle
+    o["events_asof_join_forward"] = """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        views AS (
+          SELECT user_id, ts, round(max(value), 4) AS view_value
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        )
+        SELECT c.event_id, c.user_id, c.ts, v.view_value
+        FROM clicks c
+        ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts <= v.ts
         ORDER BY c.event_id
     """
 

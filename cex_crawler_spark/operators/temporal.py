@@ -31,11 +31,15 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     duplicates: str = "max",
+    direction: str = "backward",
 ) -> DataFrame:
     """Attach to every ``left`` row the ``value_cols`` of the single
-    ``right`` row with the greatest ``ts_col`` ≤ the left row's
-    ``ts_col``, matching on the ``on`` keys (backward as-of, inclusive).
-    Left rows with no prior right row get nulls (left-outer semantics).
+    nearest ``right`` row, matching on the ``on`` keys (inclusive):
+    ``direction="backward"`` (default) takes the greatest right
+    ``ts_col`` ≤ the left row's; ``direction="forward"`` takes the
+    smallest right ``ts_col`` ≥ the left row's (next-event
+    attribution).  Left rows with no matching right row get nulls
+    (left-outer semantics).
 
     The fill carries a STRUCT of the value columns (one
     ``last(ignorenulls)`` over the struct), not per-column fills: a
@@ -90,10 +94,18 @@ def asof_join(
         r, allowMissingColumns=True
     )
     # right rows order BEFORE left rows at the same timestamp
-    # (__side 0 < 1), which is exactly the inclusive "at-or-before"
+    # (__side 0 < 1), which is exactly the inclusive "at-or-before" /
+    # "at-or-after"; forward is the same carry over the REVERSED time
+    # order, so both directions cost the one shuffle
+    if direction == "backward":
+        order = [F.col(ts_col).asc(), F.col("__side").asc()]
+    elif direction == "forward":
+        order = [F.col(ts_col).desc(), F.col("__side").asc()]
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
     w = (
         Window.partitionBy(*on)
-        .orderBy(ts_col, "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unified.withColumn(

@@ -67,6 +67,55 @@ def test_asof_randomized_vs_bruteforce_twin(spark):
         assert got[eid] == want, (eid, k, t)
 
 
+def test_asof_forward_direction(spark):
+    """Forward as-of: nearest at-or-after right row, inclusive; rows
+    with no following right row get nulls; randomized brute-force twin
+    (same 500×200 grid as the backward twin test)."""
+    import numpy as np
+
+    left = spark.createDataFrame(
+        [(1, 7, 10), (2, 7, 8), (3, 7, 99)],
+        "event_id long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(7, 8, 1.0), (7, 20, 2.0)], "k long, ts long, v double"
+    )
+    out = {
+        r["event_id"]: r["v"]
+        for r in asof_join(left, right, on=["k"], ts_col="ts",
+                           value_cols=["v"], direction="forward").collect()
+    }
+    assert out == {1: 2.0, 2: 1.0, 3: None}  # 2: equal-ts inclusive
+
+    rng = np.random.default_rng(20260817)
+    lrows = [
+        (int(i), int(rng.integers(0, 20)), int(rng.integers(0, 10_000)))
+        for i in range(500)
+    ]
+    seen = set()
+    rrows = []
+    while len(rrows) < 200:
+        k, t = int(rng.integers(0, 20)), int(rng.integers(0, 10_000))
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rrows.append((k, t, float(len(rrows))))
+    l_df = spark.createDataFrame(lrows, "event_id long, k long, ts long")
+    r_df = spark.createDataFrame(rrows, "k long, ts long, v double")
+    got = {
+        r["event_id"]: r["v"]
+        for r in asof_join(l_df, r_df, on=["k"], ts_col="ts",
+                           value_cols=["v"],
+                           direction="forward").collect()
+    }
+    by_key: dict[int, list] = {}
+    for k, t, v in rrows:
+        by_key.setdefault(k, []).append((t, v))
+    for eid, k, t in lrows:
+        nxt = [(rt, v) for rt, v in by_key.get(k, []) if rt >= t]
+        want = min(nxt)[1] if nxt else None
+        assert got[eid] == want, (eid, k, t)
+
+
 def test_asof_null_value_from_latest_row_wins(spark):
     """ADVICE r4: per-column last(ignorenulls) reached PAST a null to an
     older row's value.  The struct fill must return the latest matching
