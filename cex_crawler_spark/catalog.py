@@ -297,7 +297,8 @@ class SnapshotCatalog:
         still reference the old dirs until :meth:`vacuum`), and future
         appends keep working (they append to the shortened path list).
         """
-        entry = self.manifest()["tables"].get(table)
+        m = self.manifest()
+        entry = m["tables"].get(table)
         if entry is None:
             raise KeyError(f"table {table!r} not in catalog")
         n_bytes = 0
@@ -309,7 +310,14 @@ class SnapshotCatalog:
                 )
         n_files = max(1, -(-n_bytes // (target_file_mb * 1024 * 1024)))
         df = self.read(spark, table).coalesce(int(n_files))
-        return self.commit(self.current_round(), {table: (df, OVERWRITE)})
+        # carry the Bloom sidecar reference forward: compaction changes
+        # layout, not keys, so the bitmap's superset invariant holds —
+        # dropping the reference would silently cost resumes the sidecar
+        # (cold rebuild fallback) and let vacuum prune a live bitmap
+        extra = {"bloom": m["bloom"]} if "bloom" in m else None
+        return self.commit(
+            m["round"], {table: (df, OVERWRITE)}, extra=extra
+        )
 
     # --------------------------------------------------------------- vacuum
 

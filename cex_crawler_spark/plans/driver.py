@@ -51,10 +51,20 @@ def crawl(
     salt_buckets: int = 16,
     fetch_parallelism: int | None = None,
     expand: bool = False,
+    compact_every: int | None = None,
 ) -> list[dict]:
     """Run rounds until the frontier drains.  Resumable: starts after the
     last committed round; a killed run re-invoked with the same arguments
-    produces a bit-identical final seen/results state."""
+    produces a bit-identical final seen/results state.
+
+    ``compact_every``: every N completed rounds, rewrite the accumulated
+    append tables (``seen``/``results``) into few target-sized files
+    (:meth:`SnapshotCatalog.compact`).  A long crawl otherwise appends
+    one directory per round per table, and every anti-join/resume scan
+    pays the per-file open cost — the small-file problem.  Compaction is
+    row-identical and commits its own manifest version, so kill/resume
+    semantics are unchanged (tested).
+    """
     bloom = None
     if use_bloom and catalog.has_table("seen"):
         # resume: each round persists its merged bitmap against the
@@ -87,6 +97,13 @@ def crawl(
         )
         stats_log.append({"round": round_id, **stats})
         round_id += 1
+        if compact_every and len(stats_log) % compact_every == 0:
+            for table in ("seen", "results"):
+                if (
+                    catalog.has_table(table)
+                    and len(catalog.manifest()["tables"][table]["paths"]) > 1
+                ):
+                    catalog.compact(spark, table)
         if stats.get("deferred", 0) == 0:
             # with link expansion, zero deferrals can still leave newly
             # discovered children in the frontier — probe it

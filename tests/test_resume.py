@@ -165,6 +165,36 @@ def test_resume_pre_priority_catalog(spark, tmp_path):
     assert _final_state(spark, cat_a) == _final_state(spark, cat_b)
 
 
+def test_crawl_with_periodic_compaction_identical(spark, tmp_path):
+    """compact_every folds small-file compaction into the crawl loop:
+    the final state must be bit-identical to an uncompacted crawl, the
+    append tables must end with few consolidated paths, the bloom
+    sidecar reference must survive compaction (resume keeps using it),
+    and a kill+resume across a compaction point must still converge."""
+    from cex_crawler_spark.plans.round import load_bloom_sidecar
+
+    seeds = gen_frontier(spark, 250, n_payloads=60)
+    policy = gen_host_policy(spark).withColumn("budget_per_round", F.lit(30))
+
+    cat_a = SnapshotCatalog(tmp_path / "plain")
+    bootstrap(cat_a, seeds, WATERMARK)
+    crawl(spark, cat_a, policy, WATERMARK, max_rounds=30, use_bloom=False)
+    n_rounds = len(cat_a.read(spark, "results").select("round").distinct().collect())
+    assert n_rounds >= 3  # enough rounds for compaction to trigger repeatedly
+
+    cat_b = SnapshotCatalog(tmp_path / "compacted")
+    bootstrap(cat_b, seeds, WATERMARK)
+    crawl(spark, cat_b, policy, WATERMARK, max_rounds=2,
+          bloom_expected=5000, compact_every=1)  # "kill" after 2 rounds
+    assert len(cat_b.manifest()["tables"]["seen"]["paths"]) == 1
+    assert load_bloom_sidecar(cat_b, 5000) is not None  # survived compact
+    crawl(spark, cat_b, policy, WATERMARK, max_rounds=30,
+          bloom_expected=5000, compact_every=1)  # resume across compaction
+
+    assert _final_state(spark, cat_a) == _final_state(spark, cat_b)
+    assert len(cat_b.manifest()["tables"]["results"]["paths"]) <= 3
+
+
 def test_round_job_count_bounded(spark, tmp_path):
     """The per-round Spark job count is the fixed cost that dominates
     small rounds (PLANS.md) — pin an upper bound so a refactor that
