@@ -840,6 +840,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_parse"] = robots_parse
 
+    def robots_crawl_delay(spark, sf):
+        """Crawl-delay politeness input (r5): parse the strictest
+        Crawl-delay per host and derive the scheduler's min_delay_ms
+        budget (greatest of the existing floor and the directive).
+        Rows synthesize directive-present/absent/multiple cases."""
+        from cex_crawler_spark.functions.robots import (
+            parse_robots_crawl_delay,
+        )
+
+        p = _t(spark, sf, "part")
+        txt = F.concat(
+            F.lit("User-agent: *\n"),
+            F.when(
+                F.col("p_size") % 3 != 0,
+                F.format_string("Crawl-delay: %d\n", F.col("p_size")),
+            ).otherwise(F.lit("")),
+            F.lit("Disallow: /private\n"),
+            F.when(
+                F.col("p_partkey") % 2 == 0,
+                F.format_string(
+                    "crawl-delay: %d.5\n", F.col("p_partkey") % 7
+                ),
+            ).otherwise(F.lit("")),
+        )
+        delay = parse_robots_crawl_delay(txt)
+        return (
+            p.select(
+                "p_partkey",
+                F.round(delay, 4).alias("delay_s"),
+                F.round(
+                    F.greatest(F.lit(1000.0), delay * 1000.0), 4
+                ).alias("min_delay_ms"),
+            )
+            .orderBy("p_partkey")
+            .limit(500)
+        )
+
+    q["robots_crawl_delay"] = robots_crawl_delay
+
     # ---- text analysis over documents --------------------------------------
 
     def doc_token_stats(spark, sf):
@@ -1184,18 +1223,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ann_ivf_pq_topk(spark, sf):
         """IVF-PQ ANN (r5): coarse cells + product-quantized 20-byte
-        codes (16 subspaces x 16 codes over 64 dims); ADC shortlist, exact re-rank of the top `refine`.  With
-        full probes and refine=192 the shortlist provably contains the
-        true top-5 at BOTH sf0.001 and sf0.01 (verified), so the exact
-        re-rank makes the brute-force oracle apply; the recall gate at
-        economical (n_probe=4, refine=32) settings lives in pytest."""
+        codes (16 subspaces x 16 codes over 64 dims); ADC shortlist,
+        exact re-rank of the top `refine`.  Near-uniform random
+        embeddings are PQ's adversarial case (true-neighbor cosine gaps
+        are smaller than the coding error), so the oracle setting
+        derives refine from the corpus size — max(192, n/3), one tiny
+        count — which provably covers the true top-5 at sf0.001, sf0.01
+        AND sf0.1 (verified), making the brute-force oracle apply; the
+        recall gate at economical settings lives in pytest."""
         from cex_crawler_spark.operators.similarity import ivf_pq_cosine_topk
 
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 8)
+        refine = max(192, emb.count() // 3)
         return ivf_pq_cosine_topk(
             emb, queries_df, k=5, n_centroids=16, n_probe=16,
-            m_subspaces=16, n_codes=16, refine=192,
+            m_subspaces=16, n_codes=16, refine=refine,
         ).orderBy("query_id", "rank")
 
     q["ann_ivf_pq_topk"] = ann_ivf_pq_topk
@@ -1714,6 +1757,28 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT p_partkey, '/q' || (p_partkey % 7) AS prefix FROM part
         ) ORDER BY p_partkey, prefix LIMIT 1000
+    """
+
+    # robots_crawl_delay: independent derivation of the strictest
+    # directive — p_size when p_size%3!=0, (p_partkey%7)+0.5 when
+    # p_partkey%2=0, max of both when both present, null when neither
+    o["robots_crawl_delay"] = """
+        SELECT p_partkey,
+               round(delay_s, 4) AS delay_s,
+               round(greatest(1000.0, coalesce(delay_s * 1000.0, 0.0)),
+                     4) AS min_delay_ms
+        FROM (
+          SELECT p_partkey,
+                 CASE
+                   WHEN p_size % 3 <> 0 AND p_partkey % 2 = 0
+                     THEN greatest(p_size::DOUBLE,
+                                   (p_partkey % 7) + 0.5)
+                   WHEN p_size % 3 <> 0 THEN p_size::DOUBLE
+                   WHEN p_partkey % 2 = 0 THEN (p_partkey % 7) + 0.5
+                   ELSE NULL
+                 END AS delay_s
+          FROM part
+        ) ORDER BY p_partkey LIMIT 500
     """
 
     o["doc_token_stats"] = f"""

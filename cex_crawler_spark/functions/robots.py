@@ -44,3 +44,25 @@ def robots_txt_for_policy(disallow_prefixes: Column) -> Column:
             "\n",
         ),
     )
+
+
+_CRAWL_DELAY_RX = r"(?m)^[Cc]rawl-[Dd]elay:[ \t]*([0-9]+(?:\.[0-9]+)?)"
+
+
+def parse_robots_crawl_delay(robots_txt: Column) -> Column:
+    """Crawl-delay seconds from a robots.txt body (double; null when no
+    directive present).  When multiple lines match, the STRICTEST (max)
+    wins — the safe interpretation for a politeness input.  Feeds the
+    scheduler's ``min_delay_ms`` budget:
+    ``greatest(min_delay_ms, crawl_delay * 1000)``.
+
+    Same single-Catalyst-expression contract as
+    :func:`parse_robots_disallow` — a 100M-host robots table parses as
+    a scan-side projection.
+    """
+    return F.array_max(
+        F.transform(
+            F.regexp_extract_all(robots_txt, F.lit(_CRAWL_DELAY_RX), 1),
+            lambda s: s.cast("double"),
+        )
+    )

@@ -228,3 +228,26 @@ class TestApproxQuantiles:
             # exact discrete order statistic at index ceil(q·(n−1))…
             # within one element of the continuous position
             assert abs(got - q * 998) <= 1, (q, got)
+
+
+class TestCrawlDelay:
+    def test_parse_crawl_delay_strictest_wins(self, spark):
+        from pyspark.sql import functions as F
+
+        from cex_crawler_spark.functions.robots import (
+            parse_robots_crawl_delay,
+        )
+
+        rows = [
+            ("User-agent: *\nCrawl-delay: 5\nDisallow: /x\n", 5.0),
+            ("crawl-delay: 2.5\nCrawl-Delay: 10\n", 10.0),  # strictest wins
+            ("User-agent: *\nDisallow: /x\n", None),        # absent → null
+            ("Crawl-delay: abc\n", None),                   # malformed → null
+            ("Crawl-delay:\t1.25\n", 1.25),                 # tab separator
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(rows)], "i long, robots string"
+        ).select("i", parse_robots_crawl_delay(F.col("robots")).alias("d"))
+        got = {r["i"]: r["d"] for r in df.collect()}
+        for i, (_, want) in enumerate(rows):
+            assert got[i] == want, (i, got[i], want)
