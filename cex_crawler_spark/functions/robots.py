@@ -66,3 +66,46 @@ def parse_robots_crawl_delay(robots_txt: Column) -> Column:
             lambda s: s.cast("double"),
         )
     )
+
+
+def effective_host_policy(host_policy, robots):
+    """Fold raw robots.txt bodies into the host-policy dim table.
+
+    ``robots``: ``(host, robots_txt)`` — one fetched robots body per
+    host (hosts absent from it keep their configured policy untouched).
+    The result is the SAME schema as ``host_policy``, with
+
+    - ``robots_disallow`` ∪ parsed ``Disallow:`` prefixes, and
+    - ``min_delay_ms`` = greatest(configured floor, Crawl-delay × 1000)
+
+    so the scheduler (operators/politeness.py) needs no code change:
+    robots enforcement stays a single broadcast join against a
+    still-tiny dim (one row per host — even 100M hosts is a few GB,
+    and the parse is a scan-side projection on that dim, not on the
+    10^10-row frontier).
+    """
+    parsed = robots.select(
+        "host",
+        parse_robots_disallow(F.col("robots_txt")).alias("__dis"),
+        parse_robots_crawl_delay(F.col("robots_txt")).alias("__delay_s"),
+    )
+    return (
+        host_policy.join(parsed, "host", "left")
+        .withColumn(
+            "robots_disallow",
+            F.when(
+                F.col("__dis").isNotNull(),
+                F.array_union(F.col("robots_disallow"), F.col("__dis")),
+            ).otherwise(F.col("robots_disallow")),
+        )
+        .withColumn(
+            # greatest() skips nulls → a body with no Crawl-delay (or a
+            # host with no body) keeps the configured floor.
+            "min_delay_ms",
+            F.greatest(
+                F.col("min_delay_ms"),
+                F.ceil(F.col("__delay_s") * 1000).cast("long"),
+            ),
+        )
+        .drop("__dis", "__delay_s")
+    )

@@ -251,3 +251,48 @@ class TestCrawlDelay:
         got = {r["i"]: r["d"] for r in df.collect()}
         for i, (_, want) in enumerate(rows):
             assert got[i] == want, (i, got[i], want)
+
+    def test_effective_policy_feeds_scheduler(self, spark):
+        """robots.txt bodies folded into host_policy lift min_delay_ms
+        and add Disallow prefixes the scheduler then enforces; hosts
+        without a body keep their configured policy bit-for-bit."""
+        from pyspark.sql import functions as F
+
+        from cex_crawler_spark.functions.robots import effective_host_policy
+        from cex_crawler_spark.operators.politeness import schedule_round
+        from cex_crawler_spark.plans.round import ingest_seeds
+        from cex_crawler_spark.synth import HOSTS, gen_frontier, gen_host_policy
+
+        policy = gen_host_policy(spark)
+        h0, h1 = HOSTS[0], HOSTS[1]
+        robots = spark.createDataFrame(
+            [
+                (h0, "User-agent: *\nCrawl-delay: 30\nDisallow: /a/\n"),
+                (h1, "User-agent: *\nDisallow: /x\n"),  # no delay directive
+            ],
+            "host string, robots_txt string",
+        )
+        eff = effective_host_policy(policy, robots)
+        assert eff.columns == policy.columns
+        by_host = {r["host"]: r for r in eff.collect()}
+        base = {r["host"]: r for r in policy.collect()}
+        assert by_host[h0]["min_delay_ms"] == 30_000
+        assert "/a/" in by_host[h0]["robots_disallow"]
+        assert by_host[h1]["min_delay_ms"] == base[h1]["min_delay_ms"]
+        for h in HOSTS[2:]:  # untouched hosts: identical policy rows
+            assert by_host[h] == base[h]
+
+        frontier = ingest_seeds(gen_frontier(spark, 300, n_payloads=50))
+        d = schedule_round(frontier, eff, "2025-08-29 00:00:00")
+        h0_rows = d.filter(F.col("host") == h0)
+        # every decision for h0 carries the lifted budget into lineage
+        assert h0_rows.filter(F.col("min_delay_ms") != 30_000).count() == 0
+        assert h0_rows.count() > 0
+        # the body-added prefix blocks alongside the configured /private
+        blocked = d.filter(F.col("status") == "robots_blocked")
+        assert (
+            blocked.filter(
+                (F.col("host") == h0) & F.col("canonical_url").contains("/a/")
+            ).count()
+            > 0
+        )
