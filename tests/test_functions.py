@@ -147,6 +147,99 @@ class TestBloom:
         assert len(exact) == 2000 - 700
 
 
+class TestCuckoo:
+    """Delete-capable seen filter (north rule's cuckoo fallback)."""
+
+    def _keys(self, seed, n):
+        rng = np.random.default_rng(seed)
+        return np.unique(rng.integers(-(2**63), 2**63, size=n, dtype=np.int64))
+
+    def test_no_false_negatives_and_fpp(self):
+        from cex_crawler_spark.operators.seen import CuckooFilter64
+
+        keys = self._keys(7, 50_000)
+        cf = CuckooFilter64(keys.size)
+        cf.add_many(keys)
+        assert cf.might_contain(keys).all()
+        other = np.setdiff1d(self._keys(8, 50_000), keys)
+        assert cf.might_contain(other).mean() < 0.01  # 16-bit fp → ~1e-4
+
+    def test_delete_then_reinsert_churn(self):
+        """Deletes never create false negatives for KEPT keys, deleted
+        keys stop matching (up to fp collisions), and re-insertion
+        restores membership — across interleaved churn cycles."""
+        from cex_crawler_spark.operators.seen import CuckooFilter64
+
+        keys = self._keys(9, 30_000)
+        cf = CuckooFilter64(keys.size)
+        cf.add_many(keys)
+        for it in range(3):
+            d = keys[it::3]
+            found = cf.delete_many(d)
+            assert found.all()
+            kept = np.setdiff1d(keys, d)
+            assert cf.might_contain(kept).all(), f"false negative, cycle {it}"
+            assert cf.might_contain(d).mean() < 0.01
+            cf.add_many(d)
+            assert cf.might_contain(keys).all()
+
+    def test_design_load_insertable(self):
+        """Fills to the 0.95 design load via the eviction walk."""
+        from cex_crawler_spark.operators.seen import CuckooFilter64
+
+        cf = CuckooFilter64(1)
+        n = int(cf.n_buckets * cf.SLOTS * 0.95) - 2
+        keys = self._keys(10, 4 * n)[:n]
+        cf.add_many(keys)
+        assert (cf.table != 0).mean() >= 0.9
+        assert cf.might_contain(keys).all()
+
+    def test_merge_is_union(self):
+        from cex_crawler_spark.operators.seen import CuckooFilter64
+
+        k1, k2 = self._keys(11, 5_000), self._keys(12, 5_000)
+        a = CuckooFilter64(k1.size + k2.size)
+        b = CuckooFilter64(k1.size + k2.size)
+        a.add_many(k1)
+        b.add_many(k2)
+        a.merge(b)
+        assert a.might_contain(k1).all() and a.might_contain(k2).all()
+
+    def test_invalidate_reopens_urls(self, spark):
+        """The re-crawl path: distributed build, then invalidate_seen
+        un-sees a batch — those URLs come back from the prefiltered
+        anti-join (schedulable again) while every other seen URL stays
+        excluded, exactly (vs the plain anti-join)."""
+        from cex_crawler_spark.operators.seen import (
+            anti_join_seen,
+            build_cuckoo,
+            invalidate_seen,
+        )
+
+        frontier = spark.range(2000).select(F.xxhash64("id").alias("url_hash"))
+        seen = spark.range(500, 1200).select(F.xxhash64("id").alias("url_hash"))
+        cf = build_cuckoo(seen, "url_hash", 1000)
+        before = sorted(
+            r["url_hash"]
+            for r in anti_join_seen(frontier, seen, bloom=cf).collect()
+        )
+        exact = sorted(
+            r["url_hash"] for r in anti_join_seen(frontier, seen).collect()
+        )
+        assert before == exact and len(exact) == 2000 - 700
+
+        recrawl = spark.range(800, 900).select(F.xxhash64("id").alias("url_hash"))
+        seen2 = invalidate_seen(seen, recrawl, cf)
+        after = sorted(
+            r["url_hash"]
+            for r in anti_join_seen(frontier, seen2, bloom=cf).collect()
+        )
+        exact2 = sorted(
+            r["url_hash"] for r in anti_join_seen(frontier, seen2).collect()
+        )
+        assert after == exact2 and len(exact2) == 2000 - 600
+
+
 class TestRobots:
     def test_parse_and_roundtrip(self, spark):
         from pyspark.sql import functions as F
