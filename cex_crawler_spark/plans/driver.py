@@ -16,8 +16,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..catalog import OVERWRITE, SnapshotCatalog
-from ..operators.seen import BloomFilter64, build_bloom
+from ..operators.seen import BloomFilter64, CuckooFilter64, build_bloom
 from .round import (
     ingest_seeds,
     load_bloom_sidecar,
@@ -110,3 +112,75 @@ def crawl(
             if not expand or catalog.read(spark, "frontier").isEmpty():
                 break
     return stats_log
+
+
+def requeue(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    urls_seeds: DataFrame,
+    cuckoo: CuckooFilter64 | None = None,
+) -> dict:
+    """Freshness-invalidation sweep: un-see a URL batch and re-queue it.
+
+    The delete path the north rule's cuckoo fallback exists for — a
+    previously fetched URL whose payload may have changed (freshness
+    expiry, payload-invalidation audit) must become schedulable again.
+    ``urls_seeds`` arrives in SEED shape (same contract as
+    :func:`bootstrap` — the URL plus its frontier metadata, since the
+    original frontier row was consumed when it was fetched) and goes
+    through the same canonicalize+hash ingest, so the un-seen key is
+    exactly the key the seen set holds.
+
+    One atomic commit rewrites both sides of the seen invariant:
+
+    - ``seen``    := seen ANTI-JOIN keys   (the exact set)
+    - ``frontier``:= frontier ∪ rows not already queued  (idempotent —
+      re-running the same sweep is a no-op)
+
+    A live session's Bloom filter keeps the invalidated keys — a
+    SUPERSET filter stays correct (the requeued rows just pay the exact
+    anti-join probe); passing the session's ``cuckoo`` tightens the
+    filter in place, which is what keeps the prefilter effective when
+    invalidation churn is continuous (a Bloom can only saturate).  On
+    resume the filter is rebuilt/loaded against the NEW manifest, so no
+    stale-sidecar hazard: the requeue commit carries no ``bloom`` entry.
+    """
+    import numpy as np
+
+    rows = with_host_bucket(ingest_seeds(urls_seeds))
+    keys = rows.select("url_hash").distinct()
+    frontier = catalog.read(spark, "frontier")
+    if "priority" not in frontier.columns:
+        frontier = frontier.withColumn("priority", F.lit(0).cast("long"))
+    add = (
+        rows.select(*frontier.columns)
+        .join(frontier.select("url_hash"), "url_hash", "left_anti")
+        .persist()
+    )
+    n_requeued = add.count()  # also materializes `add` for the union write
+    writes = {
+        "frontier": (
+            frontier.unionByName(add.select(*frontier.columns)),
+            OVERWRITE,
+        )
+    }
+    unseen = 0
+    if catalog.has_table("seen"):
+        seen = catalog.read(spark, "seen")
+        new_seen = seen.join(keys, "url_hash", "left_anti").persist()
+        unseen = seen.count() - new_seen.count()
+        writes["seen"] = (new_seen, OVERWRITE)
+    version = catalog.commit(
+        catalog.current_round(),
+        writes,
+        extra={"requeue": True},
+        partition_by={"frontier": ["host_bucket"]},
+    )
+    add.unpersist()
+    if "seen" in writes:
+        writes["seen"][0].unpersist()
+    if cuckoo is not None:
+        cuckoo.delete_many(
+            np.array([r["url_hash"] for r in keys.collect()], dtype=np.int64)
+        )
+    return {"version": version, "unseen": unseen, "requeued": n_requeued}

@@ -219,3 +219,61 @@ def test_round_job_count_bounded(spark, tmp_path):
     # bound catches a refactor that silently multiplies per-round
     # actions.
     assert 0 < len(jobs) <= 54, f"round-0 launched {len(jobs)} jobs"
+
+
+def test_requeue_refetches_invalidated_urls(spark, tmp_path):
+    """The cuckoo delete path end-to-end: after a full drain, requeue()
+    un-sees a batch of fetched URLs; the next crawl re-fetches EXACTLY
+    that batch (same crawl decisions on the second pass), everything
+    else stays seen, and the sweep is idempotent."""
+    seeds = gen_frontier(spark, 250, n_payloads=60)
+    policy = gen_host_policy(spark).withColumn("budget_per_round", F.lit(30))
+
+    from cex_crawler_spark.plans.driver import requeue
+
+    cat = SnapshotCatalog(tmp_path / "requeue")
+    bootstrap(cat, seeds, WATERMARK)
+    crawl(spark, cat, policy, WATERMARK, max_rounds=30, use_bloom=False)
+    assert cat.read(spark, "frontier").isEmpty()
+    results1 = cat.read(spark, "results").collect()
+    fetched1 = {r["url_hash"] for r in results1 if r["status"] == "fetched"}
+
+    # invalidate a slice of the FETCHED urls, in seed shape
+    target = (
+        seeds.join(
+            cat.read(spark, "results")
+            .filter(F.col("status") == "fetched")
+            .select("url"),
+            "url",
+        )
+        .orderBy("seq")
+        .limit(20)
+    )
+    n_target = target.count()
+    assert n_target > 0
+    stats = requeue(spark, cat, target)
+    assert stats["requeued"] > 0
+    assert stats["unseen"] == stats["requeued"]
+
+    # idempotent: the same sweep again adds nothing new
+    stats2 = requeue(spark, cat, target)
+    assert stats2["requeued"] == 0 and stats2["unseen"] == 0
+
+    crawl(spark, cat, policy, WATERMARK, max_rounds=30, use_bloom=False)
+    results2 = cat.read(spark, "results").collect()
+    # rows added by the second crawl = totals minus the first pass
+    from collections import Counter
+
+    delta = Counter(
+        (r["url_hash"], r["status"]) for r in results2
+    ) - Counter((r["url_hash"], r["status"]) for r in results1)
+    # every re-fetched row is one of the invalidated urls, and each
+    # invalidated url was fetched again exactly once
+    refetched = {h for (h, s), c in delta.items() if s == "fetched"}
+    assert all(h in fetched1 for h in refetched)
+    assert sum(c for (h, s), c in delta.items() if s == "fetched") == stats[
+        "requeued"
+    ]
+    # seen set is back to covering every fetched url exactly once
+    seen = sorted(r["url_hash"] for r in cat.read(spark, "seen").collect())
+    assert len(seen) == len(set(seen))
