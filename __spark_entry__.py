@@ -1249,6 +1249,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dups"] = embedding_near_dups
 
+    def semantic_dedup(spark, sf):
+        """SemDeDup-style semantic dedup end-to-end (r5): embedding
+        near-dup pairs (exact-cosine-verified) → connected components →
+        one representative per semantic cluster with the cluster size it
+        stands for — the embedding-space twin of
+        ``corpus_curation_neardup``.  Every stage is the audited scale
+        path: pair generation is the gated GEMM/LSH operator (never an
+        ungated all-pairs), components are path-halving (O(log diameter)
+        rounds), sizes are a map-combinable count.  Oracle: brute-force
+        ``list_cosine_similarity`` pairs + recursive-CTE closure."""
+        from cex_crawler_spark.operators.dedup import (
+            dedup_cluster_representatives,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        pairs = embedding_near_dup_pairs(emb, threshold=0.4).select(
+            "id_a", "id_b"
+        )
+        reps = dedup_cluster_representatives(
+            emb.select("vec_id"), pairs, "vec_id"
+        )
+        sizes = reps.groupBy("component").agg(
+            F.count("*").alias("cluster_size")
+        )
+        return (
+            reps.filter(F.col("is_representative"))
+            .join(sizes, "component")
+            .select("vec_id", "cluster_size")
+            .orderBy("vec_id")
+        )
+
+    q["semantic_dedup"] = semantic_dedup
+
     # ---- streaming-analog windows ------------------------------------------
 
     def event_tumbling_windows(spark, sf):
@@ -2131,6 +2164,39 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[]), 6) >= 0.4
         ORDER BY id_a, id_b
+    """
+
+    # semantic_dedup: brute-force rounded-cosine pairs (the same 6-dp
+    # rounding the engine thresholds on) + recursive-CTE transitive
+    # closure; representatives are the min-id per component, sized.
+    o["semantic_dedup"] = """
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]), 6) >= 0.4
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(root, node) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT root AS vec_id, min(node) AS component
+          FROM reach GROUP BY root
+        ),
+        sizes AS (
+          SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+        )
+        SELECT c.vec_id, s.cluster_size
+        FROM comp c JOIN sizes s USING (component)
+        WHERE c.vec_id = c.component
+        ORDER BY c.vec_id
     """
 
     o["event_tumbling_windows"] = """
