@@ -19,10 +19,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import OVERWRITE, SnapshotCatalog
-from ..operators.seen import BloomFilter64, CuckooFilter64, build_bloom
+from ..operators.seen import (
+    BloomFilter64,
+    CuckooFilter64,
+    build_bloom,
+    build_cuckoo,
+)
 from .round import (
     ingest_seeds,
     load_bloom_sidecar,
+    load_cuckoo_sidecar,
     run_round,
     with_host_bucket,
 )
@@ -50,6 +56,7 @@ def crawl(
     max_rounds: int = 100,
     bloom_expected: int = 1_000_000,
     use_bloom: bool = True,
+    filter_kind: str = "bloom",
     salt_buckets: int = 16,
     fetch_parallelism: int | None = None,
     expand: bool = False,
@@ -67,20 +74,30 @@ def crawl(
     row-identical and commits its own manifest version, so kill/resume
     semantics are unchanged (tested).
     """
+    # ``filter_kind``: "bloom" (default — smallest, append-only seen) or
+    # "cuckoo" (delete-capable: pairs with :func:`requeue` sweeps, whose
+    # churn would saturate a Bloom that can never forget a key)
+    if filter_kind not in ("bloom", "cuckoo"):
+        raise ValueError(f"filter_kind must be bloom|cuckoo: {filter_kind!r}")
+    load_sidecar, build_filter, empty_filter = (
+        (load_bloom_sidecar, build_bloom, BloomFilter64)
+        if filter_kind == "bloom"
+        else (load_cuckoo_sidecar, build_cuckoo, CuckooFilter64)
+    )
     bloom = None
     if use_bloom and catalog.has_table("seen"):
-        # resume: each round persists its merged bitmap against the
+        # resume: each round persists its merged filter against the
         # manifest it covers, so a resume is a ~1 MB file read; the cold
         # rebuild from the full seen table (a scan that grows with crawl
         # age) remains only as the fallback for pre-sidecar catalogs, a
         # changed n_expected, or a kill between commit and sidecar amend
-        bloom = load_bloom_sidecar(catalog, bloom_expected)
+        bloom = load_sidecar(catalog, bloom_expected)
         if bloom is None:
-            bloom = build_bloom(
+            bloom = build_filter(
                 catalog.read(spark, "seen"), "url_hash", bloom_expected
             )
     elif use_bloom:
-        bloom = BloomFilter64(bloom_expected)
+        bloom = empty_filter(bloom_expected)
 
     stats_log: list[dict] = []
     round_id = catalog.current_round() + 1

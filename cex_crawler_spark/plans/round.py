@@ -32,7 +32,13 @@ from ..operators.politeness import (
     STATUS_STALE,
     schedule_round,
 )
-from ..operators.seen import BloomFilter64, anti_join_seen, build_bloom
+from ..operators.seen import (
+    BloomFilter64,
+    CuckooFilter64,
+    anti_join_seen,
+    build_bloom,
+    build_cuckoo,
+)
 from ..functions.urlnorm import with_canonical_url
 
 # frontier columns persisted across rounds
@@ -101,6 +107,49 @@ def save_bloom_sidecar(
     )
 
 
+def save_cuckoo_sidecar(
+    catalog: SnapshotCatalog, version: int, cf: CuckooFilter64,
+    n_expected: int,
+) -> None:
+    """Cuckoo analog of :func:`save_bloom_sidecar` — same superset
+    invariant, same kill-window fallback (a manifest without a
+    ``cuckoo`` entry cold-rebuilds from the seen table).  The table
+    serializes like the bitmap (atomic tmp+rename under ``_bloom/``);
+    the manifest entry records the geometry so resume can reject a
+    sidecar sized for a different ``n_expected``."""
+    d = catalog.root / "_bloom"
+    d.mkdir(exist_ok=True)
+    path = d / f"v{version:06d}.cuckoo.bin"
+    tmp = path.with_suffix(".tmp")
+    tmp.write_bytes(cf.table.tobytes())
+    os.rename(tmp, path)
+    catalog.amend(
+        version,
+        {"cuckoo": {"file": path.name, "n_buckets": cf.n_buckets,
+                    "n_expected": n_expected}},
+    )
+
+
+def load_cuckoo_sidecar(
+    catalog: SnapshotCatalog, n_expected: int
+) -> CuckooFilter64 | None:
+    """Reconstruct the persisted cuckoo filter for the CURRENT manifest,
+    or ``None`` when absent / mis-sized / missing on disk."""
+    entry = catalog.manifest().get("cuckoo")
+    if not entry or entry["n_expected"] != n_expected:
+        return None
+    path = catalog.root / "_bloom" / entry["file"]
+    if not path.exists():
+        return None
+    table = np.frombuffer(path.read_bytes(), dtype=np.uint16).reshape(
+        entry["n_buckets"], CuckooFilter64.SLOTS
+    )
+    cf = CuckooFilter64(n_expected, table=table.copy())
+    if cf.n_buckets != entry["n_buckets"]:
+        return None
+    return cf
+
+
 def load_bloom_sidecar(
     catalog: SnapshotCatalog, n_expected: int
 ) -> BloomFilter64 | None:
@@ -126,7 +175,7 @@ def run_round(
     host_policy: DataFrame,
     watermark: str,
     round_id: int,
-    bloom: BloomFilter64 | None = None,
+    bloom: BloomFilter64 | CuckooFilter64 | None = None,
     salt_buckets: int = 16,
     fetch_parallelism: int | None = None,
     expand: bool = False,
@@ -342,13 +391,17 @@ def run_round(
     stats.setdefault("deferred", 0)
     catalog.amend(version, {"stats": stats})
     if bloom is not None:
-        # incremental Bloom maintenance folded into the round: the delta
+        # incremental filter maintenance folded into the round: the delta
         # scan hits the persisted results_delta, so this costs one pass
         # over cached partitions (never a re-read of written parquet)
-        bloom.merge(build_bloom(seen_delta, "url_hash", bloom_expected))
-        # persist the merged bitmap against this round's manifest so a
-        # resume loads it instead of re-scanning the whole seen table
-        save_bloom_sidecar(catalog, version, bloom, bloom_expected)
+        if isinstance(bloom, CuckooFilter64):
+            bloom.merge(build_cuckoo(seen_delta, "url_hash", bloom_expected))
+            save_cuckoo_sidecar(catalog, version, bloom, bloom_expected)
+        else:
+            bloom.merge(build_bloom(seen_delta, "url_hash", bloom_expected))
+            # persist the merged bitmap against this round's manifest so a
+            # resume loads it instead of re-scanning the whole seen table
+            save_bloom_sidecar(catalog, version, bloom, bloom_expected)
     decisions.unpersist()
     results_delta.unpersist()
     for cached in round_caches:

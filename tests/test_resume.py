@@ -277,3 +277,45 @@ def test_requeue_refetches_invalidated_urls(spark, tmp_path):
     # seen set is back to covering every fetched url exactly once
     seen = sorted(r["url_hash"] for r in cat.read(spark, "seen").collect())
     assert len(seen) == len(set(seen))
+
+
+def test_cuckoo_crawl_lifecycle_matches_no_filter(spark, tmp_path):
+    """filter_kind='cuckoo' as a first-class crawl mode: interrupted
+    crawl resumes from the cuckoo sidecar, a requeue sweep tightens the
+    live filter, and the final state is bit-identical to the same
+    lifecycle run with no prefilter at all (exactness never depends on
+    the filter)."""
+    from cex_crawler_spark.operators.seen import CuckooFilter64
+    from cex_crawler_spark.plans.driver import requeue
+    from cex_crawler_spark.plans.round import load_cuckoo_sidecar
+
+    seeds = gen_frontier(spark, 250, n_payloads=60)
+    policy = gen_host_policy(spark).withColumn("budget_per_round", F.lit(30))
+
+    def lifecycle(path, **crawl_kw):
+        cat = SnapshotCatalog(path)
+        bootstrap(cat, seeds, WATERMARK)
+        crawl(spark, cat, policy, WATERMARK, max_rounds=2, **crawl_kw)  # kill
+        crawl(spark, cat, policy, WATERMARK, max_rounds=30, **crawl_kw)
+        target = (
+            seeds.join(
+                cat.read(spark, "results")
+                .filter(F.col("status") == "fetched")
+                .select("url"),
+                "url",
+            )
+            .orderBy("seq")
+            .limit(15)
+        )
+        cuckoo = None
+        if crawl_kw.get("filter_kind") == "cuckoo":
+            cuckoo = load_cuckoo_sidecar(cat, 5000)
+            assert isinstance(cuckoo, CuckooFilter64)  # sidecar resume works
+        requeue(spark, cat, target, cuckoo=cuckoo)
+        crawl(spark, cat, policy, WATERMARK, max_rounds=30, **crawl_kw)
+        return cat
+
+    cat_c = lifecycle(tmp_path / "cuckoo", filter_kind="cuckoo",
+                      bloom_expected=5000)
+    cat_n = lifecycle(tmp_path / "nofilter", use_bloom=False)
+    assert _final_state(spark, cat_c) == _final_state(spark, cat_n)
