@@ -139,45 +139,98 @@ def jitter_images(payloads: DataFrame, amplitude: int = 8) -> DataFrame:
 
 
 def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB — video frame sampling.
+    """Frame sampling over a binary video column — REAL plumbing, fake
+    codec.
 
-    The plumbing (schema, mapInPandas shape) is what a real ffmpeg-backed
-    implementation would use; this container has no video codec, so the
-    batch function raises.  Wire ffmpeg/PyAV here in production.
+    The container is the engine's deterministic ``rawv`` stand-in
+    (functions/imaging.py — this sandbox has no ffmpeg), chosen to share
+    the property a production decoder's plan depends on: a frame-offset
+    index, so sampling every ``every_n``-th frame decodes ONLY those
+    frames (ffmpeg seeks keyframes the same way — the scan never pays
+    for frames it drops).  Emits one row per sampled frame, PNG-encoded,
+    so downstream image operators (features/phash/near-dups) compose
+    unchanged.  Swap ``rawv_*`` for PyAV calls in production — same
+    batch fn, same schema, same plan.
+
+    One video explodes to n/every_n rows — at 100 TB repartition the
+    OUTPUT by (video_id, frame_no) if a skewed long video dominates a
+    task; input rows are independent, so Arrow batch shape is the only
+    per-task bound.
     """
     schema = T.StructType(
         [
             T.StructField("video_id", T.StringType()),
             T.StructField("frame_no", T.IntegerType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
             T.StructField("frame_png", T.BinaryType()),
         ]
     )
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video decode requires ffmpeg/PyAV — not available in this "
-            "sandbox; plumbing stub only"
+        from ..functions.imaging import (
+            png_encode,
+            rawv_decode_frame,
+            rawv_info,
         )
-        yield  # pragma: no cover
+
+        for pdf in it:
+            rows = []
+            for vid, b in zip(pdf["video_id"], pdf["bytes"]):
+                data = bytes(b)
+                w, h, n = rawv_info(data)
+                for fno in range(0, n, every_n):
+                    rows.append(
+                        (vid, fno, w, h, n,
+                         png_encode(rawv_decode_frame(data, fno)))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
 
     return videos.select("video_id", "bytes").mapInPandas(run, schema=schema)
 
 
 def audio_features(audio: DataFrame) -> DataFrame:
-    """STUB — audio feature extraction (same contract as above)."""
+    """Audio features over a binary PCM column — REAL plumbing, fake
+    codec (``rawa`` float32 PCM stands in for soundfile; swap the decode
+    call in production — same batch fn, schema, plan).  Features are
+    numpy-vectorized over the whole sample array per row: duration,
+    RMS, peak, zero-crossing rate."""
     schema = T.StructType(
         [
             T.StructField("audio_id", T.StringType()),
+            T.StructField("sample_rate", T.IntegerType()),
             T.StructField("duration_s", T.DoubleType()),
             T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("zero_cross_rate", T.DoubleType()),
         ]
     )
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "audio decode requires soundfile/librosa — not available in "
-            "this sandbox; plumbing stub only"
-        )
-        yield  # pragma: no cover
+        from ..functions.imaging import rawa_decode
+
+        for pdf in it:
+            rows = []
+            for aid, b in zip(pdf["audio_id"], pdf["bytes"]):
+                s, sr = rawa_decode(bytes(b))
+                n = len(s)
+                rows.append(
+                    (
+                        aid,
+                        sr,
+                        n / sr if sr else 0.0,
+                        float(np.sqrt(np.mean(s**2))) if n else 0.0,
+                        float(np.abs(s).max()) if n else 0.0,
+                        float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1])))
+                        if n > 1
+                        else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
 
     return audio.select("audio_id", "bytes").mapInPandas(run, schema=schema)
