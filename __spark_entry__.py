@@ -393,6 +393,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q5_local_supplier_volume"] = q5_local_supplier_volume
 
+    def q18_large_orders(spark, sf):
+        """TPC-H Q18 shape (r5): customers whose single order exceeds a
+        quantity threshold — an aggregate-then-semi-join.  The HAVING
+        subquery produces a tiny key set, so the plan is a map-side
+        combinable groupBy followed by a BROADCAST semi-join of the big
+        tables against it, never a shuffle of orders×lineitem; the
+        re-aggregation after the join only touches the surviving rows."""
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("__q"))
+            .filter(F.col("__q") > 300)
+            .select("l_orderkey")
+        )
+        return (
+            li.join(F.broadcast(big), "l_orderkey")
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy(
+                "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice",
+            )
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(100)
+        )
+
+    q["q18_large_orders"] = q18_large_orders
+
     def orders_rollup(spark, sf):
         """Hierarchical ROLLUP (the hypertable-rollup aggregation
         shape): per (year, orderstatus) → per year → grand total in one
@@ -1519,6 +1550,21 @@ def oracle_sql() -> dict[str, str]:
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY n_name
         ORDER BY revenue DESC, n_name ASC
+    """
+
+    o["q18_large_orders"] = """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY 1 HAVING sum(l_quantity) > 300
+        )
+        GROUP BY 1, 2, 3, 4, 5
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
     """
 
     o["doc_length_quantiles"] = """
