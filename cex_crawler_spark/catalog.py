@@ -217,6 +217,16 @@ class SnapshotCatalog:
                 "version": version,
                 "round": round_id,
                 "tables": tables,
+                # durable table properties (Iceberg-style): carried
+                # forward through EVERY commit unless the writer
+                # overrides them.  The streaming sink's exactly-once
+                # guard depends on this — its per-table high-water batch
+                # id must survive interleaved non-stream commits, or a
+                # sink-commit → other-commit → crash sequence would
+                # replay the last batch as new (double append).
+                **{
+                    k: base[k] for k in ("stream_batches",) if k in base
+                },
                 **(extra or {}),
             }
             try:

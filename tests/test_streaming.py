@@ -101,3 +101,61 @@ def test_stream_first_seen_stateful_dedup(spark, tmp_path):
     assert sorted(emitted) == sorted(
         {("h1", 1), ("h1", 2), ("h1", 3), ("h2", 10), ("h2", 11)}
     )
+
+
+def test_stream_catalog_sink_exactly_once(spark, tmp_path):
+    """Idempotent foreachBatch into the snapshot catalog: a drained
+    stream's rows land exactly once; a REPLAYED batch id (what Spark
+    does after a crash between sink commit and checkpoint write) is a
+    no-op; a restart with the same checkpoint processes only NEW files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cex_crawler_spark.catalog import SnapshotCatalog
+    from cex_crawler_spark.streaming.sink import (
+        make_batch_writer,
+        stream_append_exactly_once,
+    )
+
+    events = pq.read_table(f"{SF}/events.parquet")
+    half = events.num_rows // 2
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(events.slice(0, half), src / "part-0.parquet")
+
+    cat = SnapshotCatalog(tmp_path / "cat")
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = stream_append_exactly_once(
+        stream, cat, "events_sink", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert cat.read(spark, "events_sink").count() == half
+    mark1 = cat.manifest()["stream_batches"]["events_sink"]
+    v1 = cat.manifest()["version"]
+
+    # crash-replay simulation: re-offer an already-committed batch id
+    writer = make_batch_writer(cat, "events_sink")
+    writer(spark.read.parquet(str(src)), mark1)
+    assert cat.manifest()["version"] == v1          # no new commit
+    assert cat.read(spark, "events_sink").count() == half  # no dup rows
+
+    # the high-water mark must survive an interleaved NON-stream commit
+    # (durable manifest property), or a crash-replay after it would
+    # double-append
+    from cex_crawler_spark.catalog import OVERWRITE
+
+    cat.commit(0, {"other": (spark.range(3).toDF("id"), OVERWRITE)})
+    assert cat.manifest()["stream_batches"]["events_sink"] == mark1
+    writer(spark.read.parquet(str(src)), mark1)
+    assert cat.read(spark, "events_sink").count() == half
+
+    # restart with the same checkpoint: only the NEW file is processed
+    pq.write_table(events.slice(half), src / "part-1.parquet")
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    q2 = stream_append_exactly_once(
+        stream2, cat, "events_sink", str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert cat.read(spark, "events_sink").count() == events.num_rows
+    assert cat.manifest()["stream_batches"]["events_sink"] > mark1
