@@ -926,6 +926,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_token_stats"] = doc_token_stats
 
+    def doc_pack_sequences(spark, sf):
+        """Sequence packing (r5): assign each document to a fixed
+        token-budget pack (contiguous packing — a doc belongs to the
+        pack its first token lands in, overflow ≤ max doc length; the
+        never-overflow greedy reset is a sequential recurrence no
+        engine parallelizes).  The running token sum uses the chunked
+        decomposition from the scheduler's per-host rank, never a
+        global single-task window; the oracle is the equivalent plain
+        SQL window cumsum."""
+        from cex_crawler_spark.operators.packing import pack_documents
+
+        d = _t(spark, sf, "documents")
+        packed = pack_documents(
+            d, "doc_id", token_count(F.col("text")), budget=2048
+        )
+        return packed.select("doc_id", "n_tokens", "pack_id").orderBy(
+            "doc_id"
+        )
+
+    q["doc_pack_sequences"] = doc_pack_sequences
+
     def doc_unigram_logprob(spark, sf):
         """CCNet-style LM quality gate: per-doc mean −ln p(token) under
         the corpus's own unigram MLE model (rare-token noise scores
@@ -1858,6 +1879,19 @@ def oracle_sql() -> dict[str, str]:
                  END AS delay_s
           FROM part
         ) ORDER BY p_partkey LIMIT 500
+    """
+
+    # doc_pack_sequences: the chunked running sum must equal the plain
+    # window cumsum; pack = floor((cumsum - n_tokens) / budget)
+    o["doc_pack_sequences"] = f"""
+        SELECT doc_id, n_tokens,
+               CAST(floor((c - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        FROM (
+          SELECT doc_id, len({_TOKS}) AS n_tokens,
+                 sum(len({_TOKS})) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS c
+          FROM documents
+        ) ORDER BY doc_id
     """
 
     o["doc_token_stats"] = f"""

@@ -1,0 +1,87 @@
+"""Sequence packing — bin documents into fixed token-budget packs.
+
+The pretraining-data step after curation: training consumes
+fixed-length sequences, so documents are assigned to "packs" of
+``budget`` tokens each.  This operator implements deterministic
+CONTIGUOUS packing: documents in ``order_col`` order fill pack 0 until
+the running token total passes the budget, then pack 1, and so on —
+``pack_id = floor((cumsum - n_tokens) / budget)`` (a document belongs
+to the pack its FIRST token lands in, so packs may overflow by at most
+``max(n_tokens) - 1``; the greedy reset-accumulator variant that never
+overflows is a sequential recurrence no engine parallelizes, and the
+contiguous form is what makes the assignment both scale-out and
+SQL-oracle-checkable).
+
+Scale shape: the naive plan is ``sum() OVER (ORDER BY order_col)`` —
+a GLOBAL window that sorts the corpus into ONE task.  Instead the
+running sum uses the same chunked decomposition as the scheduler's
+per-host rank (operators/politeness.py): local cumsum within
+order-aligned chunks (one shuffle, parallelism = corpus/chunk_width)
+plus broadcast per-chunk prefix offsets — a 10^10-doc corpus packs
+with 10^10/W parallel tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_CHUNK_WIDTH = 8192
+
+
+def pack_documents(
+    df: DataFrame,
+    order_col: str,
+    length_col: Column,
+    budget: int,
+    chunk_width: int = _CHUNK_WIDTH,
+) -> DataFrame:
+    """``df`` + (n_tokens, pack_id) under contiguous token packing.
+
+    ``order_col``: unique numeric ordering key (the pack order —
+    typically the doc id of an already-shuffled corpus).  ``length_col``:
+    token-count expression.  Chunks are keyed by ``order_col div
+    chunk_width`` — order-aligned by construction, so no range-sampling
+    pass is needed, exactly as in the scheduler's chunked rank.
+    """
+    d = df.withColumn("n_tokens", length_col).withColumn(
+        "__chunk", F.floor(F.col(order_col) / F.lit(chunk_width))
+    )
+    local = d.withColumn(
+        "__lsum",
+        F.sum("n_tokens").over(
+            Window.partitionBy("__chunk")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # per-chunk totals are corpus/chunk_width rows — the offset window
+    # over them is tiny (same pattern as the per-host rank offsets)
+    counts = local.groupBy("__chunk").agg(F.sum("n_tokens").alias("__cnt"))
+    w_off = Window.orderBy("__chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    ).select("__chunk", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__chunk")
+        .withColumn(
+            "pack_id",
+            F.floor(
+                (F.col("__lsum") + F.col("__off") - F.col("n_tokens"))
+                / F.lit(budget)
+            ),
+        )
+        .drop("__chunk", "__lsum", "__off")
+    )
+
+
+def pack_stats(packed: DataFrame) -> DataFrame:
+    """Per-pack fill stats: docs, tokens, and fill ratio vs ``budget``
+    must be computed by the caller (budget isn't carried per-row)."""
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )

@@ -389,3 +389,54 @@ class TestCrawlDelay:
             ).count()
             > 0
         )
+
+
+class TestPacking:
+    def test_chunked_packing_matches_naive_window(self, spark):
+        """The chunked prefix-sum decomposition must equal the naive
+        global-window cumsum exactly, and per-pack token totals must
+        respect the contiguous-packing overflow bound
+        (budget + max_len - 1)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from cex_crawler_spark.operators.packing import (
+            pack_documents,
+            pack_stats,
+        )
+
+        # sparse, non-contiguous ids; deterministic pseudo-random lengths
+        df = spark.range(2000).select(
+            (F.col("id") * 7 + F.pmod(F.col("id"), F.lit(13))).alias("doc_id"),
+            (F.pmod(F.xxhash64("id"), F.lit(97)) + 1).alias("len"),
+        )
+        budget = 500
+        packed = pack_documents(
+            df, "doc_id", F.col("len"), budget, chunk_width=64
+        )
+        got = {
+            r["doc_id"]: r["pack_id"]
+            for r in packed.select("doc_id", "pack_id").collect()
+        }
+        naive = df.withColumn(
+            "c",
+            F.sum("len").over(
+                Window.orderBy("doc_id").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).withColumn(
+            "pack_id", F.floor((F.col("c") - F.col("len")) / F.lit(budget))
+        )
+        want = {
+            r["doc_id"]: r["pack_id"]
+            for r in naive.select("doc_id", "pack_id").collect()
+        }
+        assert got == want
+
+        max_len = df.agg(F.max("len")).first()[0]
+        for r in pack_stats(packed).collect():
+            assert r["n_tokens"] <= budget + max_len - 1
+        # packs are contiguous: sorted doc ids have non-decreasing packs
+        ordered = [p for _, p in sorted(got.items())]
+        assert ordered == sorted(ordered)
