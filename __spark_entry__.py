@@ -947,6 +947,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_pack_sequences"] = doc_pack_sequences
 
+    def doc_decontamination(spark, sf):
+        """Benchmark decontamination (r5): training docs sharing any
+        verbatim 8-gram with the held-out eval slice (doc_id % 29 == 0
+        plays the benchmark).  Eval grams broadcast; the corpus is one
+        scan-side explode + map-side join — see
+        operators/dedup.py:decontamination_matches."""
+        from cex_crawler_spark.operators.dedup import decontamination_matches
+
+        d = _t(spark, sf, "documents")
+        ev = d.filter(F.col("doc_id") % 29 == 0)
+        tr = d.filter(F.col("doc_id") % 29 != 0)
+        return decontamination_matches(tr, ev, k=8).orderBy("doc_id")
+
+    q["doc_decontamination"] = doc_decontamination
+
     def doc_unigram_logprob(spark, sf):
         """CCNet-style LM quality gate: per-doc mean −ln p(token) under
         the corpus's own unigram MLE model (rare-token noise scores
@@ -1879,6 +1894,28 @@ def oracle_sql() -> dict[str, str]:
                  END AS delay_s
           FROM part
         ) ORDER BY p_partkey LIMIT 500
+    """
+
+    # doc_decontamination: same normalized 8-grams in DuckDB (string
+    # join — the engine joins on xxhash64 of the same strings)
+    _G8 = " || ' ' || ".join(f"toks[i+{j}]" for j in range(8))
+    o["doc_decontamination"] = f"""
+        WITH n AS (
+          SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_distinct([{_G8}
+                   for i in range(1, greatest(len(toks) - 8 + 1, 0) + 1)])) AS s
+          FROM n
+        ),
+        ev AS (SELECT * FROM g WHERE doc_id % 29 = 0),
+        tr AS (SELECT * FROM g WHERE doc_id % 29 <> 0)
+        SELECT tr.doc_id,
+               count(DISTINCT tr.s) AS n_shared_grams,
+               count(DISTINCT ev.doc_id) AS n_eval_docs
+        FROM tr JOIN ev ON tr.s = ev.s
+        GROUP BY tr.doc_id ORDER BY tr.doc_id
     """
 
     # doc_pack_sequences: the chunked running sum must equal the plain

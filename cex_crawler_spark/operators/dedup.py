@@ -705,3 +705,51 @@ def simhash_dedup_candidates(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash")
     )
     return hamming_near_dup_candidates(h, "simhash", "id", n_blocks, bucket_cap)
+
+
+# ------------------------------------------------- decontamination
+
+def decontamination_matches(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥ 1 verbatim
+    k-gram with an eval/benchmark set — the standard pretraining hygiene
+    screen (eval answers leaking into training data inflate scores).
+
+    Returns (doc_id, n_shared_grams, n_eval_docs) for CONTAMINATED
+    training docs only; callers anti-join the full corpus against it.
+
+    Scale shape: the eval side is small by definition (benchmarks), so
+    its distinct k-gram hashes BROADCAST — the training corpus is
+    touched by exactly one scan-side explode + map-side hash join, no
+    shuffle of the corpus itself; the per-doc aggregation shuffles only
+    the matching (doc, gram) rows, which decontamination assumes are
+    rare.  Grams join on their xxhash64 (8 B vs ~50 B strings); a
+    collision could at worst over-count one shared gram — the flag
+    itself (≥ 1 match) is unaffected unless the colliding gram is the
+    only match (~2⁻⁶⁴ per pair).
+    """
+    from ..functions.text import word_shingles
+
+    def grams(d: DataFrame, out_id: str) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), k))
+            ).alias("__g"),
+        ).withColumn("__gh", F.xxhash64("__g")).drop("__g")
+
+    tr = grams(docs, "doc_id")
+    ev = grams(eval_docs, "eval_id")
+    return (
+        tr.join(F.broadcast(ev), "__gh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("__gh").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )

@@ -753,3 +753,25 @@ class TestMultimodal:
         assert abs(s.zero_cross_rate - 200 / sr) < 1e-3
         z = out["silence"]
         assert z.rms == 0.0 and z.peak == 0.0 and abs(z.duration_s - 0.5) < 1e-9
+
+
+class TestDecontamination:
+    def test_planted_leak_detected_boundary_exact(self, spark):
+        """A verbatim 8-gram flags the doc; 7 shared consecutive tokens
+        do NOT (the k boundary is exact); unrelated docs stay clean."""
+        from cex_crawler_spark.operators.dedup import decontamination_matches
+
+        bench = "the quick brown fox jumps over the lazy dog tonight"
+        toks = bench.split()
+        ev = spark.createDataFrame([(0, bench)], "doc_id long, text string")
+        tr = spark.createDataFrame(
+            [
+                (1, "intro words " + " ".join(toks[:8]) + " trailing text"),
+                (2, "intro words " + " ".join(toks[:7]) + " trailing text"),
+                (3, "completely different content with no overlap at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in decontamination_matches(tr, ev).collect()}
+        assert set(out) == {1}
+        assert out[1]["n_shared_grams"] == 1 and out[1]["n_eval_docs"] == 1
