@@ -962,6 +962,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_decontamination"] = doc_decontamination
 
+    def doc_pii_scrub(spark, sf):
+        """PII detection + redaction (r5): emails/phones injected
+        deterministically into the corpus (the parquet has none), then
+        counted and scrubbed by the pure-Catalyst transforms — patterns
+        chosen to mean the same thing in Java regex and RE2 so the
+        oracle replays them verbatim."""
+        from cex_crawler_spark.functions.text import (
+            pii_email_count,
+            pii_phone_count,
+            scrub_pii,
+        )
+
+        d = _t(spark, sf, "documents")
+        txt = F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.format_string(
+                    " contact user%d@mail-%d.example.org now",
+                    F.col("doc_id"), F.col("doc_id") % 7,
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.format_string(
+                    " call +1 555 10%04d", F.col("doc_id") % 10000
+                ),
+            ).otherwise(F.lit("")),
+        )
+        return d.select(
+            "doc_id",
+            pii_email_count(txt).alias("n_emails"),
+            pii_phone_count(txt).alias("n_phones"),
+            scrub_pii(txt).alias("scrubbed"),
+        ).orderBy("doc_id")
+
+    q["doc_pii_scrub"] = doc_pii_scrub
+
+    def doc_repetition_stats(spark, sf):
+        """Gopher-style repetition screens (r5): top-token fraction,
+        top-bigram fraction, distinct-token ratio per doc — the mode is
+        computed relationally (explode → map-combinable count aggs),
+        never as a per-row array fold."""
+        from cex_crawler_spark.functions.text import repetition_stats
+
+        d = _t(spark, sf, "documents")
+        return repetition_stats(d, "text", "doc_id").orderBy("id")
+
+    q["doc_repetition_stats"] = doc_repetition_stats
+
     def doc_unigram_logprob(spark, sf):
         """CCNet-style LM quality gate: per-doc mean −ln p(token) under
         the corpus's own unigram MLE model (rare-token noise scores
@@ -1916,6 +1966,63 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT ev.doc_id) AS n_eval_docs
         FROM tr JOIN ev ON tr.s = ev.s
         GROUP BY tr.doc_id ORDER BY tr.doc_id
+    """
+
+    # doc_pii_scrub: identical injection + the same Java/RE2-portable
+    # patterns replayed with DuckDB's regexp functions
+    _EM = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _PH = r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4,8}"
+    o["doc_pii_scrub"] = f"""
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{_EM}')) AS n_emails,
+               len(regexp_extract_all(t, '{_PH}')) AS n_phones,
+               regexp_replace(
+                 regexp_replace(t, '{_EM}', '[EMAIL]', 'g'),
+                 '{_PH}', '[PHONE]', 'g') AS scrubbed
+        FROM (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 = 0
+                    THEN ' contact user' || doc_id || '@mail-'
+                         || (doc_id % 7) || '.example.org now'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0
+                    THEN ' call +1 555 10'
+                         || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                    ELSE '' END AS t
+          FROM documents
+        ) ORDER BY doc_id
+    """
+
+    # doc_repetition_stats: relational token/bigram modes in DuckDB
+    o["doc_repetition_stats"] = f"""
+        WITH toks AS (
+          SELECT doc_id AS id, unnest({_TOKS}) AS t FROM documents
+        ),
+        uni AS (
+          SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_c,
+                 count(*) AS n_distinct
+          FROM (SELECT id, t, count(*) AS c FROM toks GROUP BY 1, 2)
+          GROUP BY id
+        ),
+        bigs AS (
+          SELECT id, max(c) AS top_big_c,
+                 CAST(sum(c) AS BIGINT) AS n_bigrams FROM (
+            SELECT doc_id AS id, b, count(*) AS c FROM (
+              SELECT doc_id,
+                     unnest([toks[i] || ' ' || toks[i+1]
+                             for i in range(1, greatest(len(toks) - 1, 0) + 1)]) AS b
+              FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks
+                    FROM documents)
+            ) GROUP BY 1, 2
+          ) GROUP BY id
+        )
+        SELECT u.id, u.n_tokens,
+               round(u.top_c / u.n_tokens, 6) AS top_token_frac,
+               round(coalesce(b.top_big_c / b.n_bigrams, 0.0), 6)
+                 AS top_bigram_frac,
+               round(u.n_distinct / u.n_tokens, 6) AS distinct_ratio
+        FROM uni u LEFT JOIN bigs b USING (id) ORDER BY u.id
     """
 
     # doc_pack_sequences: the chunked running sum must equal the plain

@@ -170,3 +170,82 @@ def unigram_logprob_scores(df, text_col: str, id_col: str):
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+# ------------------------------------------------- PII scrubbing
+
+# Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): plain character classes, no lookarounds, literal '-' last.
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RX = r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4,8}"
+
+
+def pii_email_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RX), 0))
+
+
+def pii_phone_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RX), 0))
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails/phones in place — the corpus-scrub transform a
+    training pipeline runs before packing.  Pure Catalyst (two
+    regexp_replace), so it rides the scan projection; order matters
+    (emails first — a phone pattern can never span an email, the
+    reverse could bite if the patterns ever overlap)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RX, "[EMAIL]"),
+        PII_PHONE_RX,
+        "[PHONE]",
+    )
+
+
+def repetition_stats(df, text_col: str, id_col: str):
+    """Gopher-style repetition screens (Rae et al., arXiv:2112.11446
+    §A1.1 — public paper): per doc, the fraction of tokens that are the
+    single most frequent token, the same for the most frequent bigram,
+    and the distinct-token ratio.  Highly repetitive documents (boiler,
+    keyword stuffing, generation loops) score high top-fractions / low
+    distinct ratios and get filtered.
+
+    Relational formulation — the per-doc token mode is NOT a per-row
+    array expression but two explode → map-combinable count aggs joined
+    back, so it scales like any word-count job (skew = the longest doc,
+    bounded by max doc length, not by corpus size).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("t"),
+    )
+    uni = (
+        toks.groupBy("id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_c"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    big = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), 2)).alias("b"),
+    )
+    big = (
+        big.groupBy("id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_big_c"), F.sum("c").alias("n_bigrams"))
+    )
+    return uni.join(big, "id", "left").select(
+        F.col("id"),
+        F.col("n_tokens"),
+        F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_token_frac"),
+        F.round(
+            F.coalesce(F.col("top_big_c") / F.col("n_bigrams"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+            "distinct_ratio"
+        ),
+    )
