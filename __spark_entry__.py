@@ -1215,6 +1215,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_curation_neardup"] = corpus_curation_neardup
 
+    def corpus_curation_packed(spark, sf):
+        """The END of the pipeline (r5 capstone): quality+language
+        gates → near-dup collapse (LSH pairs → connected components →
+        representatives) → SEQUENCE PACKING of the surviving docs into
+        1024-token packs — curation's output in the shape a trainer
+        actually consumes.  Every stage is the audited scale path; the
+        oracle extends the curation recursive CTE with the window-cumsum
+        pack assignment."""
+        from cex_crawler_spark.functions.text import lang_id, quality_score
+        from cex_crawler_spark.operators.dedup import (
+            dedup_cluster_representatives,
+        )
+        from cex_crawler_spark.operators.packing import pack_documents
+
+        d = _t(spark, sf, "documents")
+        scored = d.select(
+            "doc_id", "text",
+            quality_score(F.col("text")).alias("quality"),
+            lang_id(F.col("text")).alias("lang_pred"),
+        )
+        kept = scored.filter(
+            (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+        )
+        pairs = minhash_lsh_pairs(
+            kept, "text", "doc_id", num_hashes=64, bands=32, shingle_k=3,
+            threshold=0.5,
+        )
+        reps = dedup_cluster_representatives(kept, pairs, "doc_id")
+        sizes = reps.groupBy("component").agg(
+            F.count("*").alias("cluster_size")
+        )
+        rep = reps.filter(F.col("is_representative")).join(sizes, "component")
+        packed = pack_documents(
+            rep, "doc_id", token_count(F.col("text")), budget=1024
+        )
+        return packed.select(
+            "doc_id", "cluster_size", "n_tokens", "pack_id"
+        ).orderBy("doc_id")
+
+    q["corpus_curation_packed"] = corpus_curation_packed
+
     def doc_dup_span_stats(spark, sf):
         """Linear-cost substring-dedup screen: per-doc count/ratio of
         5-token spans shared with ≥ 2 documents (no pair join — the
@@ -2191,6 +2232,28 @@ def oracle_sql() -> dict[str, str]:
         WHERE c.doc_id = c.component
         ORDER BY c.doc_id
     """
+
+    # corpus_curation_packed: the same curation CTE chain, then the
+    # window-cumsum pack assignment over the representatives
+    o["corpus_curation_packed"] = (
+        o["corpus_curation_neardup"].split("SELECT c.doc_id")[0]
+        + f""", rep AS (
+          SELECT c.doc_id, k.text, s.cluster_size
+          FROM comp c
+          JOIN kept k USING (doc_id)
+          JOIN sizes s ON s.component = c.component
+          WHERE c.doc_id = c.component
+        ),
+        t AS (
+          SELECT doc_id, cluster_size, len({_TOKS}) AS n_tokens FROM rep
+        )
+        SELECT doc_id, cluster_size, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tokens) / 1024.0) AS BIGINT)
+                 AS pack_id
+        FROM t ORDER BY doc_id
+    """
+    )
 
     # doc_dup_span_stats: independent DuckDB derivation — 5-token spans
     # via list slicing (the engine uses a regex-lookahead window + JVM
