@@ -38,6 +38,12 @@ OVERWRITE = "overwrite"
 APPEND = "append"
 
 
+class IncrementalReadError(RuntimeError):
+    """Raised when an incremental read spans a non-append rewrite
+    (overwrite or compaction) — the path diff would return rewritten
+    files containing OLD rows, so the read is refused instead."""
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed the same manifest version first.
 
@@ -87,6 +93,61 @@ class SnapshotCatalog:
         if entry is None or not entry["paths"]:
             raise KeyError(f"table {table!r} not in catalog")
         return spark.read.parquet(*entry["paths"])
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        table: str,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Rows appended to ``table`` AFTER ``from_version``, up to and
+        including ``to_version`` (default: current) — the Iceberg
+        incremental-scan analog (``incremental append scan`` between two
+        snapshot ids).
+
+        This is how downstream consumers (the curation/packing pipeline,
+        a metrics exporter) keep up with a long-running crawl without
+        re-reading the whole table each round: at 100 TB a results table
+        holds thousands of per-round directories, and the incremental
+        scan opens ONLY the directories committed in the window — cost
+        proportional to the new data, not the table.
+
+        Every append commit adds exactly one immutable directory to the
+        table's manifest path list, so the change set is the path-list
+        difference between the two manifests.  Correct ONLY over
+        pure-append history: an OVERWRITE or :meth:`compact` between the
+        two versions rewrites the path set, and the diff would return
+        rewritten files full of OLD rows — detected (the old version's
+        paths are no longer a subset of the new version's) and refused
+        with :class:`IncrementalReadError`, exactly as Iceberg's
+        incremental scan refuses REPLACE/OVERWRITE snapshots.
+        """
+        if to_version is None:
+            to_version = self.current_version()
+        if not 0 <= from_version <= to_version:
+            raise ValueError(
+                f"need 0 <= from_version <= to_version, got "
+                f"{from_version}..{to_version}"
+            )
+        entry = self.manifest(to_version)["tables"].get(table)
+        if entry is None:
+            raise KeyError(f"table {table!r} not in catalog @ v{to_version}")
+        old = self.manifest(from_version)["tables"].get(table)
+        old_paths = set(old["paths"]) if old else set()
+        if not old_paths.issubset(entry["paths"]):
+            raise IncrementalReadError(
+                f"table {table!r} was overwritten or compacted between "
+                f"v{from_version} and v{to_version}; incremental read is "
+                "only defined over pure-append history — fall back to a "
+                "full read of the newer version"
+            )
+        new_paths = [p for p in entry["paths"] if p not in old_paths]
+        if not new_paths:
+            # schema-stable empty result (no table scan: parquet footer
+            # read only)
+            return spark.read.parquet(*entry["paths"]).limit(0)
+        return spark.read.parquet(*new_paths)
 
     # ---------------------------------------------------------------- commit
 

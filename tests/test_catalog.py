@@ -228,3 +228,51 @@ def test_frontier_partition_pruning(spark, tmp_path):
         for b in range(HOST_BUCKETS)
     )
     assert n_full == n_sum
+
+
+# ------------------------------------------------------------ incremental
+
+
+def test_read_changes_append_window(spark, cat):
+    """Incremental scan returns exactly the rows appended in the
+    version window — cost proportional to new data, not the table."""
+    from cex_crawler_spark.catalog import IncrementalReadError  # noqa: F401
+
+    cat.commit(2, {"log": (spark.range(10, 14), APPEND)})  # v3
+    cat.commit(3, {"log": (spark.range(20, 21), APPEND)})  # v4
+
+    got = {r.id for r in cat.read_changes(spark, "log", 2).collect()}
+    assert got == {10, 11, 12, 13, 20}
+    got = {r.id for r in cat.read_changes(spark, "log", 2, 3).collect()}
+    assert got == {10, 11, 12, 13}
+    # from the table's birth: the full table
+    assert cat.read_changes(spark, "log", 0).count() == 10
+    # empty window: zero rows, schema intact
+    empty = cat.read_changes(spark, "log", 4, 4)
+    assert empty.count() == 0
+    assert empty.schema == cat.read(spark, "log").schema
+
+
+def test_read_changes_refuses_rewrites(spark, cat):
+    """Overwrite and compaction rewrite the path set — the path diff
+    would return old rows as 'new', so the read must refuse."""
+    from cex_crawler_spark.catalog import IncrementalReadError
+
+    cat.commit(2, {"t": (spark.range(3), OVERWRITE)})  # v3 rewrites t
+    with pytest.raises(IncrementalReadError):
+        cat.read_changes(spark, "t", 2)
+    # but the window AFTER the overwrite is pure-append again
+    cat.commit(3, {"t": (spark.range(100, 102), APPEND)})  # v4
+    got = {r.id for r in cat.read_changes(spark, "t", 3).collect()}
+    assert got == {100, 101}
+
+    cat.compact(spark, "log")  # v5 rewrites log's path list
+    with pytest.raises(IncrementalReadError):
+        cat.read_changes(spark, "log", 2)
+
+
+def test_read_changes_bad_window(spark, cat):
+    with pytest.raises(ValueError):
+        cat.read_changes(spark, "log", 2, 1)
+    with pytest.raises(KeyError):
+        cat.read_changes(spark, "nope", 0)
