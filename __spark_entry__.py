@@ -617,6 +617,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["window_topk_orders"] = window_topk_orders
 
+    def salted_topk_events(spark, sf):
+        """Skew-safe per-group top-k: 5 event types over the whole
+        events table is exactly the hot-key shape where the window form
+        (`window_topk_orders`) serializes each group into one task.
+        `salted_topk` computes the SAME exact result via two bounded
+        aggregates — no Window node in the plan (asserted in
+        tests/test_skew.py)."""
+        from cex_crawler_spark.operators.skew import salted_topk
+
+        e = _t(spark, sf, "events").select("event_type", "event_id", "value")
+        top = salted_topk(e, ["event_type"], ["value", "event_id"], 5)
+        return top.select(
+            "event_type", "event_id",
+            F.round("value", 3).alias("value"), "rank",
+        ).orderBy("event_type", "rank")
+
+    q["salted_topk_events"] = salted_topk_events
+
+    def salted_distinct_users(spark, sf):
+        """Exact per-group COUNT(DISTINCT) with bounded per-task state:
+        value-salted partial distinct counts (disjoint by construction)
+        summed in a second aggregate."""
+        from cex_crawler_spark.operators.skew import salted_distinct_count
+
+        e = _t(spark, sf, "events")
+        return salted_distinct_count(
+            e, ["event_type"], "user_id"
+        ).orderBy("event_type")
+
+    q["salted_distinct_users"] = salted_distinct_users
+
     def pivot_order_status(spark, sf):
         o = _t(spark, sf, "orders")
         return (
@@ -1792,6 +1823,24 @@ def oracle_sql() -> dict[str, str]:
           FROM orders
         ) WHERE rk <= 3
         ORDER BY o_custkey, rk
+    """
+
+    o["salted_topk_events"] = """
+        SELECT event_type, event_id, round(value, 3) AS value, rank
+        FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id DESC)
+                   AS rank
+          FROM events
+        ) WHERE rank <= 5
+        ORDER BY event_type, rank
+    """
+
+    o["salted_distinct_users"] = """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS user_id_distinct
+        FROM events GROUP BY event_type ORDER BY event_type
     """
 
     o["pivot_order_status"] = """

@@ -1,0 +1,98 @@
+"""Skew-safe salted aggregation: exactness vs the naive forms on a
+deliberately skewed key, plus the no-window plan guarantee."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cex_crawler_spark.operators.skew import (
+    salted_collect_set,
+    salted_distinct_count,
+    salted_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """4,000 rows; key 'hot' owns 50 % of them (the shape that
+    serializes a per-key window into one task)."""
+    df = (
+        spark.range(4000)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 2 == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 7).cast("string")))
+            .alias("key"),
+            F.pmod(F.xxhash64("id"), F.lit(977)).alias("score"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(5)).alias("val"),
+        )
+        .persist()
+    )
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _window_topk(df, k):
+    w = Window.partitionBy("key").orderBy(
+        F.col("score").desc(), F.col("id").desc()
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def test_salted_topk_equals_window(spark, skewed):
+    got = salted_topk(skewed, ["key"], ["score", "id"], 10, salt_buckets=8)
+    want = _window_topk(skewed, 10)
+    cols = ["key", "id", "score", "val", "rank"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
+def test_salted_topk_k_exceeds_group(spark, skewed):
+    """k larger than some groups: every row comes back, ranks dense."""
+    small = skewed.filter(F.col("key") != "hot")
+    got = salted_topk(small, ["key"], ["score", "id"], 10_000, salt_buckets=4)
+    assert got.count() == small.count()
+    want = _window_topk(small, 10_000)
+    assert sorted(map(tuple, got.select("key", "id", "rank").collect())) == \
+        sorted(map(tuple, want.select("key", "id", "rank").collect()))
+
+
+def test_salted_topk_plan_has_no_window(spark, skewed):
+    """The point of the operator: no per-key window sort anywhere in the
+    physical plan (a hot key never serializes into one task)."""
+    plan = salted_topk(
+        skewed, ["key"], ["score", "id"], 5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_salted_collect_set_equals_naive(spark, skewed):
+    got = salted_collect_set(skewed, ["key"], "val", salt_buckets=8)
+    want = skewed.groupBy("key").agg(
+        F.sort_array(F.collect_set("val")).alias("val_set")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_salted_distinct_count_equals_naive(spark, skewed):
+    got = salted_distinct_count(skewed, ["key"], "val", salt_buckets=8)
+    want = skewed.groupBy("key").agg(
+        F.count_distinct("val").alias("val_distinct")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_salted_topk_deterministic(spark, skewed):
+    a = salted_topk(skewed, ["key"], ["score", "id"], 7, salt_buckets=3)
+    b = salted_topk(skewed, ["key"], ["score", "id"], 7, salt_buckets=16)
+    # different bucket counts, identical exact result
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
