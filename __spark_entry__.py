@@ -648,6 +648,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["salted_distinct_users"] = salted_distinct_users
 
+    def hll_distinct_users(spark, sf):
+        """Mergeable-sketch cardinality: per-(event_type, day) HLL
+        partials unioned per event_type — the rollup shape that answers
+        'distinct users over ANY day window' from sketch rows alone.
+        At these cardinalities the DataSketches coupon regime is exact,
+        so the oracle is plain COUNT(DISTINCT) (the error-bound regime
+        is property-tested at 200k distincts in tests/test_sketches.py)."""
+        from cex_crawler_spark.functions.sketches import (
+            hll_merge_estimate,
+            hll_partial_sketches,
+        )
+
+        e = _t(spark, sf, "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        parts = hll_partial_sketches(e, ["event_type", "day"], "user_id")
+        return hll_merge_estimate(
+            parts, ["event_type"], "user_id_hll", "user_id_distinct"
+        ).orderBy("event_type")
+
+    q["hll_distinct_users"] = hll_distinct_users
+
     def pivot_order_status(spark, sf):
         o = _t(spark, sf, "orders")
         return (
@@ -1838,6 +1860,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["salted_distinct_users"] = """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS user_id_distinct
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+    o["hll_distinct_users"] = """
         SELECT event_type,
                CAST(count(DISTINCT user_id) AS BIGINT) AS user_id_distinct
         FROM events GROUP BY event_type ORDER BY event_type
