@@ -670,6 +670,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hll_distinct_users"] = hll_distinct_users
 
+    def heavy_hitter_tokens(spark, sf):
+        """Exact corpus-level heavy tokens (freq ≥ 0.5 %) via
+        Misra-Gries candidate pruning + exact recount — per-task state
+        bounded by k counters, shuffle O(candidates) not O(vocabulary)
+        (the shape where even map-side-combined groupBy state IS the
+        vocabulary)."""
+        from cex_crawler_spark.functions.text import tokens
+        from cex_crawler_spark.operators.heavyhitters import heavy_hitters
+
+        d = _t(spark, sf, "documents")
+        toks = d.select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        )
+        return heavy_hitters(toks, "token", 0.005)
+
+    q["heavy_hitter_tokens"] = heavy_hitter_tokens
+
     def pivot_order_status(spark, sf):
         o = _t(spark, sf, "orders")
         return (
@@ -1863,6 +1880,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type,
                CAST(count(DISTINCT user_id) AS BIGINT) AS user_id_distinct
         FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+    o["heavy_hitter_tokens"] = f"""
+        WITH toks AS (
+          SELECT unnest({_TOKS}) AS token FROM documents
+        ), tot AS (SELECT count(*) AS total FROM toks)
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+               round(count(*) / (SELECT total FROM tot), 6) AS fraction
+        FROM toks
+        GROUP BY token
+        HAVING count(*) >= ceil(0.005 * (SELECT total FROM tot))
+        ORDER BY cnt DESC, token
     """
 
     o["hll_distinct_users"] = """
