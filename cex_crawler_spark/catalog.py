@@ -351,6 +351,8 @@ class SnapshotCatalog:
         spark: SparkSession,
         table: str,
         target_file_mb: int = 128,
+        sort_by: list[str] | None = None,
+        zorder: bool = False,
     ) -> int:
         """Rewrite an append table's accumulated per-round files into
         few ``target_file_mb``-sized files (the Iceberg
@@ -367,6 +369,18 @@ class SnapshotCatalog:
         (same data, new layout), time-travel intact (older manifests
         still reference the old dirs until :meth:`vacuum`), and future
         appends keep working (they append to the shortened path list).
+
+        ``sort_by`` opts into a DATA-SKIPPING layout (the Iceberg
+        ``rewrite_data_files(strategy => 'sort')`` analog): rows are
+        range-partitioned and sorted on the given columns, so each
+        output file covers a narrow, disjoint value range and parquet
+        footer min/max stats let later filtered scans skip whole files.
+        Costs one shuffle (the plain path is shuffle-free ``coalesce``)
+        — pay it when the table is read selectively more than once.
+        ``zorder=True`` with exactly two ``sort_by`` columns sorts by
+        the Morton interleave instead (functions/zorder.py): per-file
+        ranges are bounded on BOTH columns, the right layout when
+        filters come on either dimension.
         """
         m = self.manifest()
         entry = m["tables"].get(table)
@@ -380,7 +394,29 @@ class SnapshotCatalog:
                     f.stat().st_size for f in root.rglob("*.parquet")
                 )
         n_files = max(1, -(-n_bytes // (target_file_mb * 1024 * 1024)))
-        df = self.read(spark, table).coalesce(int(n_files))
+        df = self.read(spark, table)
+        if zorder:
+            if not sort_by or len(sort_by) != 2:
+                raise ValueError("zorder=True needs exactly two sort_by "
+                                 "columns")
+            from pyspark.sql import functions as F
+
+            from .functions.zorder import morton2
+
+            df = (
+                df.withColumn(
+                    "__z", morton2(F.col(sort_by[0]), F.col(sort_by[1]))
+                )
+                .repartitionByRange(int(n_files), "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by:
+            df = df.repartitionByRange(
+                int(n_files), *sort_by
+            ).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(int(n_files))
         # carry the Bloom sidecar reference forward: compaction changes
         # layout, not keys, so the bitmap's superset invariant holds —
         # dropping the reference would silently cost resumes the sidecar
