@@ -85,14 +85,28 @@ class SnapshotCatalog:
         return table in self.manifest()["tables"]
 
     def read(
-        self, spark: SparkSession, table: str, version: int | None = None
+        self,
+        spark: SparkSession,
+        table: str,
+        version: int | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Read a table — optionally AS OF an earlier manifest version
-        (snapshot time travel, the Iceberg `VERSION AS OF` analog)."""
+        (snapshot time travel, the Iceberg `VERSION AS OF` analog).
+
+        ``merge_schema=True`` unions the schemas of every referenced
+        file (additive schema evolution: an append that introduced a
+        new column surfaces it as NULL for older rows — Iceberg
+        ``add_column`` semantics).  Off by default: schema merging reads
+        every file footer up front, and a table written under one
+        schema doesn't need it."""
         entry = self.manifest(version)["tables"].get(table)
         if entry is None or not entry["paths"]:
             raise KeyError(f"table {table!r} not in catalog")
-        return spark.read.parquet(*entry["paths"])
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*entry["paths"])
 
     def read_changes(
         self,

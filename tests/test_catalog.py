@@ -3,6 +3,7 @@
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from cex_crawler_spark.catalog import (
     APPEND,
@@ -276,3 +277,18 @@ def test_read_changes_bad_window(spark, cat):
         cat.read_changes(spark, "log", 2, 1)
     with pytest.raises(KeyError):
         cat.read_changes(spark, "nope", 0)
+
+
+def test_read_merge_schema_additive_evolution(spark, cat):
+    """An append that adds a column (additive schema evolution):
+    merge_schema surfaces it, NULL-filled for pre-evolution rows."""
+    evolved = spark.range(30, 32).select(
+        F.col("id"), F.lit("new").alias("tag")
+    )
+    cat.commit(2, {"log": (evolved, APPEND)})
+    df = cat.read(spark, "log", merge_schema=True)
+    assert set(df.columns) == {"id", "tag"}
+    assert df.count() == 7  # 2 + 3 + 2
+    assert df.filter(F.col("tag").isNull()).count() == 5
+    assert {r.id for r in df.filter(F.col("tag") == "new").collect()} == \
+        {30, 31}
