@@ -196,6 +196,87 @@ def gen_sim_frontier(spark: SparkSession, n: int = SIM_N) -> DataFrame:
     return out.withColumn("seq", F.row_number().over(w).cast("long"))
 
 
+# --------------------------------------------------------------------------
+# sim-images fixture: a deterministic image+caption metadata table in the
+# exact input-hint shape (image_id, w, h, fmt, caption, phash) — every
+# attribute plain integer arithmetic over range(n), expressible identically
+# in Spark and DuckDB, so the image-payload curation path (LAION-style
+# gates + perceptual-hash dedup + Hamming near-dup pairs) gets full SQL
+# oracles instead of rows-only checks.  Exact-dup rows (every 13th) copy
+# the previous row's phash; near-dup rows (every 29th) flip one bit of the
+# row-two-back base hash.  The 64-bit phash is built from two 32-bit mixes
+# so all four 16-bit Hamming blocks carry entropy (a <2^40 hash would make
+# the top block a single degenerate bucket).
+# --------------------------------------------------------------------------
+
+SIM_IMG_N = 4000
+
+
+def gen_sim_images(spark: SparkSession, n: int = SIM_IMG_N) -> DataFrame:
+    sid = F.col("id")
+    exact_dup = (sid % 13 == 0) & (sid > 0)
+    near_dup = (sid % 29 == 0) & (sid > 1) & ~exact_dup
+    t = F.when(exact_dup, sid - 1).when(near_dup, sid - 2).otherwise(sid)
+    m1 = (t * 2654435761 + 11) % 2147483648
+    m2 = (t * 40503 + 7) % 4294967296
+    base = m1 * 4294967296 + m2
+    phash = F.when(
+        near_dup,
+        base.bitwiseXOR(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 62 AS INT))")),
+    ).otherwise(base)
+    caption = F.concat(
+        F.lit("img "),
+        sid.cast("string"),
+        F.expr("repeat(' tok', CAST((id * 48271 + 5) % 12 AS INT))"),
+    )
+    fmt = F.element_at(
+        F.array(F.lit("jpeg"), F.lit("png"), F.lit("webp"), F.lit("gif")),
+        ((sid * 69069) % 4 + 1).cast("int"),
+    )
+    return spark.range(n).select(
+        F.format_string("img%010d", sid).alias("image_id"),
+        (16 * (1 + (sid * 48271) % 40)).cast("int").alias("w"),
+        (16 * (1 + (sid * 16807) % 40)).cast("int").alias("h"),
+        fmt.alias("fmt"),
+        caption.alias("caption"),
+        phash.cast("long").alias("phash"),
+    )
+
+
+def _sim_images_sql(n: int = SIM_IMG_N) -> str:
+    """DuckDB CTE regenerating gen_sim_images row-for-row."""
+    return f"""
+      sim_images AS (
+        SELECT printf('img%010d', sid) AS image_id,
+               CAST(16 * (1 + (sid * 48271) % 40) AS INTEGER) AS w,
+               CAST(16 * (1 + (sid * 16807) % 40) AS INTEGER) AS h,
+               ['jpeg', 'png', 'webp', 'gif'][CAST((sid * 69069) % 4 + 1 AS INTEGER)] AS fmt,
+               'img ' || sid || repeat(' tok', CAST((sid * 48271 + 5) % 12 AS INTEGER)) AS caption,
+               CASE WHEN near_dup
+                    THEN xor(base, CAST(1 AS BIGINT) << CAST(sid % 62 AS INTEGER))
+                    ELSE base END AS phash
+        FROM (
+          SELECT sid, near_dup,
+                 ((t * 2654435761 + 11) % 2147483648) * 4294967296
+                 + (t * 40503 + 7) % 4294967296 AS base
+          FROM (
+            SELECT sid, near_dup,
+                   CASE WHEN exact_dup THEN sid - 1
+                        WHEN near_dup THEN sid - 2
+                        ELSE sid END AS t
+            FROM (
+              SELECT range AS sid,
+                     (range % 13 = 0 AND range > 0) AS exact_dup,
+                     (range % 29 = 0 AND range > 1
+                      AND NOT (range % 13 = 0 AND range > 0)) AS near_dup
+              FROM range({n})
+            )
+          )
+        )
+      )
+    """
+
+
 def _sim_oracle_sql() -> str:
     from cex_crawler_spark.synth import HOSTS, POST_FETCH_TIME_HOSTS, SECTIONS
 
@@ -1638,6 +1719,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["reference_pivot_futures"] = reference_pivot_futures
 
+    def bloom_semijoin_revenue(spark, sf):
+        """Semi-join reduction (operators/joins.py): a distributed-built
+        Bloom over urgent orders' keys drops lineitem rows scan-side
+        BEFORE the shuffle; the exact join after it kills Bloom false
+        positives, so the composition is bit-identical to the plain
+        join — which is exactly what the oracle runs."""
+        from cex_crawler_spark.operators.joins import bloom_filtered_join
+
+        urgent = (
+            _t(spark, sf, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_orderkey").alias("l_orderkey"))
+        )
+        li = _t(spark, sf, "lineitem")
+        return (
+            bloom_filtered_join(li, urgent, on="l_orderkey", how="inner")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    q["bloom_semijoin_revenue"] = bloom_semijoin_revenue
+
+    def image_caption_curation(spark, sf):
+        """LAION-style image-caption curation over the input-hint table
+        shape (image_id, w, h, fmt, caption, phash): resolution floor,
+        aspect-ratio cap, format whitelist, caption-length gate — all
+        scan-side Catalyst filters — then exact perceptual-hash dedup
+        via the groupBy-min + semi-join scale path (operators/dedup.py's
+        exact_dedup shape on the 8-byte phash, map-side combinable, no
+        window over the corpus), then per-format stats."""
+        imgs = gen_sim_images(spark)
+        toks = F.size(F.split(F.col("caption"), " "))
+        gated = imgs.filter(
+            (F.col("w") >= 64)
+            & (F.col("h") >= 64)
+            & (F.greatest("w", "h") <= 3 * F.least("w", "h"))
+            & F.col("fmt").isin("jpeg", "png", "webp")
+            & (toks >= 5)
+        )
+        keep = gated.groupBy("phash").agg(F.min("image_id").alias("image_id"))
+        canon = gated.join(keep, ["phash", "image_id"], "left_semi")
+        return (
+            canon.groupBy("fmt")
+            .agg(
+                F.count("*").alias("n_images"),
+                F.round(F.avg("w"), 2).alias("avg_w"),
+                F.round(F.avg("h"), 2).alias("avg_h"),
+                F.sum(F.size(F.split(F.col("caption"), " ")))
+                .cast("long")
+                .alias("caption_tokens"),
+            )
+            .orderBy("fmt")
+        )
+
+    q["image_caption_curation"] = image_caption_curation
+
+    def phash_hamming_pairs_sim(spark, sf):
+        """Perceptual-hash near-dup pairs over the sim image table via the
+        generalized multi-block pigeonhole candidate generator
+        (operators/dedup.py hamming_near_dup_candidates): bucketed
+        16-bit-block equi-join, O(rows×4) shuffle, never all-pairs — the
+        oracle IS the all-pairs brute force, so candidate recall at
+        Hamming ≤ 3 is proven exact, not just planted-pair-tested."""
+        from cex_crawler_spark.operators.dedup import hamming_near_dup_candidates
+
+        imgs = gen_sim_images(spark)
+        return (
+            hamming_near_dup_candidates(imgs, "phash", "image_id")
+            .filter(F.col("hamming") <= 3)
+            .select(
+                "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+            )
+            .orderBy("id_a", "id_b")
+        )
+
+    q["phash_hamming_pairs_sim"] = phash_hamming_pairs_sim
+
     return q
 
 
@@ -2718,6 +2883,54 @@ def oracle_sql() -> dict[str, str]:
     # range(n) — regenerated inside the SQL itself (no file handoff), with
     # the scheduler's verdict chain as window functions.
     o["crawl_round_sim"] = _sim_oracle_sql()
+
+    # bloom_semijoin_revenue: the oracle is the PLAIN join — the engine's
+    # Bloom prefilter must be invisible in the result.
+    o["bloom_semijoin_revenue"] = """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN (SELECT o_orderkey FROM orders
+              WHERE o_orderpriority = '1-URGENT') u
+          ON l_orderkey = u.o_orderkey
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+    # image_caption_curation / phash_hamming_pairs_sim: the sim-images
+    # fixture is regenerated inside the SQL (no file handoff); dedup via
+    # QUALIFY row_number == groupBy-min semi-join (same canonical row);
+    # the Hamming oracle is the ALL-PAIRS brute force the engine's
+    # bucketed generator must reproduce exactly.
+    o["image_caption_curation"] = f"""
+        WITH {_sim_images_sql()},
+        gated AS (
+          SELECT * FROM sim_images
+          WHERE w >= 64 AND h >= 64
+            AND greatest(w, h) <= 3 * least(w, h)
+            AND fmt IN ('jpeg', 'png', 'webp')
+            AND len(string_split(caption, ' ')) >= 5
+        ),
+        canon AS (
+          SELECT * FROM gated
+          QUALIFY row_number() OVER (PARTITION BY phash ORDER BY image_id) = 1
+        )
+        SELECT fmt, COUNT(*) AS n_images,
+               round(avg(w), 2) AS avg_w, round(avg(h), 2) AS avg_h,
+               CAST(SUM(len(string_split(caption, ' '))) AS BIGINT)
+                 AS caption_tokens
+        FROM canon GROUP BY fmt ORDER BY fmt
+    """
+
+    o["phash_hamming_pairs_sim"] = f"""
+        WITH {_sim_images_sql()}
+        SELECT a.image_id AS id_a, b.image_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM sim_images a JOIN sim_images b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        ORDER BY id_a, id_b
+    """
 
     # image_features: engine-synthesized image payloads (no DuckDB view,
     # pixel decoding not SQL-expressible) — rows-only check.
