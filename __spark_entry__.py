@@ -277,6 +277,41 @@ def _sim_images_sql(n: int = SIM_IMG_N) -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# sim fetch-history fixture: per-URL revisit summaries (visits, observed
+# changes, revisit interval, age since last fetch) as plain modular
+# arithmetic over range(n) — the SQL-mirrored input for the Cho &
+# Garcia-Molina change-rate recrawl scheduler (operators/recrawl.py).
+# --------------------------------------------------------------------------
+
+SIM_HIST_N = 3000
+
+
+def gen_sim_fetch_history(spark: SparkSession, n: int = SIM_HIST_N) -> DataFrame:
+    sid = F.col("id")
+    visits = 2 + (sid * 48271) % 9
+    return spark.range(n).select(
+        F.format_string("url%08d", sid).alias("url_id"),
+        visits.cast("long").alias("n_visits"),
+        ((sid * 69069) % (visits + 1)).cast("long").alias("n_changed"),
+        (1 + (sid * 16807) % 14).cast("long").alias("interval_days"),
+        (1 + (sid * 40503) % 30).cast("long").alias("age_days"),
+    )
+
+
+def _sim_history_sql(n: int = SIM_HIST_N) -> str:
+    return f"""
+      sim_history AS (
+        SELECT printf('url%08d', sid) AS url_id,
+               2 + (sid * 48271) % 9 AS n_visits,
+               (sid * 69069) % (2 + (sid * 48271) % 9 + 1) AS n_changed,
+               1 + (sid * 16807) % 14 AS interval_days,
+               1 + (sid * 40503) % 30 AS age_days
+        FROM (SELECT range AS sid FROM range({n}))
+      )
+    """
+
+
 def _sim_oracle_sql() -> str:
     from cex_crawler_spark.synth import HOSTS, POST_FETCH_TIME_HOSTS, SECTIONS
 
@@ -1803,6 +1838,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phash_hamming_pairs_sim"] = phash_hamming_pairs_sim
 
+    def recrawl_schedule(spark, sf):
+        """Cho & Garcia-Molina change-rate recrawl scheduling
+        (operators/recrawl.py): bias-reduced Poisson-rate estimate per
+        URL from its own revisit history, staleness probability at the
+        current age, and the scheduler-ready priority ladder — all
+        shuffle-free scan-side arithmetic."""
+        from cex_crawler_spark.operators.recrawl import change_rate_priorities
+
+        hist = gen_sim_fetch_history(spark)
+        scored = change_rate_priorities(hist)
+        # + 0.0 canonicalizes IEEE negative zero (−ln(1.0) = −0.0 in
+        # DuckDB; the driver's value-hash would see "-0.000000" ≠ "0.000000")
+        return scored.select(
+            "url_id",
+            (F.round("lambda_hat", 4) + 0.0).alias("lambda_hat"),
+            (F.round("p_stale", 4) + 0.0).alias("p_stale"),
+            "recrawl_priority",
+        ).orderBy("url_id")
+
+    q["recrawl_schedule"] = recrawl_schedule
+
+    def doc_sliding_chunks(spark, sf):
+        """Overlapping fixed-size context windows per document
+        (operators/packing.py sliding_chunks): the long-document shaping
+        step before packing — pure scan-side Catalyst (sequence →
+        posexplode → slice), no shuffle, fan-out ceil(n/stride)/doc."""
+        from cex_crawler_spark.operators.packing import sliding_chunks
+
+        d = _t(spark, sf, "documents")
+        return sliding_chunks(
+            d, "text", "doc_id", chunk_tokens=128, stride=96
+        ).orderBy("doc_id", "chunk_idx")
+
+    q["doc_sliding_chunks"] = doc_sliding_chunks
+
     return q
 
 
@@ -2930,6 +3000,50 @@ def oracle_sql() -> dict[str, str]:
         FROM sim_images a JOIN sim_images b ON a.image_id < b.image_id
         WHERE bit_count(xor(a.phash, b.phash)) <= 3
         ORDER BY id_a, id_b
+    """
+
+    # recrawl_schedule: CGM estimator replayed in closed form; priorities
+    # derive from the UNROUNDED staleness probability on both sides.
+    o["recrawl_schedule"] = f"""
+        WITH {_sim_history_sql()},
+        scored AS (
+          SELECT url_id,
+                 -ln((n_visits - n_changed + 0.5) / (n_visits + 0.5))
+                   / interval_days AS lam,
+                 age_days
+          FROM sim_history
+        ),
+        p AS (
+          SELECT url_id, lam, 1 - exp(-lam * age_days) AS p_stale
+          FROM scored
+        )
+        SELECT url_id,
+               round(lam, 4) + 0.0 AS lambda_hat,
+               round(p_stale, 4) + 0.0 AS p_stale,
+               CAST(CASE WHEN p_stale > 0.8 THEN 0
+                         WHEN p_stale > 0.4 THEN 1
+                         ELSE 2 END AS BIGINT) AS recrawl_priority
+        FROM p ORDER BY url_id
+    """
+
+    # doc_sliding_chunks: DuckDB replays the same token windows via
+    # generate_series + clamping list slices.
+    o["doc_sliding_chunks"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        s AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, greatest(len(toks) - 1, 0), 96))
+                   AS start
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(start / 96 AS BIGINT) AS chunk_idx,
+               CAST(len(toks[start + 1 : start + 128]) AS BIGINT) AS n_tokens,
+               array_to_string(toks[start + 1 : start + 128], ' ')
+                 AS chunk_text
+        FROM s ORDER BY doc_id, chunk_idx
     """
 
     # image_features: engine-synthesized image payloads (no DuckDB view,

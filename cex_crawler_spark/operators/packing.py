@@ -85,3 +85,47 @@ def pack_stats(packed: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split each document's token stream into fixed-size overlapping
+    windows — the long-document half of sequence shaping (a doc longer
+    than the trainer's context is chunked with ``chunk_tokens − stride``
+    tokens of overlap BEFORE packing; stride == chunk_tokens gives
+    disjoint chunks).
+
+    Pure Catalyst and scan-side: split → `sequence` of chunk starts →
+    `posexplode` → `slice`; no shuffle, no UDF, fan-out bounded by
+    ceil(n_tokens / stride) per document.  Emits (id, chunk_idx,
+    n_tokens, chunk_text) with chunk_idx 0-based in document order.
+    """
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError(f"need 0 < stride <= chunk_tokens, got {stride}")
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .withColumn(
+            "__chunk",
+            F.slice(F.col("__toks"), F.col("__start") + 1, F.lit(chunk_tokens)),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("__chunk").cast("long").alias("n_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )

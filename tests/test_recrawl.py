@@ -1,0 +1,120 @@
+"""Cho & Garcia-Molina change-rate recrawl scheduling (operators/recrawl.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from cex_crawler_spark.operators.recrawl import (
+    HOT_P,
+    WARM_P,
+    change_rate_priorities,
+)
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(
+        rows, "url_id string, n_visits long, n_changed long, "
+        "interval_days long, age_days long"
+    )
+
+
+def test_estimator_matches_closed_form_and_is_finite_at_all_changes(spark):
+    rows = [("u0", 5, 0, 2, 10), ("u1", 5, 3, 2, 10), ("u2", 5, 5, 2, 10)]
+    got = {
+        r["url_id"]: r
+        for r in change_rate_priorities(_hist(spark, rows)).collect()
+    }
+    for uid, n, x, d, age in [(r[0], *r[1:]) for r in rows]:
+        lam = -math.log((n - x + 0.5) / (n + 0.5)) / d
+        assert abs(got[uid]["lambda_hat"] - lam) < 1e-12
+        assert abs(got[uid]["p_stale"] - (1 - math.exp(-lam * age))) < 1e-12
+    # X == n stays finite thanks to the +0.5 continuity correction
+    assert math.isfinite(got["u2"]["lambda_hat"])
+    # monotone in observed changes
+    assert got["u0"]["lambda_hat"] < got["u1"]["lambda_hat"] < got["u2"]["lambda_hat"]
+
+
+def test_priority_ladder_thresholds(spark):
+    # pick (visits, changes, interval, age) hitting each band
+    rows = [
+        ("hot", 5, 5, 1, 30),    # p ≈ 1
+        ("warm", 5, 2, 3, 5),    # moderate
+        ("cold", 5, 0, 10, 1),   # p ≈ 0
+    ]
+    got = {
+        r["url_id"]: r
+        for r in change_rate_priorities(_hist(spark, rows)).collect()
+    }
+    assert got["hot"]["p_stale"] > HOT_P and got["hot"]["recrawl_priority"] == 0
+    assert WARM_P < got["warm"]["p_stale"] <= HOT_P
+    assert got["warm"]["recrawl_priority"] == 1
+    assert got["cold"]["p_stale"] <= WARM_P and got["cold"]["recrawl_priority"] == 2
+
+
+def test_priority_feeds_scheduler_contract(spark):
+    """recrawl_priority is the scheduler's priority column: long, lower =
+    sooner, and a frontier re-prioritized by it orders hot URLs first
+    under the same priority-major sort schedule_round uses."""
+    import __spark_entry__ as entry
+
+    scored = change_rate_priorities(entry.gen_sim_fetch_history(spark, 500))
+    assert dict(scored.dtypes)["recrawl_priority"] == "bigint"
+    vals = {r[0] for r in scored.select("recrawl_priority").distinct().collect()}
+    assert vals <= {0, 1, 2} and len(vals) == 3
+    # priority-major order == descending staleness bands
+    ordered = scored.orderBy("recrawl_priority", "url_id").collect()
+    bands = [r["recrawl_priority"] for r in ordered]
+    assert bands == sorted(bands)
+    p_by_band = {}
+    for r in ordered:
+        p_by_band.setdefault(r["recrawl_priority"], []).append(r["p_stale"])
+    assert min(p_by_band[0]) > max(p_by_band[1]) - 1e-9 or (
+        min(p_by_band[0]) > HOT_P and max(p_by_band[1]) <= HOT_P
+    )
+
+
+def test_plan_is_shuffle_free(spark):
+    import __spark_entry__ as entry
+
+    scored = change_rate_priorities(entry.gen_sim_fetch_history(spark, 100))
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_sliding_chunks_cover_and_overlap(spark):
+    """Every token appears in some chunk; non-terminal chunks are full
+    and consecutive chunks overlap by chunk_tokens - stride."""
+    from cex_crawler_spark.operators.packing import sliding_chunks
+
+    words = " ".join(f"w{i}" for i in range(350))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    out = sliding_chunks(df, "text", "doc_id", chunk_tokens=100, stride=60)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+         for r in out.collect())
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    # ceil(350/60) = 6 chunks; all but the last full
+    assert [r[1] for r in d1] == list(range(6))
+    assert [r[2] for r in d1] == [100, 100, 100, 100, 100, 50]
+    toks1 = [r[3].split(" ") for r in d1]
+    # overlap: chunk i+1 starts 60 tokens after chunk i → shares 40
+    for a, b in zip(toks1, toks1[1:]):
+        assert a[60:] == b[: len(a) - 60]
+    # full coverage in order
+    seen = toks1[0] + [t for c in toks1[1:] for t in c[40:]]
+    assert seen == [f"w{i}" for i in range(350)]
+    # short and empty docs
+    assert [r[2:] for r in rows if r[0] == 2] == [(3, "a b c")]
+    assert [r[2:] for r in rows if r[0] == 3] == [(0, "")]
+
+
+def test_sliding_chunks_rejects_bad_stride(spark):
+    import pytest
+    from cex_crawler_spark.operators.packing import sliding_chunks
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        sliding_chunks(df, "text", "doc_id", chunk_tokens=10, stride=11)
