@@ -312,6 +312,68 @@ def _sim_history_sql(n: int = SIM_HIST_N) -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# sim trap-frontier fixture: URLs over 8 hosts (varied public suffixes for
+# the registrable-domain rollup) where two hosts are calendar traps — their
+# whole URL mass collapses to one template — and the rest spread over four
+# path shapes.  SQL-mirrored like the other sim fixtures.
+# --------------------------------------------------------------------------
+
+SIM_TRAP_N = 3000
+SIM_TRAP_HOSTS = [
+    "shop.example.com", "news.example.co.uk", "blog.foo.org", "img.b.co.jp",
+    "cdn.bar.com", "x.baz.net", "www.qux.com.au", "static.quux.io",
+]
+
+
+def gen_sim_trap_frontier(spark: SparkSession, n: int = SIM_TRAP_N) -> DataFrame:
+    sid = F.col("id")
+    hostid = (sid * 2654435761) % 8
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in SIM_TRAP_HOSTS]), (hostid + 1).cast("int")
+    )
+    # floor(sid/8) decorrelates kind from hostid (sids per host are a
+    # residue class mod 8, so any affine fn of sid is constant mod 4 there)
+    kind = F.when(hostid < 2, F.lit(0)).otherwise(F.floor(sid / 8) % 4)
+    path = (
+        F.when(kind == 0, F.format_string("/cal/%d/%d", 1 + sid % 12, 1 + sid % 28))
+        .when(kind == 1, F.format_string("/item/%d", sid))
+        .when(kind == 2, F.format_string("/s/%08x", sid * 40503 + 9))
+        .otherwise(F.format_string("/page?id=%d&sort=asc", sid % 50))
+    )
+    return spark.range(n).select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+
+
+def _sim_traps_sql(n: int = SIM_TRAP_N) -> str:
+    hosts_sql = ", ".join(f"'{h}'" for h in SIM_TRAP_HOSTS)
+    return f"""
+      sim_traps AS (
+        SELECT host, 'https://' || host || path AS url
+        FROM (
+          SELECT [{hosts_sql}][CAST(hostid + 1 AS INTEGER)] AS host,
+                 CASE kind
+                   WHEN 0 THEN printf('/cal/%d/%d', 1 + sid % 12, 1 + sid % 28)
+                   WHEN 1 THEN printf('/item/%d', sid)
+                   WHEN 2 THEN printf('/s/%08x', sid * 40503 + 9)
+                   ELSE printf('/page?id=%d&sort=asc', sid % 50)
+                 END AS path
+          FROM (
+            SELECT sid, hostid,
+                   CASE WHEN hostid < 2 THEN 0
+                        ELSE (sid // 8) % 4 END AS kind
+            FROM (
+              SELECT range AS sid, (range * 2654435761) % 8 AS hostid
+              FROM range({n})
+            )
+          )
+        )
+      )
+    """
+
+
 def _sim_oracle_sql() -> str:
     from cex_crawler_spark.synth import HOSTS, POST_FETCH_TIME_HOSTS, SECTIONS
 
@@ -1873,6 +1935,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_sliding_chunks"] = doc_sliding_chunks
 
+    def crawl_trap_hosts(spark, sf):
+        """URL-template trap screen (operators/traps.py): collapse
+        variable URL parts (digit runs, hex ids, query values), flag
+        hosts whose frontier mass concentrates in one template — two
+        map-combinable aggregates, scan-side regexes, no corpus-sized
+        shuffle."""
+        from cex_crawler_spark.operators.traps import trap_hosts
+
+        f = gen_sim_trap_frontier(spark)
+        return trap_hosts(f, min_urls=100, max_top_template_share=0.5).orderBy(
+            "host"
+        )
+
+    q["crawl_trap_hosts"] = crawl_trap_hosts
+
+    def domain_rollup(spark, sf):
+        """Registrable-domain (eTLD+1) rollup of the frontier
+        (functions/urlnorm.py registrable_domain): the per-SITE grouping
+        key politeness and trap screens should really bucket by — pure
+        Catalyst label arithmetic against a public-suffix list."""
+        from cex_crawler_spark.functions.urlnorm import registrable_domain
+
+        f = gen_sim_trap_frontier(spark)
+        return (
+            f.select(registrable_domain(F.col("host")).alias("domain"), "host")
+            .groupBy("domain")
+            .agg(
+                F.countDistinct("host").alias("n_hosts"),
+                F.count("*").alias("n_urls"),
+            )
+            .orderBy("domain")
+        )
+
+    q["domain_rollup"] = domain_rollup
+
+    def image_dedup_clusters(spark, sf):
+        """Image near-dup CLUSTERS — the image-payload twin of
+        corpus_curation_neardup: pigeonhole Hamming pairs over phash →
+        path-halving connected components → one representative (min
+        image_id) + cluster size per component.  Every stage is the
+        audited scale path (bucketed candidates, O(log diameter) CC)."""
+        from cex_crawler_spark.operators.dedup import (
+            connected_components,
+            hamming_near_dup_candidates,
+        )
+
+        imgs = gen_sim_images(spark)
+        pairs = hamming_near_dup_candidates(imgs, "phash", "image_id").filter(
+            F.col("hamming") <= 3
+        )
+        comp = connected_components(pairs)
+        return (
+            comp.groupBy("component")
+            .agg(F.count("*").alias("n_members"))
+            .select(F.col("component").alias("representative"), "n_members")
+            .orderBy("representative")
+        )
+
+    q["image_dedup_clusters"] = image_dedup_clusters
+
     return q
 
 
@@ -3044,6 +3166,99 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(toks[start + 1 : start + 128], ' ')
                  AS chunk_text
         FROM s ORDER BY doc_id, chunk_idx
+    """
+
+    # crawl_trap_hosts: template collapse replayed with DuckDB regexes
+    # ('g' flag — DuckDB replaces first-only by default, Spark replaces
+    # all); top template via the same (n_urls, template) tiebreak.
+    o["crawl_trap_hosts"] = f"""
+        WITH {_sim_traps_sql()},
+        tpl AS (
+          SELECT host,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/]*', ''),
+                       '[0-9a-fA-F]{{8,}}', 'H', 'g'),
+                     '[0-9]+', 'N', 'g'),
+                   '=([^&#/]*)', '=V', 'g') AS template
+          FROM sim_traps
+        ),
+        ts AS (
+          SELECT host, template, count(*) AS n_urls
+          FROM tpl GROUP BY host, template
+        ),
+        ranked AS (
+          SELECT host, template, n_urls,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY n_urls DESC, template DESC) AS rk,
+                 sum(n_urls) OVER (PARTITION BY host) AS host_urls,
+                 count(*) OVER (PARTITION BY host) AS n_templates
+          FROM ts
+        )
+        SELECT host, CAST(host_urls AS BIGINT) AS n_urls,
+               CAST(n_templates AS BIGINT) AS n_templates,
+               template AS top_template,
+               round(n_urls / host_urls, 4) AS top_share
+        FROM ranked
+        WHERE rk = 1 AND host_urls >= 100
+          AND round(n_urls / host_urls, 4) > 0.5
+        ORDER BY host
+    """
+
+    # domain_rollup: the registrable-domain heuristic replayed on label
+    # arrays (negative list indexing == element_at(-k)).
+    from cex_crawler_spark.functions.urlnorm import MULTI_SUFFIXES
+
+    _sfx = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    o["domain_rollup"] = f"""
+        WITH {_sim_traps_sql()},
+        lab AS (
+          SELECT host, string_split(lower(host), '.') AS labels FROM sim_traps
+        ),
+        dom AS (
+          SELECT host,
+                 CASE WHEN len(labels) >= 3
+                           AND list_contains([{_sfx}],
+                                             labels[-2] || '.' || labels[-1])
+                      THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                      WHEN len(labels) >= 2
+                      THEN labels[-2] || '.' || labels[-1]
+                      ELSE lower(host) END AS domain
+          FROM lab
+        )
+        SELECT domain, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+               count(*) AS n_urls
+        FROM dom GROUP BY domain ORDER BY domain
+    """
+
+    # image_dedup_clusters: brute-force Hamming pairs + recursive-CTE
+    # transitive closure (the same shape as dedup_clusters' oracle).
+    o["image_dedup_clusters"] = f"""
+        WITH RECURSIVE {_sim_images_sql()},
+        pairs AS (
+          SELECT a.image_id AS id_a, b.image_id AS id_b
+          FROM sim_images a JOIN sim_images b ON a.image_id < b.image_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(root, node) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT root AS id, min(node) AS component
+          FROM reach GROUP BY root
+        )
+        SELECT component AS representative,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY component ORDER BY representative
     """
 
     # image_features: engine-synthesized image payloads (no DuckDB view,

@@ -103,3 +103,39 @@ def py_canonicalize_url(url: str) -> str:
 
 def py_url_hash(canonical: str) -> int:
     return xxh64_str(canonical)
+
+
+# ------------------------------------------------------- registrable domain
+
+# Common multi-label public suffixes (heuristic subset of the PSL — the
+# full list is data, not code, and would load the same way as a broadcast
+# dim; these cover the bulk of real crawl traffic).  A host ending in one
+# of these keeps THREE labels, otherwise two.
+MULTI_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tw", "com.sg", "co.za", "com.ar", "com.tr",
+]
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 — the per-SITE key politeness and trap screens group by
+    (per-host grouping over-splits sites that shard across subdomains;
+    per-TLD under-splits everything).  Pure Catalyst: label split +
+    suffix membership against a literal array; production swaps the
+    constant list for the full Public Suffix List as a broadcast dim
+    without touching callers."""
+    labels = F.split(F.lower(host), r"\.")
+    n = F.size(labels)
+    # try_element_at: when() does not short-circuit evaluation, so a bare
+    # single-label host (localhost) would throw on element_at(-2).
+    last2 = F.concat_ws(
+        ".", F.try_element_at(labels, F.lit(-2)), F.try_element_at(labels, F.lit(-1))
+    )
+    take3 = F.array_contains(
+        F.array(*[F.lit(s) for s in MULTI_SUFFIXES]), last2
+    ) & (n >= 3)
+    return F.when(
+        take3,
+        F.concat_ws(".", F.try_element_at(labels, F.lit(-3)), last2),
+    ).otherwise(F.when(n >= 2, last2).otherwise(F.lower(host)))

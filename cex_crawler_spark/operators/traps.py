@@ -1,0 +1,91 @@
+"""Crawl-trap detection — URL-template explosion screens.
+
+Crawler traps (calendar pages, faceted search, session-id paths,
+infinite pagination) generate unbounded URL spaces under one host: a
+frontier that follows them drowns real content at 10^10-URL scale.
+The classic screen is TEMPLATE COLLAPSING (Koht-arsa & Sanguanpong;
+also the "URL pattern" dedup in IRLbot, WWW'09): strip the variable
+parts of a path, count URLs per (host, template), and flag hosts whose
+frontier mass concentrates in a handful of templates with huge
+fan-out.
+
+Everything is scan-side Catalyst: template = digit-runs → 'N',
+long-hex-runs → 'H' (session ids), then two map-combinable aggregates
+(host×template, then host).  No window over the corpus, no UDF; the
+output is a per-host verdict the scheduler can anti-join or
+down-prioritize the same way robots rules flow in
+(operators/politeness.py broadcast policy dim).
+
+The reference crawls a fixed hand-picked URL list per exchange
+(/root/reference/exchange/*.py) and cannot meet a trap; any open-web
+frontier at the north rule's scale does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def url_template(url: Column) -> Column:
+    """Collapse variable URL parts: digit runs → N, ≥8-char hex runs → H,
+    query-string values → V (keys kept).  Pure codegen regex chain."""
+    path = F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    t = F.regexp_replace(path, r"[0-9a-fA-F]{8,}", "H")
+    t = F.regexp_replace(t, r"[0-9]+", "N")
+    return F.regexp_replace(t, r"=([^&#/]*)", "=V")
+
+
+def template_stats(
+    frontier: DataFrame, url_col: str = "url", host_col: str = "host"
+) -> DataFrame:
+    """Per (host, template) fan-out — the raw material for trap verdicts."""
+    return (
+        frontier.select(
+            F.col(host_col).alias("host"),
+            url_template(F.col(url_col)).alias("template"),
+        )
+        .groupBy("host", "template")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+def trap_hosts(
+    frontier: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    min_urls: int = 100,
+    max_top_template_share: float = 0.5,
+) -> DataFrame:
+    """Hosts whose frontier mass concentrates in one collapsed template.
+
+    A host is flagged when it has ≥ ``min_urls`` frontier URLs AND its
+    single biggest template holds > ``max_top_template_share`` of them —
+    the signature of a generated URL space.  Returns (host, n_urls,
+    n_templates, top_template, top_share) for the scheduler to act on
+    (down-prioritize or cap); thresholds are deterministic constants,
+    not RNG (SURVEY §2.10).
+
+    Shape: two map-side-combinable aggregates; the per-host max-by is
+    over the already-collapsed (host, template) rows — corpus-sized
+    shuffles never happen.
+    """
+    ts = template_stats(frontier, url_col, host_col)
+    per_host = ts.groupBy("host").agg(
+        F.sum("n_urls").alias("n_urls"),
+        F.count("*").alias("n_templates"),
+        F.max_by("template", F.struct(F.col("n_urls"), F.col("template"))).alias(
+            "top_template"
+        ),
+        F.max("n_urls").alias("top_n"),
+    )
+    return (
+        per_host.withColumn(
+            "top_share", F.round(F.col("top_n") / F.col("n_urls"), 4)
+        )
+        .filter(
+            (F.col("n_urls") >= min_urls)
+            & (F.col("top_share") > max_top_template_share)
+        )
+        .select("host", "n_urls", "n_templates", "top_template", "top_share")
+    )
