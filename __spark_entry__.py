@@ -374,6 +374,192 @@ def _sim_traps_sql(n: int = SIM_TRAP_N) -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# sim link-graph fixture: 4000 deterministic edges over ≤600 nodes; srcs
+# only cover ids < 500, so ids 500-599 that appear as dst are DANGLING
+# (out-degree 0) — exercising pagerank's dangling-mass redistribution.
+# --------------------------------------------------------------------------
+
+SIM_EDGE_N = 4000
+
+
+def gen_sim_linkgraph(spark: SparkSession, n: int = SIM_EDGE_N) -> DataFrame:
+    i = F.col("id")
+    return spark.range(n).select(
+        ((i * 2654435761) % 500).alias("src"),
+        ((i * 48271 + 17) % 600).alias("dst"),
+    )
+
+
+def _sim_linkgraph_sql(n: int = SIM_EDGE_N) -> str:
+    return f"""
+      sim_edges AS (
+        SELECT (range * 2654435761) % 500 AS src,
+               (range * 48271 + 17) % 600 AS dst
+        FROM range({n})
+      )
+    """
+
+
+# --------------------------------------------------------------------------
+# sim html-pages fixture: pages with 1-3 <a href> links plus a decoy
+# anchor without href (must NOT extract) and inter-link prose.
+# --------------------------------------------------------------------------
+
+SIM_PAGE_N = 400
+
+
+def gen_sim_pages(spark: SparkSession, n: int = SIM_PAGE_N) -> DataFrame:
+    i = F.col("id")
+    n_links = 1 + (i * 31) % 3
+
+    def link(j: int):
+        return F.format_string(
+            '<a href="https://h%d.example.com/p/%d">anchor %d %d</a> and text ',
+            ((i * 7 + j) % 5).cast("int"),
+            ((i * 13 + j * 101) % 97).cast("int"),
+            i.cast("int"),
+            F.lit(j).cast("int"),
+        )
+
+    html = F.concat(
+        F.lit('<html><body><a name="top">not a link</a><p>intro</p>'),
+        link(0),
+        F.when(n_links > 1, link(1)).otherwise(F.lit("")),
+        F.when(n_links > 2, link(2)).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return spark.range(n).select(
+        F.format_string("https://h%d.example.com/page/%d", (i % 5).cast("int"), i.cast("int")).alias("url"),
+        html.alias("html"),
+    )
+
+
+def _sim_pages_sql(n: int = SIM_PAGE_N) -> str:
+    def link(j: int) -> str:
+        return (
+            f"printf('<a href=\"https://h%d.example.com/p/%d\">anchor %d %d</a> and text ', "
+            f"(i * 7 + {j}) % 5, (i * 13 + {j} * 101) % 97, i, {j})"
+        )
+
+    return f"""
+      sim_pages AS (
+        SELECT printf('https://h%d.example.com/page/%d', i % 5, i) AS url,
+               '<html><body><a name="top">not a link</a><p>intro</p>'
+               || {link(0)}
+               || CASE WHEN 1 + (i * 31) % 3 > 1 THEN {link(1)} ELSE '' END
+               || CASE WHEN 1 + (i * 31) % 3 > 2 THEN {link(2)} ELSE '' END
+               || '</body></html>' AS html
+        FROM (SELECT range AS i FROM range({n}))
+      )
+    """
+
+
+# --------------------------------------------------------------------------
+# sim sitemap fixture: one multi-line XML body per host; every third
+# entry omits <lastmod> (the positional-zip trap parse_sitemaps avoids).
+# --------------------------------------------------------------------------
+
+SIM_SITEMAP_HOSTS = 6
+SIM_SITEMAP_URLS = 8
+
+
+def gen_sim_sitemaps(spark: SparkSession, n_hosts: int = SIM_SITEMAP_HOSTS) -> DataFrame:
+    h = F.col("id")
+
+    def block(j: int):
+        lastmod = F.when(
+            (h + j) % 3 != 0,
+            F.format_string(
+                "  <lastmod>2025-%02d-%02d</lastmod>\n",
+                (1 + (h * 3 + j) % 12).cast("int"),
+                (1 + (h * 7 + j * 5) % 28).cast("int"),
+            ),
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit("<url>\n"),
+            F.format_string(
+                "  <loc> https://site%d.example.org/doc/%d </loc>\n",
+                h.cast("int"),
+                (j * 37 + h).cast("int") % 1000,
+            ),
+            lastmod,
+            F.lit("</url>\n"),
+        )
+
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?>\n<urlset>\n'),
+        *[block(j) for j in range(SIM_SITEMAP_URLS)],
+        F.lit("</urlset>"),
+    )
+    return spark.range(n_hosts).select(
+        F.format_string("site%d.example.org", h.cast("int")).alias("host"),
+        xml.alias("xml"),
+    )
+
+
+def _sim_sitemaps_sql(n_hosts: int = SIM_SITEMAP_HOSTS) -> str:
+    def block(j: int) -> str:
+        return (
+            "'<url>\n'"
+            f" || printf('  <loc> https://site%d.example.org/doc/%d </loc>\n', h, ({j} * 37 + h) % 1000)"
+            f" || CASE WHEN (h + {j}) % 3 <> 0"
+            f"    THEN printf('  <lastmod>2025-%02d-%02d</lastmod>\n',"
+            f" 1 + (h * 3 + {j}) % 12, 1 + (h * 7 + {j} * 5) % 28) ELSE '' END"
+            " || '</url>\n'"
+        )
+
+    blocks = " || ".join(block(j) for j in range(SIM_SITEMAP_URLS))
+    return f"""
+      sim_sitemaps AS (
+        SELECT printf('site%d.example.org', h) AS host,
+               '<?xml version="1.0"?>\n<urlset>\n' || {blocks} || '</urlset>' AS xml
+        FROM (SELECT range AS h FROM range({n_hosts}))
+      )
+    """
+
+
+# --------------------------------------------------------------------------
+# sim binary-payload fixture: hex strings with real magic-byte prefixes
+# (the engine unhexes to true binary; the oracle inspects the hex text).
+# --------------------------------------------------------------------------
+
+SIM_PAYLOAD_N = 600
+_SNIFF_PREFIXES = [
+    "89504E470D0A1A0A",          # png
+    "FFD8FFE0",                  # jpeg (JFIF APP0)
+    "474946383961",              # GIF89a
+    "524946460A0B0C0D57454250",  # RIFF <size> WEBP
+    "424D",                      # bmp
+    "00112233",                  # junk → unknown
+]
+_SNIFF_EXPECTED = ["png", "jpeg", "gif", "webp", "bmp", "unknown"]
+
+
+def gen_sim_payload_hex(spark: SparkSession, n: int = SIM_PAYLOAD_N) -> DataFrame:
+    i = F.col("id")
+    prefix = F.element_at(
+        F.array(*[F.lit(p) for p in _SNIFF_PREFIXES]),
+        ((i * 69069) % 6 + 1).cast("int"),
+    )
+    return spark.range(n).select(
+        i.alias("payload_id"),
+        F.concat(prefix, F.format_string("%016X", i)).alias("hexstr"),
+    )
+
+
+def _sim_payloads_sql(n: int = SIM_PAYLOAD_N) -> str:
+    prefixes = ", ".join(f"'{p}'" for p in _SNIFF_PREFIXES)
+    return f"""
+      sim_payloads AS (
+        SELECT i AS payload_id,
+               [{prefixes}][CAST((i * 69069) % 6 + 1 AS INTEGER)]
+                 || printf('%016X', i) AS hexstr
+        FROM (SELECT range AS i FROM range({n}))
+      )
+    """
+
+
 def _sim_oracle_sql() -> str:
     from cex_crawler_spark.synth import HOSTS, POST_FETCH_TIME_HOSTS, SECTIONS
 
@@ -1995,6 +2181,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_dedup_clusters"] = image_dedup_clusters
 
+    def link_graph_pagerank(spark, sf):
+        """Fixed-iteration PageRank with dangling-mass redistribution
+        (operators/linkgraph.py) — the principled frontier-priority
+        signal (Cho et al., WWW'98).  One dst-keyed shuffle per
+        iteration, map-combinable contribution sums, localCheckpointed
+        lineage; oracled by unrolling the same recurrence in SQL."""
+        from cex_crawler_spark.operators.linkgraph import pagerank
+
+        e = gen_sim_linkgraph(spark)
+        r = pagerank(e, n_iter=5, damping=0.85)
+        return r.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+    q["link_graph_pagerank"] = link_graph_pagerank
+
+    def page_link_extract(spark, sf):
+        """<a href> extraction (operators/linkgraph.page_links): pure
+        codegen regexp over fetched html, zipped href/anchor pairs —
+        the frontier-expansion feed, fused with the fetch scan."""
+        from cex_crawler_spark.operators.linkgraph import page_links
+
+        p = gen_sim_pages(spark)
+        return page_links(p).orderBy("src_url", "href", "anchor")
+
+    q["page_link_extract"] = page_link_extract
+
+    def sitemap_frontier_seed(spark, sf):
+        """Sitemap XML → frontier seed rows (sources/sitemap.py):
+        per-<url>-block isolation so missing <lastmod> tags can't shift
+        the positional zip; lastmod → UTC timestamp, NULL = always
+        stale."""
+        from cex_crawler_spark.sources.sitemap import parse_sitemaps
+
+        sm = gen_sim_sitemaps(spark)
+        return parse_sitemaps(sm).orderBy("host", "url")
+
+    q["sitemap_frontier_seed"] = sitemap_frontier_seed
+
+    def payload_sniff_format(spark, sf):
+        """Magic-byte content-type sniffing (functions/sniff.py) over
+        true binary payloads — headers lie, the payload doesn't.  One
+        scan-side CASE over hex(substring(bytes,1,16)); the fixture
+        unhexes deterministic hex strings so the oracle can replay the
+        classifier on the hex text."""
+        from cex_crawler_spark.functions.sniff import sniff_format
+
+        p = gen_sim_payload_hex(spark)
+        return (
+            p.select("payload_id", sniff_format(F.unhex("hexstr")).alias("fmt"))
+            .orderBy("payload_id")
+        )
+
+    q["payload_sniff_format"] = payload_sniff_format
+
+    def dedup_incremental(spark, sf):
+        """Incremental batch-vs-corpus near-dup screen
+        (operators/dedup.incremental_jaccard_matches): today's ingest
+        joined against the standing corpus via the shingle-hash
+        inverted index — O(batch × postings), never corpus².  Batch =
+        docs whose md5(doc_id) starts 0/1/2 (mirrorable split)."""
+        from cex_crawler_spark.operators.dedup import incremental_jaccard_matches
+
+        docs = _t(spark, sf, "documents")
+        is_batch = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2"
+        )
+        return incremental_jaccard_matches(
+            docs.filter(~is_batch),
+            docs.filter(is_batch),
+            k=3,
+            threshold=0.5,
+            max_df=None,
+        ).orderBy("batch_id", "corpus_id")
+
+    q["dedup_incremental"] = dedup_incremental
+
     return q
 
 
@@ -3259,6 +3520,131 @@ def oracle_sql() -> dict[str, str]:
         SELECT component AS representative,
                CAST(count(*) AS BIGINT) AS n_members
         FROM comp GROUP BY component ORDER BY representative
+    """
+
+    # link_graph_pagerank: the same fixed power iteration unrolled as a
+    # CTE chain — r{k} from r{k-1}, dangling mass d{k} re-read each step.
+    # Expression shapes/order mirror the engine exactly so double
+    # arithmetic agrees far below the round(6) published precision.
+    _pr_iters = []
+    for k in range(5):
+        _pr_iters.append(f"""
+        d{k} AS (
+          SELECT coalesce(sum(rank), 0) AS m
+          FROM r{k} r LEFT JOIN deg g ON g.id = r.id
+          WHERE g.id IS NULL
+        ),
+        r{k + 1} AS (
+          SELECT n.id,
+                 ((1 - 0.85) / (SELECT cnt FROM nn)
+                  + 0.85 * (SELECT m FROM d{k}) / (SELECT cnt FROM nn))
+                 + 0.85 * coalesce(c.contrib, 0) AS rank
+          FROM nodes n
+          LEFT JOIN (
+            SELECT e.dst AS id, sum(r.rank / g.outd) AS contrib
+            FROM dedges e
+            JOIN r{k} r ON r.id = e.src
+            JOIN deg g ON g.id = e.src
+            GROUP BY e.dst
+          ) c ON c.id = n.id
+        )""")
+    o["link_graph_pagerank"] = f"""
+        WITH {_sim_linkgraph_sql()},
+        dedges AS (SELECT DISTINCT src, dst FROM sim_edges),
+        nodes AS (
+          SELECT DISTINCT src AS id FROM dedges
+          UNION SELECT DISTINCT dst FROM dedges
+        ),
+        nn AS (SELECT count(*) AS cnt FROM nodes),
+        deg AS (SELECT src AS id, count(*) AS outd FROM dedges GROUP BY src),
+        r0 AS (SELECT id, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes),
+        {",".join(_pr_iters)}
+        SELECT id, round(rank, 6) AS rank FROM r5 ORDER BY id
+    """
+
+    # page_link_extract: same <a href> regex per group, list_zip + unnest
+    # (DuckDB regexp_extract_all takes the group index like Spark's).
+    o["page_link_extract"] = f"""
+        WITH {_sim_pages_sql()},
+        z AS (
+          SELECT url AS src_url,
+                 list_zip(
+                   regexp_extract_all(html, '<a\\s+href="([^"]+)"[^>]*>([^<]*)</a>', 1),
+                   regexp_extract_all(html, '<a\\s+href="([^"]+)"[^>]*>([^<]*)</a>', 2)
+                 ) AS pairs
+          FROM sim_pages
+        ),
+        e AS (SELECT src_url, unnest(pairs) AS p FROM z)
+        SELECT src_url, struct_extract(p, 1) AS href,
+               struct_extract(p, 2) AS anchor
+        FROM e ORDER BY src_url, href, anchor
+    """
+
+    # sitemap_frontier_seed: per-<url>-block isolation replayed ('s' flag
+    # = dotall, blocks cross newlines), empty lastmod → NULL timestamp.
+    o["sitemap_frontier_seed"] = f"""
+        WITH {_sim_sitemaps_sql()},
+        b AS (
+          SELECT host,
+                 unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1, 's')) AS blk
+          FROM sim_sitemaps
+        ),
+        p AS (
+          SELECT host,
+                 trim(regexp_extract(blk, '<loc>\\s*([^<]*?)\\s*</loc>', 1)) AS url,
+                 nullif(regexp_extract(blk, '<lastmod>\\s*([^<]*?)\\s*</lastmod>', 1), '') AS lm
+          FROM b
+        )
+        SELECT host, url, CAST(lm AS TIMESTAMP) AS lastmod
+        FROM p WHERE url <> '' ORDER BY host, url
+    """
+
+    # payload_sniff_format: the magic-byte CASE replayed on the hex text
+    # (the engine sniffs true binary; prefixes are what it hex()es back).
+    o["payload_sniff_format"] = f"""
+        WITH {_sim_payloads_sql()}
+        SELECT payload_id,
+               CASE
+                 WHEN substr(hexstr, 1, 8) = '52494646'
+                      AND substr(hexstr, 17, 8) = '57454250' THEN 'webp'
+                 WHEN substr(hexstr, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+                 WHEN substr(hexstr, 1, 8) = '47494638' THEN 'gif'
+                 WHEN substr(hexstr, 1, 6) = 'FFD8FF' THEN 'jpeg'
+                 WHEN substr(hexstr, 1, 4) = '424D' THEN 'bmp'
+                 ELSE 'unknown'
+               END AS fmt
+        FROM sim_payloads ORDER BY payload_id
+    """
+
+    # dedup_incremental: the inverted-index Jaccard join restricted to
+    # batch × corpus (batch = md5 first hex digit in 0-2).
+    o["dedup_incremental"] = f"""
+        WITH n AS (
+          SELECT doc_id, string_split({_NORM}, ' ') AS toks,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2') AS is_batch
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, is_batch,
+                 list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS sh
+          FROM n
+        ),
+        e AS (SELECT doc_id, is_batch, unnest(sh) AS s FROM g),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM g),
+        inter AS (
+          SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS i
+          FROM e b JOIN e c ON b.s = c.s
+          WHERE b.is_batch AND NOT c.is_batch
+          GROUP BY 1, 2
+        )
+        SELECT batch_id, corpus_id,
+               round(i::DOUBLE / (sb.n + sc.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sb ON sb.doc_id = batch_id
+        JOIN sizes sc ON sc.doc_id = corpus_id
+        WHERE i::DOUBLE / (sb.n + sc.n - i) >= 0.5
+        ORDER BY batch_id, corpus_id
     """
 
     # image_features: engine-synthesized image payloads (no DuckDB view,

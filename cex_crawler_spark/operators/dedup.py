@@ -753,3 +753,71 @@ def decontamination_matches(
             F.countDistinct("eval_id").alias("n_eval_docs"),
         )
     )
+
+
+def incremental_jaccard_matches(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Incremental dedup: which NEW docs near-duplicate the EXISTING
+    corpus?  (batch_id, corpus_id, jaccard) for every batch doc whose
+    shingle-set Jaccard vs some corpus doc ≥ ``threshold``.
+
+    A continuously-fed training pipeline never re-deduplicates the
+    whole corpus per ingest — it screens the day's batch against what
+    it already holds (the crawl twin: a recrawled page vs the stored
+    copy).  Same exact inverted-index shape as ``ngram_jaccard_pairs``
+    but DIRECTED: the join is batch-shingles × corpus-shingles, so cost
+    is O(batch × matching-corpus-postings), never corpus².  ``max_df``
+    prunes stop-shingle postings on the CORPUS side (the side that has
+    meaningful document frequency); exact semantics need max_df=None.
+
+    Scale shape: one scan of each side, join + aggregate on the 8-byte
+    shingle hash; the batch side is small by definition and its shingle
+    set broadcast-eligible — AQE picks that up from size stats, no hint
+    needed here.
+    """
+    from ..functions.text import word_shingles
+
+    def shingled(d: DataFrame, out_id: str) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.transform(
+                    F.array_distinct(word_shingles(F.col(text_col), k)),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("sh"),
+        )
+
+    cs = shingled(corpus, "corpus_id")
+    if max_df is not None:
+        rare = cs.groupBy("sh").count().filter(F.col("count") <= max_df).select("sh")
+        cs = cs.join(rare, "sh", "left_semi")
+    cs = cs.persist()
+    bs = shingled(batch, "batch_id").persist()
+    c_sizes = cs.groupBy("corpus_id").agg(F.count("*").alias("nc"))
+    b_sizes = bs.groupBy("batch_id").agg(F.count("*").alias("nb"))
+    inter = (
+        bs.join(cs, "sh")
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    result = (
+        inter.join(b_sizes, "batch_id")
+        .join(c_sizes, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("nb") + F.col("nc") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+    result = _materialize_release(result, cs)
+    bs.unpersist()
+    return result

@@ -1,0 +1,159 @@
+"""Link-graph operators — anchor extraction and PageRank frontier priority.
+
+The reference crawls a fixed hand-picked URL list per exchange
+(/root/reference/exchange/*.py) and never needs to rank discovered
+URLs; an open-web frontier at the north rule's 10^10-URL scale does.
+The classic priority signal is link analysis (Page et al. 1998; Cho,
+Garcia-Molina & Page, WWW'98 showed PageRank-ordered crawling finds
+important pages first).  The scheduler's ``priority`` column
+(operators/politeness.py, lower = sooner) consumes the inverted rank.
+
+Scale notes (100 TB / 10^10 edges):
+- ``extract_links`` is scan-side codegen (regexp over the fetched
+  payload) — no shuffle at all; it runs fused with the fetch stage.
+- ``pagerank`` shuffles once per iteration on ``dst`` (the contribution
+  aggregate is map-side combinable) plus one broadcast-sized scalar for
+  the dangling mass.  Iterations localCheckpoint so lineage stays O(1)
+  (same discipline as operators/dedup.connected_components).  Edges are
+  persisted once and re-read per iteration; on a real cluster they'd be
+  bucketed by ``src`` so the rank join never re-shuffles the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# href + anchor text of plain <a> tags; attribute order beyond href and
+# nested markup inside the anchor are out of scope for the screen (a
+# production extractor swaps in an HTML parser behind the same schema).
+_A_TAG = r'<a\s+href="([^"]+)"[^>]*>([^<]*)</a>'
+
+
+def extract_links(html: Column) -> Column:
+    """array<struct<href,anchor>> of every ``<a href>`` in ``html``.
+
+    Pure codegen: two regexp_extract_all passes (group 1 = href,
+    group 2 = anchor text) zipped positionally — no UDF, no shuffle.
+    """
+    hrefs = F.regexp_extract_all(html, F.lit(_A_TAG), 1)
+    anchors = F.regexp_extract_all(html, F.lit(_A_TAG), 2)
+    return F.arrays_zip(hrefs.alias("href"), anchors.alias("anchor"))
+
+
+def page_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Explode ``pages`` into (src_url, href, anchor) link rows."""
+    return pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(extract_links(F.col(html_col))).alias("l"),
+    ).select("src_url", F.col("l.href").alias("href"), F.col("l.anchor").alias("anchor"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(id, rank) after ``n_iter`` fixed power iterations.
+
+    Semantics (the standard random-surfer model, dangling mass
+    redistributed uniformly so that sum(rank) == 1 every iteration):
+
+        rank'(v) = (1-d)/N + d * ( sum_{u->v} rank(u)/out(u) + m/N )
+
+    where m = total rank parked on dangling nodes (out-degree 0).
+    Fixed iteration count, no RNG, no convergence threshold — the
+    result is deterministic (SURVEY §2.10) and SQL-mirrorable by
+    unrolling the same recurrence, which is how the DuckDB oracle
+    checks it value-for-value (round 6).
+
+    Per iteration: one shuffle (contribution groupBy on dst), one
+    scalar action for the dangling mass (a single double crossing the
+    driver — the same shape GraphX's PageRank uses), one
+    localCheckpoint.  Self-loops count as ordinary edges; duplicate
+    edges are collapsed first (a page linking twice still casts one
+    vote, matching the Brin-Page formulation).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count("*").alias("outd"))
+    # fold out-degree onto the edge list once so the per-iteration join
+    # is edges ⋈ ranks only (one narrow probe side)
+    ew = e.join(deg, "src").select("src", "dst", "outd").persist()
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(deg, ranks["id"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outd")).alias("c"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    ew.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def rank_priority(ranks: DataFrame, levels: int = 10) -> DataFrame:
+    """Map ranks to the scheduler's ``priority`` column (lower = sooner):
+    quantile-bucket by rank so the top slice crawls first.
+
+    NOT a global ntile window — that funnels the whole node table
+    through one partition.  Thresholds come from one approx_percentile
+    aggregate (a mergeable sketch, one tiny array to the driver); the
+    bucketing itself is a scan-side expression, so the op stays
+    embarrassingly parallel at 10^10 nodes.  Ties at a threshold land
+    in the better bucket — stable because thresholds are data-derived
+    constants, not row positions.
+    """
+    qs = [i / levels for i in range(1, levels)]
+    thresholds = ranks.agg(
+        F.percentile_approx("rank", qs, 10_000).alias("t")
+    ).collect()[0]["t"]
+    # priority = number of thresholds the rank is >= … counted from the
+    # top: high rank clears many thresholds → low priority value
+    t_arr = F.array(*[F.lit(float(t)) for t in thresholds])
+    return ranks.select(
+        "id",
+        (
+            F.lit(len(thresholds))
+            - F.size(F.filter(t_arr, lambda t: F.col("rank") >= t))
+        )
+        .cast("long")
+        .alias("priority"),
+    )

@@ -89,3 +89,40 @@ def trap_hosts(
         )
         .select("host", "n_urls", "n_templates", "top_template", "top_share")
     )
+
+
+def demote_trapped(
+    frontier: DataFrame,
+    traps: DataFrame,
+    penalty: int = 100,
+    host_col: str = "host",
+) -> DataFrame:
+    """Feed a trap verdict back into the scheduler: add ``penalty`` to
+    the ``priority`` of every frontier URL on a flagged host (lower
+    priority value = sooner, operators/politeness._ORDER_COLS — so
+    trapped hosts sink behind every healthy level instead of being
+    dropped; real pages on a flagged host still crawl, last).
+
+    The verdict table is per-host (thousands of rows at most) and
+    broadcast — the frontier is touched by one scan-side map join, no
+    shuffle.  A frontier without a priority column gets level 0 first,
+    matching schedule_round's pre-priority default.
+    """
+    if "priority" not in frontier.columns:
+        frontier = frontier.withColumn("priority", F.lit(0).cast("long"))
+    flagged = traps.select(F.col("host").alias("__trap_host")).distinct()
+    return (
+        frontier.join(
+            F.broadcast(flagged),
+            frontier[host_col] == flagged["__trap_host"],
+            "left",
+        )
+        .withColumn(
+            "priority",
+            F.when(
+                F.col("__trap_host").isNotNull(),
+                F.col("priority") + F.lit(penalty),
+            ).otherwise(F.col("priority")),
+        )
+        .drop("__trap_host")
+    )

@@ -1,0 +1,70 @@
+"""Sitemap parsing — XML sitemaps / sitemap-index files into frontier rows.
+
+Sitemaps (sitemaps.org protocol) are the crawl world's push channel: a
+host declares its URL inventory plus optional freshness hints, and a
+polite crawler seeds its frontier from them instead of brute-force link
+discovery.  The reference needs no sitemaps (fixed URL list per
+exchange); an open-web frontier at 10^10 URLs leans on them hard —
+they are the cheapest source of (url, lastmod) pairs there is.
+
+Implementation is scan-side Catalyst over the raw XML body (fetched
+like any other payload): ``regexp_extract_all`` per tag, positionally
+zipped.  <url> entries in the wild are flat and order-stable
+(loc first, the protocol's canonical serialization), which the
+extraction relies on; a namespace-twisting feed would go through a
+real XML parser behind the same output schema.  No UDF, no shuffle —
+the explode happens fused with the fetch scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (?s): sitemap bodies are multi-line — the block regex must cross newlines
+_URL_BLOCK = r"(?s)<url>(.*?)</url>"
+_LOC = r"<loc>\s*([^<]*?)\s*</loc>"
+_LASTMOD = r"<lastmod>\s*([^<]*?)\s*</lastmod>"
+
+
+def sitemap_entries(xml: Column) -> Column:
+    """array<struct<loc,lastmod>> from one sitemap body.
+
+    Each <url> block is isolated first so a missing <lastmod> in one
+    entry cannot shift the positional zip (the naive two-pass zip of
+    all <loc>s against all <lastmod>s mis-pairs the moment one entry
+    omits the tag).
+    """
+    blocks = F.regexp_extract_all(xml, F.lit(_URL_BLOCK), 1)
+    return F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.regexp_extract(b, _LOC, 1).alias("loc"),
+            # regexp_extract returns '' on no-match; surface NULL
+            F.nullif(F.regexp_extract(b, _LASTMOD, 1), F.lit("")).alias(
+                "lastmod"
+            ),
+        ),
+    )
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame, host_col: str = "host", xml_col: str = "xml"
+) -> DataFrame:
+    """Explode sitemap bodies into (host, url, lastmod:timestamp) frontier
+    seed rows.  Entries with an empty/absent <loc> are dropped; lastmod
+    is parsed as a UTC timestamp when present (W3C datetime dates parse
+    too), NULL otherwise — the freshness watermark treats NULL as
+    always-stale, the safe default."""
+    return (
+        sitemaps.select(
+            F.col(host_col).alias("host"),
+            F.explode(sitemap_entries(F.col(xml_col))).alias("e"),
+        )
+        .filter(F.col("e.loc") != "")
+        .select(
+            "host",
+            F.col("e.loc").alias("url"),
+            F.to_timestamp("e.lastmod").alias("lastmod"),
+        )
+    )

@@ -1,0 +1,110 @@
+"""Link-graph operators: extraction, PageRank, priority feed."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cex_crawler_spark.operators.linkgraph import (
+    extract_links,
+    page_links,
+    pagerank,
+    rank_priority,
+)
+from cex_crawler_spark.operators.traps import demote_trapped
+
+
+def _np_pagerank(edges, n_iter=5, d=0.85):
+    """Independent dense twin of the distributed recurrence."""
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    dedup = sorted(set(edges))
+    out = np.zeros(n)
+    for s, _ in dedup:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = r[out == 0].sum()
+        contrib = np.zeros(n)
+        for s, t in dedup:
+            contrib[idx[t]] += r[idx[s]] / out[idx[s]]
+        r = (1 - d) / n + d * dangling / n + d * contrib
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_dense_twin(spark):
+    # chain + cycle + dangling sink + duplicate edge (must count once)
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (0, 1), (5, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=5).collect()}
+    want = _np_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # dangling redistribution conserves total rank mass
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    # star: everyone links to 0 — hub must clearly dominate
+    edges = [(i, 0) for i in range(1, 8)]
+    got = {r["id"]: r["rank"] for r in pagerank(spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    assert got[0] > 3 * got[1]
+
+
+def test_rank_priority_monotone(spark):
+    edges = [(i, 0) for i in range(1, 8)] + [(0, 1), (1, 2)]
+    ranks = pagerank(spark.createDataFrame(edges, ["src", "dst"]))
+    pri = {r["id"]: r["priority"] for r in rank_priority(ranks, levels=4).collect()}
+    rk = {r["id"]: r["rank"] for r in ranks.collect()}
+    for a in rk:
+        for b in rk:
+            if rk[a] > rk[b]:
+                assert pri[a] <= pri[b], (a, b)
+    assert pri[0] == 0  # the hub crawls first
+
+
+def test_extract_links_href_and_decoys(spark):
+    html = (
+        '<p>x</p><a href="https://a/1">one</a>'
+        '<a name="top">not a link</a>'
+        '<a href="https://a/2" rel="nofollow">two</a><a href="https://a/3"></a>'
+    )
+    df = spark.createDataFrame([("u", html)], ["url", "html"])
+    rows = page_links(df).orderBy("href").collect()
+    assert [(r["href"], r["anchor"]) for r in rows] == [
+        ("https://a/1", "one"),
+        ("https://a/2", "two"),
+        ("https://a/3", ""),
+    ]
+    assert rows[0]["src_url"] == "u"
+
+
+def test_extract_links_empty_page(spark):
+    df = spark.createDataFrame([("u", "<html>no links</html>")], ["url", "html"])
+    assert page_links(df).count() == 0
+    # column expr also usable standalone
+    assert df.select(F.size(extract_links(F.col("html"))).alias("n")).first()["n"] == 0
+
+
+def test_demote_trapped_priority(spark):
+    frontier = spark.createDataFrame(
+        [("trap.com", "https://trap.com/cal/1", 0),
+         ("ok.com", "https://ok.com/a", 0),
+         ("trap.com", "https://trap.com/cal/2", 2)],
+        ["host", "url", "priority"],
+    )
+    traps = spark.createDataFrame([("trap.com",)], ["host"])
+    out = {r["url"]: r["priority"] for r in demote_trapped(frontier, traps, penalty=100).collect()}
+    assert out == {
+        "https://trap.com/cal/1": 100,
+        "https://ok.com/a": 0,
+        "https://trap.com/cal/2": 102,
+    }
+
+
+def test_demote_trapped_defaults_missing_priority(spark):
+    frontier = spark.createDataFrame([("t.com", "u1"), ("o.com", "u2")], ["host", "url"])
+    traps = spark.createDataFrame([("t.com",)], ["host"])
+    out = {r["url"]: r["priority"] for r in demote_trapped(frontier, traps, penalty=7).collect()}
+    assert out == {"u1": 7, "u2": 0}
