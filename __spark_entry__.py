@@ -313,6 +313,48 @@ def _sim_history_sql(n: int = SIM_HIST_N) -> str:
 
 
 # --------------------------------------------------------------------------
+# sim fetch-attempt log: per URL 1-6 attempts, ~20% deterministic
+# failures, every 11th URL permanently failing (exercises give_up).
+# --------------------------------------------------------------------------
+
+SIM_ATTEMPT_URLS = 500
+_SIM_ATTEMPT_MAX = 6
+
+
+def gen_sim_attempts(spark: SparkSession, n_urls: int = SIM_ATTEMPT_URLS) -> DataFrame:
+    u = (F.col("id") / _SIM_ATTEMPT_MAX).cast("long")
+    j = F.col("id") % _SIM_ATTEMPT_MAX
+    ok = ~((u % 11 == 0) | ((u * 48271 + j * 69069) % 5 == 0))
+    base = F.unix_timestamp(F.lit("2025-08-01 00:00:00"))
+    return (
+        spark.range(n_urls * _SIM_ATTEMPT_MAX)
+        .filter(j < 1 + (u * 31) % _SIM_ATTEMPT_MAX)
+        .select(
+            F.format_string("url%06d", u.cast("int")).alias("url_hash"),
+            F.timestamp_seconds(base + (u % 53) * 60 + j * 3600).alias("fetch_ts"),
+            ok.alias("ok"),
+        )
+    )
+
+
+def _sim_attempts_sql(n_urls: int = SIM_ATTEMPT_URLS) -> str:
+    m = _SIM_ATTEMPT_MAX
+    return f"""
+      sim_attempts AS (
+        SELECT printf('url%06d', u) AS url_hash,
+               TIMESTAMP '2025-08-01 00:00:00'
+                 + to_seconds((u % 53) * 60 + j * 3600) AS fetch_ts,
+               NOT (u % 11 = 0 OR (u * 48271 + j * 69069) % 5 = 0) AS ok
+        FROM (
+          SELECT range // {m} AS u, range % {m} AS j
+          FROM range({n_urls * m})
+        )
+        WHERE j < 1 + (u * 31) % {m}
+      )
+    """
+
+
+# --------------------------------------------------------------------------
 # sim trap-frontier fixture: URLs over 8 hosts (varied public suffixes for
 # the registrable-domain rollup) where two hosts are calendar traps — their
 # whole URL mass collapses to one template — and the rest spread over four
@@ -2256,6 +2298,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_incremental"] = dedup_incremental
 
+    def crawl_backoff_schedule(spark, sf):
+        """Exponential-backoff retry schedule from the fetch-attempt log
+        (operators/recrawl.backoff_schedule): trailing-failure count via
+        conditional aggregates only — no window over the attempt log;
+        max_failures=4 marks permanently-failing URLs dead."""
+        from cex_crawler_spark.operators.recrawl import backoff_schedule
+
+        a = gen_sim_attempts(spark)
+        return backoff_schedule(a, max_failures=4).orderBy("url_hash")
+
+    q["crawl_backoff_schedule"] = crawl_backoff_schedule
+
+    def robots_sitemap_discovery(spark, sf):
+        """Sitemap: directive extraction (functions/robots.py) — the
+        discovery edge robots → sitemap fetch → frontier seed; RFC 9309
+        makes the directive user-agent-independent, so it's one
+        scan-side regexp on the host dim."""
+        from cex_crawler_spark.functions.robots import parse_robots_sitemaps
+
+        p = _t(spark, sf, "part")
+        txt = F.concat(
+            F.lit("User-agent: *\nDisallow: /tmp\n"),
+            F.when(
+                F.col("p_size") % 4 != 0,
+                F.format_string(
+                    "Sitemap: https://h%d.example.com/sitemap.xml\n",
+                    F.col("p_size"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("p_partkey") % 3 == 0,
+                F.format_string(
+                    "sitemap: https://h%d.example.com/sitemap-news.xml\n",
+                    F.col("p_partkey") % 11,
+                ),
+            ).otherwise(F.lit("")),
+        )
+        return (
+            p.select(
+                "p_partkey",
+                F.explode(parse_robots_sitemaps(txt)).alias("sitemap_url"),
+            )
+            .orderBy("p_partkey", "sitemap_url")
+        )
+
+    q["robots_sitemap_discovery"] = robots_sitemap_discovery
+
+    def doc_tfidf_topk(spark, sf):
+        """Top-5 TF-IDF terms per document (functions/text.tfidf_top_terms):
+        keyword extraction the relational way — two map-combinable
+        aggregates + salted exact top-k (no per-doc window task); score
+        rounded to 4 BEFORE ranking for cross-engine rank stability."""
+        from cex_crawler_spark.functions.text import tfidf_top_terms
+
+        d = _t(spark, sf, "documents")
+        return (
+            tfidf_top_terms(d, "text", "doc_id", k=5)
+            .select(F.col("id").alias("doc_id"), "token", "score", "rank")
+            .orderBy("doc_id", "rank")
+        )
+
+    q["doc_tfidf_topk"] = doc_tfidf_topk
+
     return q
 
 
@@ -3645,6 +3750,88 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sc ON sc.doc_id = corpus_id
         WHERE i::DOUBLE / (sb.n + sc.n - i) >= 0.5
         ORDER BY batch_id, corpus_id
+    """
+
+    # crawl_backoff_schedule: trailing-failure fold replayed with the
+    # same conditional aggregates; 300·2^(k−1) is exact in doubles so
+    # the BIGINT casts agree despite DuckDB rounding vs Spark truncating.
+    o["crawl_backoff_schedule"] = f"""
+        WITH {_sim_attempts_sql()},
+        agg AS (
+          SELECT url_hash,
+                 max(CASE WHEN ok THEN fetch_ts END) AS last_ok,
+                 max(fetch_ts) AS last_attempt
+          FROM sim_attempts GROUP BY url_hash
+        ),
+        k AS (
+          SELECT a.url_hash, a.last_ok, a.last_attempt,
+                 sum(CASE WHEN NOT s.ok AND (a.last_ok IS NULL
+                                             OR s.fetch_ts > a.last_ok)
+                          THEN 1 ELSE 0 END) AS consecutive_failures
+          FROM agg a JOIN sim_attempts s USING (url_hash)
+          GROUP BY 1, 2, 3
+        )
+        SELECT url_hash,
+               CAST(consecutive_failures AS BIGINT) AS consecutive_failures,
+               consecutive_failures >= 4 AS give_up,
+               CASE
+                 WHEN consecutive_failures >= 4 THEN NULL
+                 WHEN consecutive_failures = 0 THEN last_attempt
+                 ELSE last_attempt + to_seconds(CAST(least(
+                        300 * pow(2.0, consecutive_failures - 1),
+                        86400.0) AS BIGINT))
+               END AS next_attempt
+        FROM k ORDER BY url_hash
+    """
+
+    # robots_sitemap_discovery: same body construction + (?m) regex.
+    o["robots_sitemap_discovery"] = """
+        WITH bodies AS (
+          SELECT p_partkey,
+                 'User-agent: *
+Disallow: /tmp
+'
+                 || CASE WHEN p_size % 4 <> 0
+                    THEN printf('Sitemap: https://h%d.example.com/sitemap.xml
+', p_size) ELSE '' END
+                 || CASE WHEN p_partkey % 3 = 0
+                    THEN printf('sitemap: https://h%d.example.com/sitemap-news.xml
+', p_partkey % 11) ELSE '' END AS txt
+          FROM part
+        )
+        SELECT p_partkey,
+               unnest(list_distinct(
+                 regexp_extract_all(txt, '(?m)^[Ss]itemap:[ \\t]*(\\S+)', 1)
+               )) AS sitemap_url
+        FROM bodies
+        ORDER BY p_partkey, sitemap_url
+    """
+
+    # doc_tfidf_topk: tf·ln(N/df) rounded to 4 before ranking in BOTH
+    # engines — ln is ~1-ulp accurate, so unrounded scores could
+    # rank-flip near-ties between JVM and DuckDB.
+    o["doc_tfidf_topk"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        nd AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, token,
+                 round(tf * ln((SELECT n FROM nd)::DOUBLE / df), 4) AS score
+          FROM tf JOIN dfreq USING (token)
+        ),
+        ranked AS (
+          SELECT doc_id, token, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, token DESC) AS rank
+          FROM scored
+        )
+        SELECT doc_id, token, score, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
     """
 
     # image_features: engine-synthesized image payloads (no DuckDB view,

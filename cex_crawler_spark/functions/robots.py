@@ -109,3 +109,18 @@ def effective_host_policy(host_policy, robots):
         )
         .drop("__dis", "__delay_s")
     )
+
+
+_SITEMAP_RX = r"(?m)^[Ss]itemap:[ \t]*(\S+)"
+
+
+def parse_robots_sitemaps(robots_txt: Column) -> Column:
+    """array<string> of Sitemap: URLs from a robots.txt body — the
+    discovery channel that closes the loop robots → sitemap fetch →
+    sources/sitemap.parse_sitemaps → frontier seed.  Per RFC 9309 §2.3
+    the directive is user-agent-independent (can appear anywhere in the
+    file), so no section tracking is needed.  Same scan-side
+    single-expression contract as the other parsers here."""
+    return F.array_distinct(
+        F.regexp_extract_all(robots_txt, F.lit(_SITEMAP_RX), 1)
+    )

@@ -249,3 +249,43 @@ def repetition_stats(df, text_col: str, id_col: str):
             "distinct_ratio"
         ),
     )
+
+
+def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 5):
+    """Top-``k`` TF-IDF terms per document — the classic keyword
+    extractor (Salton & Buckley 1988), the relational way.
+
+    score = tf · ln(N / df), rounded to 4 decimals BEFORE ranking so
+    the ordering is reproducible across engines (ln is only ~1-ulp
+    accurate everywhere; an unrounded score can rank-flip two
+    near-ties between JVM and any oracle).  Ties break on the token
+    string descending — (score, token) totally orders a group.
+
+    Shape: explode → two map-combinable aggregates (term frequency,
+    document frequency); N rides a one-row broadcast (no window over
+    the corpus); the per-doc top-k uses operators/skew.salted_topk, so
+    a million-token document never serializes into one window task.
+    Returns (id, token, score, rank).
+    """
+    from ..operators.skew import salted_topk
+    from pyspark.sql import functions as F
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tf = tok.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    ndocs = df.select(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "id",
+            "token",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 4).alias(
+                "score"
+            ),
+        )
+    )
+    return salted_topk(scored, ["id"], ["score", "token"], k)

@@ -74,3 +74,72 @@ def change_rate_priorities(
         .otherwise(F.lit(2))
         .cast("long"),
     )
+
+
+# ------------------------------------------------------- failure backoff
+
+def backoff_schedule(
+    attempts: DataFrame,
+    base_delay_s: int = 300,
+    max_delay_s: int = 86_400,
+    max_failures: int = 8,
+    url_col: str = "url_hash",
+    ts_col: str = "fetch_ts",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """Exponential-backoff retry schedule from the fetch-attempt log.
+
+    Per URL: consecutive TRAILING failures decide the next attempt —
+    ``next_attempt = last_attempt + min(base·2^(k−1), max_delay)`` after
+    ``k`` straight failures; a URL whose latest attempt succeeded retries
+    immediately on the freshness schedule (delay 0 here, the change-rate
+    model above owns it), and one that failed ``max_failures`` straight
+    times is marked dead (``give_up = true``, next_attempt NULL) so the
+    frontier stops burning politeness budget on it.  Deterministic, no
+    RNG jitter — a production crawler adds jitter at enqueue time
+    (SURVEY §2.10 keeps the engine reproducible).
+
+    Shape: one map-combinable aggregate per URL.  Counting trailing
+    failures needs the max success timestamp and the count/max of
+    attempts after it — both expressible as conditional aggregates, so
+    there is NO window over the attempt log, just groupBy(url): count of
+    failures with ts > max(success ts) (all failures when no success).
+
+    The reference retries inline with time.sleep loops per exchange
+    (/root/reference/utils/*.py request wrappers); at frontier scale the
+    retry queue IS the frontier, so backoff must be a column, not a loop.
+    """
+    agg = attempts.groupBy(F.col(url_col).alias("__bk_url")).agg(
+        F.max(F.when(F.col(ok_col), F.col(ts_col))).alias("last_ok"),
+        F.max(F.col(ts_col)).alias("last_attempt"),
+    )
+    j = attempts.join(agg, attempts[url_col] == agg["__bk_url"]).groupBy(
+        F.col("__bk_url").alias("url_hash"), F.col("last_ok"), F.col("last_attempt")
+    ).agg(
+        F.sum(
+            F.when(
+                (~F.col(ok_col))
+                & (F.col("last_ok").isNull() | (F.col(ts_col) > F.col("last_ok"))),
+                1,
+            ).otherwise(0)
+        ).alias("consecutive_failures")
+    )
+    k = F.col("consecutive_failures")
+    delay = F.least(
+        F.lit(base_delay_s) * F.pow(F.lit(2.0), k - 1),
+        F.lit(float(max_delay_s)),
+    )
+    give_up = k >= max_failures
+    return j.select(
+        "url_hash",
+        k.cast("long").alias("consecutive_failures"),
+        give_up.alias("give_up"),
+        F.when(give_up, F.lit(None).cast("timestamp"))
+        .when(k == 0, F.col("last_attempt"))
+        .otherwise(
+            F.timestamp_seconds(
+                F.unix_timestamp("last_attempt") + delay.cast("long")
+            )
+        )
+        .alias("next_attempt"),
+    )

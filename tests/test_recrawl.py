@@ -118,3 +118,41 @@ def test_sliding_chunks_rejects_bad_stride(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         sliding_chunks(df, "text", "doc_id", chunk_tokens=10, stride=11)
+
+
+def test_backoff_schedule_trailing_failures(spark):
+    from datetime import datetime
+
+    from cex_crawler_spark.operators.recrawl import backoff_schedule
+
+    def ts(h):
+        return datetime(2025, 8, 1, h)
+
+    rows = [
+        # all ok → retry immediately (k=0, next = last attempt)
+        ("ok", ts(1), True), ("ok", ts(2), True),
+        # ok then 2 failures → k=2, next = last + 300*2^1 = +600 s
+        ("two", ts(1), True), ("two", ts(2), False), ("two", ts(3), False),
+        # failure then ok LAST → k=0 (only trailing failures count)
+        ("recov", ts(1), False), ("recov", ts(2), True),
+        # never ok, 5 attempts ≥ max_failures=4 → dead
+        ("dead", ts(1), False), ("dead", ts(2), False), ("dead", ts(3), False),
+        ("dead", ts(4), False), ("dead", ts(5), False),
+        # 3 straight failures → delay 300*2^2 = 1200, capped at 1000
+        ("cap", ts(1), False), ("cap", ts(2), False), ("cap", ts(3), False),
+    ]
+    df = spark.createDataFrame(rows, ["url_hash", "fetch_ts", "ok"])
+    out = {
+        r["url_hash"]: r
+        for r in backoff_schedule(
+            df, base_delay_s=300, max_delay_s=1000, max_failures=4
+        ).collect()
+    }
+    assert out["ok"]["consecutive_failures"] == 0 and not out["ok"]["give_up"]
+    assert out["ok"]["next_attempt"] == ts(2)
+    assert out["two"]["consecutive_failures"] == 2
+    assert (out["two"]["next_attempt"] - ts(3)).total_seconds() == 600
+    assert out["recov"]["consecutive_failures"] == 0
+    assert out["recov"]["next_attempt"] == ts(2)
+    assert out["dead"]["give_up"] and out["dead"]["next_attempt"] is None
+    assert (out["cap"]["next_attempt"] - ts(3)).total_seconds() == 1000

@@ -98,3 +98,46 @@ def test_incremental_is_directed_subset_of_pairs(spark):
         for r in incremental_jaccard_matches(corpus, batch, k=3, threshold=0.4, max_df=None).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_robots_sitemap_directive(spark):
+    from cex_crawler_spark.functions.robots import parse_robots_sitemaps
+
+    body = (
+        "User-agent: googlebot\nDisallow: /x\n"
+        "Sitemap: https://a/s1.xml\n"
+        "User-agent: *\nsitemap: https://a/s2.xml\n"
+        "Sitemap: https://a/s1.xml\n"  # duplicate must collapse
+        "NotSitemap: https://a/no.xml\n"
+    )
+    df = spark.createDataFrame([(body,)], ["robots_txt"])
+    got = sorted(df.select(parse_robots_sitemaps(F.col("robots_txt")).alias("s")).first()["s"])
+    assert got == ["https://a/s1.xml", "https://a/s2.xml"]
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from cex_crawler_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "common common rare1 rare1 rare1"),
+            ("b", "common rare2"),
+            ("c", "common common common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, "text", "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append((r["rank"], r["token"], r["score"]))
+    # 'common' appears in all 3 docs → ln(3/3)=0 score everywhere;
+    # rare terms dominate their docs
+    assert by_doc["a"][0][1] == "rare1"
+    assert by_doc["a"][0][2] == round(3 * math.log(3 / 1), 4)
+    assert by_doc["b"][0][1] == "rare2"
+    # doc c has only a zero-scored term; it still ranks (rank 1)
+    assert by_doc["c"][0] == (1, "common", 0.0)
+    # k=2 cap respected
+    assert all(len(v) <= 2 for v in by_doc.values())
