@@ -456,10 +456,20 @@ def gen_sim_pages(spark: SparkSession, n: int = SIM_PAGE_N) -> DataFrame:
     n_links = 1 + (i * 31) % 3
 
     def link(j: int):
+        # host h0 is a planted calendar trap (all its URL mass collapses
+        # to /cal/N/N); healthy hosts spread over three path shapes
+        hh = (i * 7 + j) % 5
+        kk = (i * 13 + j * 101) % 97
+        path = (
+            F.when(hh == 0, F.format_string("/cal/%d/%d", (1 + kk % 12).cast("int"), (1 + kk % 28).cast("int")))
+            .when(kk % 3 == 0, F.format_string("/p/%d", kk.cast("int")))
+            .when(kk % 3 == 1, F.format_string("/article/%d/view", kk.cast("int")))
+            .otherwise(F.format_string("/p/%d?ref=%d", kk.cast("int"), (kk % 7).cast("int")))
+        )
         return F.format_string(
-            '<a href="https://h%d.example.com/p/%d">anchor %d %d</a> and text ',
-            ((i * 7 + j) % 5).cast("int"),
-            ((i * 13 + j * 101) % 97).cast("int"),
+            '<a href="https://h%d.example.com%s">anchor %d %d</a> and text ',
+            hh.cast("int"),
+            path,
             i.cast("int"),
             F.lit(j).cast("int"),
         )
@@ -479,9 +489,16 @@ def gen_sim_pages(spark: SparkSession, n: int = SIM_PAGE_N) -> DataFrame:
 
 def _sim_pages_sql(n: int = SIM_PAGE_N) -> str:
     def link(j: int) -> str:
+        hh = f"(i * 7 + {j}) % 5"
+        kk = f"(i * 13 + {j} * 101) % 97"
+        path = f"""CASE
+            WHEN {hh} = 0 THEN printf('/cal/%d/%d', 1 + ({kk}) % 12, 1 + ({kk}) % 28)
+            WHEN ({kk}) % 3 = 0 THEN printf('/p/%d', {kk})
+            WHEN ({kk}) % 3 = 1 THEN printf('/article/%d/view', {kk})
+            ELSE printf('/p/%d?ref=%d', {kk}, ({kk}) % 7) END"""
         return (
-            f"printf('<a href=\"https://h%d.example.com/p/%d\">anchor %d %d</a> and text ', "
-            f"(i * 7 + {j}) % 5, (i * 13 + {j} * 101) % 97, i, {j})"
+            f"printf('<a href=\"https://h%d.example.com%s\">anchor %d %d</a> and text ', "
+            f"{hh}, {path}, i, {j})"
         )
 
     return f"""
@@ -2361,6 +2378,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_tfidf_topk"] = doc_tfidf_topk
 
+    def frontier_discovery_pipeline(spark, sf):
+        """CAPSTONE — the whole discovery loop, end to end: extract
+        links from fetched pages → PageRank over the link graph →
+        union with sitemap seeds → median-bucketed priority (unknown
+        rank = middle) → trap-host demotion.  Every stage is the
+        audited scale path (codegen extraction, per-iteration
+        map-combinable shuffle, broadcast trap verdict); ranks are
+        rounded to 6 BEFORE the median/compare so the bucket boundary
+        is grid-stable across engines."""
+        from cex_crawler_spark.operators.linkgraph import page_links, pagerank
+        from cex_crawler_spark.operators.traps import demote_trapped, trap_hosts
+        from cex_crawler_spark.sources.sitemap import parse_sitemaps
+
+        links = page_links(gen_sim_pages(spark))
+        edges = links.select(
+            F.col("src_url").alias("src"), F.col("href").alias("dst")
+        )
+        pr = pagerank(edges, n_iter=3).select(
+            F.col("id").alias("url"), F.round("rank", 6).alias("rank")
+        )
+        discovered = (
+            links.select(F.col("href").alias("url"))
+            .unionByName(parse_sitemaps(gen_sim_sitemaps(spark)).select("url"))
+            .distinct()
+            .select(
+                "url",
+                F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+            )
+        )
+        joined = discovered.join(pr, "url", "left")
+        # median of the DISCOVERED urls' ranks (null = never linked),
+        # not of the whole node table — the bucket boundary must split
+        # the actual frontier
+        med = joined.agg(F.expr("percentile(rank, 0.5)").alias("m"))
+        ranked = (
+            joined.crossJoin(F.broadcast(med))
+            .withColumn(
+                "priority",
+                F.when(F.col("rank").isNull(), F.lit(1))
+                .when(F.col("rank") >= F.col("m"), F.lit(0))
+                .otherwise(F.lit(2))
+                .cast("long"),
+            )
+            .select("url", "host", "priority")
+        )
+        traps = trap_hosts(ranked, min_urls=20, max_top_template_share=0.5)
+        return demote_trapped(ranked, traps, penalty=10).orderBy(
+            "priority", "url"
+        )
+
+    q["frontier_discovery_pipeline"] = frontier_discovery_pipeline
+
     return q
 
 
@@ -2395,6 +2464,44 @@ _SHINGLES3 = (
 # O(shared-shingle pairs) instead of O(n² docs) — the all-pairs form
 # took >1 h for the 12.5M candidate pairs of the sf0.1 self-check,
 # this one 1.8 s.
+def _pagerank_cte_chain(n_iter: int) -> str:
+    """CTE chain (nodes/nn/deg/r0..r{n}) unrolling the pagerank power
+    iteration over an existing ``dedges(src, dst)`` CTE — expression
+    shapes/order mirror operators/linkgraph.pagerank exactly."""
+    iters = []
+    for k in range(n_iter):
+        iters.append(f"""
+        d{k} AS (
+          SELECT coalesce(sum(rank), 0) AS m
+          FROM r{k} r LEFT JOIN deg g ON g.id = r.id
+          WHERE g.id IS NULL
+        ),
+        r{k + 1} AS (
+          SELECT n.id,
+                 ((1 - 0.85) / (SELECT cnt FROM nn)
+                  + 0.85 * (SELECT m FROM d{k}) / (SELECT cnt FROM nn))
+                 + 0.85 * coalesce(c.contrib, 0) AS rank
+          FROM nodes n
+          LEFT JOIN (
+            SELECT e.dst AS id, sum(r.rank / g.outd) AS contrib
+            FROM dedges e
+            JOIN r{k} r ON r.id = e.src
+            JOIN deg g ON g.id = e.src
+            GROUP BY e.dst
+          ) c ON c.id = n.id
+        )""")
+    return f"""
+        nodes AS (
+          SELECT DISTINCT src AS id FROM dedges
+          UNION SELECT DISTINCT dst FROM dedges
+        ),
+        nn AS (SELECT count(*) AS cnt FROM nodes),
+        deg AS (SELECT src AS id, count(*) AS outd FROM dedges GROUP BY src),
+        r0 AS (SELECT id, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes),
+        {",".join(iters)}
+    """
+
+
 _JACCARD_PAIRS_SQL = f"""
     WITH n AS (
       SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
@@ -3631,39 +3738,11 @@ def oracle_sql() -> dict[str, str]:
     # CTE chain — r{k} from r{k-1}, dangling mass d{k} re-read each step.
     # Expression shapes/order mirror the engine exactly so double
     # arithmetic agrees far below the round(6) published precision.
-    _pr_iters = []
-    for k in range(5):
-        _pr_iters.append(f"""
-        d{k} AS (
-          SELECT coalesce(sum(rank), 0) AS m
-          FROM r{k} r LEFT JOIN deg g ON g.id = r.id
-          WHERE g.id IS NULL
-        ),
-        r{k + 1} AS (
-          SELECT n.id,
-                 ((1 - 0.85) / (SELECT cnt FROM nn)
-                  + 0.85 * (SELECT m FROM d{k}) / (SELECT cnt FROM nn))
-                 + 0.85 * coalesce(c.contrib, 0) AS rank
-          FROM nodes n
-          LEFT JOIN (
-            SELECT e.dst AS id, sum(r.rank / g.outd) AS contrib
-            FROM dedges e
-            JOIN r{k} r ON r.id = e.src
-            JOIN deg g ON g.id = e.src
-            GROUP BY e.dst
-          ) c ON c.id = n.id
-        )""")
+    # (_pagerank_cte_chain assumes a `dedges(src,dst)` CTE exists.)
     o["link_graph_pagerank"] = f"""
         WITH {_sim_linkgraph_sql()},
         dedges AS (SELECT DISTINCT src, dst FROM sim_edges),
-        nodes AS (
-          SELECT DISTINCT src AS id FROM dedges
-          UNION SELECT DISTINCT dst FROM dedges
-        ),
-        nn AS (SELECT count(*) AS cnt FROM nodes),
-        deg AS (SELECT src AS id, count(*) AS outd FROM dedges GROUP BY src),
-        r0 AS (SELECT id, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes),
-        {",".join(_pr_iters)}
+        {_pagerank_cte_chain(5)}
         SELECT id, round(rank, 6) AS rank FROM r5 ORDER BY id
     """
 
@@ -3832,6 +3911,72 @@ Disallow: /tmp
         )
         SELECT doc_id, token, score, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
+    """
+
+    # frontier_discovery_pipeline: the full discovery loop replayed —
+    # link extraction, 3-iteration pagerank, sitemap seeds, rounded-rank
+    # median buckets, template-collapse trap demotion.
+    o["frontier_discovery_pipeline"] = f"""
+        WITH {_sim_pages_sql()},
+        {_sim_sitemaps_sql()},
+        links AS (
+          SELECT url AS src_url,
+                 unnest(regexp_extract_all(
+                   html, '<a\\s+href="([^"]+)"[^>]*>([^<]*)</a>', 1)) AS href
+          FROM sim_pages
+        ),
+        dedges AS (SELECT DISTINCT src_url AS src, href AS dst FROM links),
+        {_pagerank_cte_chain(3)},
+        pr AS (SELECT id AS url, round(rank, 6) AS rank FROM r3),
+        seeds AS (
+          SELECT trim(regexp_extract(blk, '<loc>\\s*([^<]*?)\\s*</loc>', 1)) AS url
+          FROM (
+            SELECT unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1, 's')) AS blk
+            FROM sim_sitemaps
+          )
+          WHERE trim(regexp_extract(blk, '<loc>\\s*([^<]*?)\\s*</loc>', 1)) <> ''
+        ),
+        discovered AS (
+          SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+          FROM (SELECT href AS url FROM links UNION SELECT url FROM seeds)
+        ),
+        joined AS (
+          SELECT d.url, d.host, p.rank
+          FROM discovered d LEFT JOIN pr p ON p.url = d.url
+        ),
+        med AS (SELECT quantile_cont(rank, 0.5) AS m FROM joined),
+        ranked AS (
+          SELECT url, host,
+                 CASE WHEN rank IS NULL THEN 1
+                      WHEN rank >= (SELECT m FROM med) THEN 0
+                      ELSE 2 END AS priority
+          FROM joined
+        ),
+        tpl AS (
+          SELECT host,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/]*', ''),
+                       '[0-9a-fA-F]{{8,}}', 'H', 'g'),
+                     '[0-9]+', 'N', 'g'),
+                   '=([^&#/]*)', '=V', 'g') AS template
+          FROM ranked
+        ),
+        ts AS (SELECT host, template, count(*) AS n FROM tpl GROUP BY 1, 2),
+        hostagg AS (
+          SELECT host, sum(n) AS n_urls, max(n) AS top_n
+          FROM ts GROUP BY host
+        ),
+        trapped AS (
+          SELECT host FROM hostagg
+          WHERE n_urls >= 20 AND round(top_n / n_urls, 4) > 0.5
+        )
+        SELECT r.url, r.host,
+               CAST(r.priority + CASE WHEN t.host IS NOT NULL THEN 10 ELSE 0 END
+                    AS BIGINT) AS priority
+        FROM ranked r LEFT JOIN trapped t ON t.host = r.host
+        ORDER BY 3, 1
     """
 
     # image_features: engine-synthesized image payloads (no DuckDB view,
