@@ -96,8 +96,17 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count("*").alias("outd"))
     # fold out-degree onto the edge list once so the per-iteration join
-    # is edges ⋈ ranks only (one narrow probe side)
-    ew = e.join(deg, "src").select("src", "dst", "outd").persist()
+    # is edges ⋈ ranks only (one narrow probe side).  Persist it ALREADY
+    # hash-partitioned on the join key: InMemoryRelation preserves
+    # outputPartitioning, so every iteration's src-join re-shuffles only
+    # the node-sized rank table, never the edge list — at web scale
+    # E ≫ V and the repeated edge shuffle would dominate the loop.
+    ew = (
+        e.join(deg, "src")
+        .select("src", "dst", "outd")
+        .repartition("src")
+        .persist()
+    )
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
         eager=True
     )
