@@ -444,6 +444,42 @@ def _sim_linkgraph_sql(n: int = SIM_EDGE_N) -> str:
 
 
 # --------------------------------------------------------------------------
+# sim redirect-graph fixture: a functional 3xx graph — 20 disjoint
+# 20-hop chains (srcs 0-399, chain r resolves to terminal 1380+r), a
+# planted 3-cycle 400→401→402→400, and a tail 403→400 leading INTO the
+# cycle.  Chains exercise pointer-jump doubling; the cycle and its tail
+# must come back unresolved (final_url NULL).
+# --------------------------------------------------------------------------
+
+SIM_REDIRECT_N = 404
+
+
+def gen_sim_redirects(spark: SparkSession, n: int = SIM_REDIRECT_N) -> DataFrame:
+    i = F.col("id")
+    return spark.range(n).select(
+        i.alias("src"),
+        F.when(i < 380, i + 20)
+        .when(i < 400, i + 1000)
+        .when(i < 403, 400 + (i - 399) % 3)
+        .otherwise(F.lit(400).cast("long"))
+        .alias("dst"),
+    )
+
+
+def _sim_redirects_sql(n: int = SIM_REDIRECT_N) -> str:
+    return f"""
+      redirect_edges AS (
+        SELECT range AS src,
+               CASE WHEN range < 380 THEN range + 20
+                    WHEN range < 400 THEN range + 1000
+                    WHEN range < 403 THEN 400 + (range - 399) % 3
+                    ELSE 400 END AS dst
+        FROM range({n})
+      )
+    """
+
+
+# --------------------------------------------------------------------------
 # sim html-pages fixture: pages with 1-3 <a href> links plus a decoy
 # anchor without href (must NOT extract) and inter-link prose.
 # --------------------------------------------------------------------------
@@ -2254,6 +2290,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_graph_pagerank"] = link_graph_pagerank
 
+    def redirect_resolution(spark, sf):
+        """Redirect-chain resolution (operators/linkgraph.
+        resolve_redirects): pointer jumping over the functional 3xx
+        graph — O(log max_chain) node-sized self-joins resolve every
+        URL to its final target; redirect cycles (and tails into them)
+        are detected as DATA and come back unresolved, never followed
+        forever.  The seen-set then dedups on final_url: ten mirrors
+        301-ing to one canonical page are one page."""
+        from cex_crawler_spark.operators.linkgraph import resolve_redirects
+
+        e = gen_sim_redirects(spark)
+        return resolve_redirects(e).orderBy("url")
+
+    q["redirect_resolution"] = redirect_resolution
+
     def page_link_extract(spark, sf):
         """<a href> extraction (operators/linkgraph.page_links): pure
         codegen regexp over fetched html, zipped href/anchor pairs —
@@ -3744,6 +3795,29 @@ def oracle_sql() -> dict[str, str]:
         dedges AS (SELECT DISTINCT src, dst FROM sim_edges),
         {_pagerank_cte_chain(5)}
         SELECT id, round(rank, 6) AS rank FROM r5 ORDER BY id
+    """
+
+    # redirect_resolution: independent algorithm — a recursive CTE walks
+    # every chain one hop at a time; UNION (distinct) makes cycle walks
+    # revisit known states and terminate.  A url is resolved iff some
+    # reached node has no outgoing edge (functional graph → at most one
+    # such node per url); cycle members/tails never reach one → NULL.
+    o["redirect_resolution"] = f"""
+        WITH RECURSIVE {_sim_redirects_sql()},
+        walk AS (
+          SELECT src AS url, dst AS cur FROM redirect_edges
+          UNION
+          SELECT w.url, e.dst
+          FROM walk w JOIN redirect_edges e ON w.cur = e.src
+        ),
+        resolved AS (
+          SELECT url, cur AS final_url FROM walk
+          WHERE cur NOT IN (SELECT src FROM redirect_edges)
+        )
+        SELECT s.src AS url, r.final_url,
+               r.final_url IS NOT NULL AS resolved
+        FROM redirect_edges s LEFT JOIN resolved r ON s.src = r.url
+        ORDER BY url
     """
 
     # page_link_extract: same <a href> regex per group, list_zip + unnest

@@ -166,3 +166,66 @@ def rank_priority(ranks: DataFrame, levels: int = 10) -> DataFrame:
         .cast("long")
         .alias("priority"),
     )
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Resolve every redirecting URL to its final target.
+
+    ``edges`` is the functional redirect graph (one outgoing 3xx edge
+    per src; callers enforce uniqueness upstream, e.g. last-crawled
+    wins).  Returns (url, final_url, resolved) for every src: the first
+    transitively-reached node with NO outgoing edge, or ``resolved =
+    false`` / NULL when the chain enters a redirect CYCLE (a real crawl
+    pathology — cycles must be detected, not followed forever).
+
+    The seen-set and frontier dedup on ``final_url``: ten mirrors
+    301-ing to one canonical page are one page.
+
+    Algorithm: pointer jumping — label(u) ← label(label(u)) while the
+    label still has an outgoing edge, so chain depth halves per
+    iteration: O(log max_chain) self-joins of the node-sized label
+    table, each localCheckpointed (same lineage discipline as
+    dedup.connected_components).  Cycle members either reach a
+    power-of-two fixpoint (label ∈ srcs) or burn ``max_iters``; both
+    end as resolved = false without raising — unlike CC's
+    non-convergence, a cycle is DATA, not an algorithmic failure.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    labels = e.select(
+        F.col("src").alias("url"), F.col("dst").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        # label(u) ← label(label(u)): joining the label table with
+        # ITSELF doubles the hop distance every iteration; a label
+        # without its own row is already terminal and stays put.
+        parent = labels.select(
+            F.col("url").alias("__purl"), F.col("label").alias("__plabel")
+        )
+        hopped = (
+            labels.join(parent, labels["label"] == parent["__purl"], "left")
+            .select(
+                "url",
+                F.coalesce(F.col("__plabel"), F.col("label")).alias("label"),
+                (F.col("__plabel") != F.col("label")).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = hopped.filter(F.col("__changed")).limit(1).count()
+        labels = hopped.select("url", "label")
+        if changed == 0:
+            break
+    srcs = e.select(F.col("src").alias("__src")).distinct()
+    out = labels.join(srcs, labels["label"] == srcs["__src"], "left").select(
+        "url",
+        F.when(F.col("__src").isNull(), F.col("label")).alias("final_url"),
+        F.col("__src").isNull().alias("resolved"),
+    )
+    e.unpersist()
+    return out

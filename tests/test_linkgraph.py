@@ -9,6 +9,7 @@ from cex_crawler_spark.operators.linkgraph import (
     page_links,
     pagerank,
     rank_priority,
+    resolve_redirects,
 )
 from cex_crawler_spark.operators.traps import demote_trapped
 
@@ -101,6 +102,72 @@ def test_demote_trapped_priority(spark):
         "https://ok.com/a": 0,
         "https://trap.com/cal/2": 102,
     }
+
+
+def _py_resolve(edges):
+    """Pointer-chasing twin with visited-set cycle detection."""
+    nxt = dict(edges)
+    out = {}
+    for u in nxt:
+        cur, seen = u, set()
+        while cur in nxt and cur not in seen:
+            seen.add(cur)
+            cur = nxt[cur]
+        out[u] = (cur, True) if cur not in nxt else (None, False)
+    return out
+
+
+def test_resolve_redirects_chain(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    got = {
+        r["url"]: (r["final_url"], r["resolved"])
+        for r in resolve_redirects(spark.createDataFrame(edges, ["src", "dst"])).collect()
+    }
+    assert got == {"a": ("d", True), "b": ("d", True), "c": ("d", True)}
+
+
+def test_resolve_redirects_cycle_and_tail(spark):
+    # 3-cycle, a tail leading INTO the cycle, and an unrelated clean chain
+    edges = [("x", "y"), ("y", "z"), ("z", "x"), ("w", "x"), ("a", "b")]
+    got = {
+        r["url"]: (r["final_url"], r["resolved"])
+        for r in resolve_redirects(spark.createDataFrame(edges, ["src", "dst"])).collect()
+    }
+    assert got == _py_resolve(edges)
+    assert got["a"] == ("b", True)
+    for u in ("x", "y", "z", "w"):
+        assert got[u] == (None, False)
+
+
+def test_resolve_redirects_self_loop(spark):
+    edges = [("s", "s"), ("t", "s")]
+    got = {
+        r["url"]: (r["final_url"], r["resolved"])
+        for r in resolve_redirects(spark.createDataFrame(edges, ["src", "dst"])).collect()
+    }
+    assert got == {"s": (None, False), "t": (None, False)}
+
+
+def test_resolve_redirects_long_chain_log_iters(spark):
+    # 120-hop chain: pointer jumping must resolve it within
+    # ceil(log2(120)) = 7 doublings — max_iters=8 proves O(log), a
+    # one-hop-per-iteration walk would need 120.
+    edges = [(i, i + 1) for i in range(120)]
+    out = resolve_redirects(
+        spark.createDataFrame(edges, ["src", "dst"]), max_iters=8
+    )
+    rows = out.collect()
+    assert len(rows) == 120
+    assert all(r["final_url"] == 120 and r["resolved"] for r in rows)
+
+
+def test_resolve_redirects_mirror_fanin(spark):
+    # ten mirrors all 301 to one canonical page via one intermediate
+    edges = [(f"m{i}", "mid") for i in range(10)] + [("mid", "canon")]
+    out = resolve_redirects(spark.createDataFrame(edges, ["src", "dst"]))
+    finals = {r["final_url"] for r in out.collect()}
+    assert finals == {"canon"}
+    assert out.count() == 11
 
 
 def test_demote_trapped_defaults_missing_priority(spark):
