@@ -2305,6 +2305,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["redirect_resolution"] = redirect_resolution
 
+    def link_graph_hits(spark, sf):
+        """HITS hubs/authorities (operators/linkgraph.hits, Kleinberg
+        JACM'99): a high-hub page is a directory worth crawling EARLY
+        for its outlinks even when its own authority is low — the
+        complementary signal to PageRank for frontier ordering.  Two
+        map-combinable aggregates per iteration over the src-partitioned
+        edge list; oracled by unrolling the recurrence in SQL."""
+        from cex_crawler_spark.operators.linkgraph import hits
+
+        r = hits(gen_sim_linkgraph(spark), n_iter=3)
+        return r.select(
+            "id",
+            F.round("hub", 6).alias("hub"),
+            F.round("auth", 6).alias("auth"),
+        ).orderBy("id")
+
+    q["link_graph_hits"] = link_graph_hits
+
+    def crawl_depth_labels(spark, sf):
+        """Seed-distance BFS labeling (operators/linkgraph.crawl_depth):
+        min link-hops from the seed set, level-synchronous — the
+        depth-bounded crawl policy that keeps a 10^10-URL frontier
+        finite.  One same-key hash join + anti-join per layer; only the
+        node-sized frontier shuffles (edges persisted src-partitioned).
+        Oracled by an independent recursive-CTE walk (UNION-distinct
+        bounds states, min(depth) per url)."""
+        from cex_crawler_spark.operators.linkgraph import crawl_depth
+
+        seeds = spark.range(1).select(F.lit(0).cast("long").alias("url"))
+        return crawl_depth(
+            gen_sim_linkgraph(spark), seeds, max_depth=4
+        ).orderBy("url")
+
+    q["crawl_depth_labels"] = crawl_depth_labels
+
     def page_link_extract(spark, sf):
         """<a href> extraction (operators/linkgraph.page_links): pure
         codegen regexp over fetched html, zipped href/anchor pairs —
@@ -2549,6 +2584,48 @@ def _pagerank_cte_chain(n_iter: int) -> str:
         nn AS (SELECT count(*) AS cnt FROM nodes),
         deg AS (SELECT src AS id, count(*) AS outd FROM dedges GROUP BY src),
         r0 AS (SELECT id, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes),
+        {",".join(iters)}
+    """
+
+
+def _hits_cte_chain(n_iter: int) -> str:
+    """CTE chain (nodes/h0/a1..h{n}) unrolling the HITS mutual
+    recursion over an existing ``dedges(src, dst)`` CTE — auth from
+    PREVIOUS hubs, hub from CURRENT auths, L2-normalized each
+    half-step, mirroring operators/linkgraph.hits exactly."""
+    iters = []
+    for k in range(1, n_iter + 1):
+        iters.append(f"""
+        a{k}raw AS (
+          SELECT n.id, coalesce(s.v, 0.0) AS auth
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS id, sum(h.hub) AS v
+            FROM dedges e JOIN h{k - 1} h ON h.id = e.src
+            GROUP BY e.dst
+          ) s ON s.id = n.id
+        ),
+        a{k} AS (
+          SELECT id, auth / (SELECT sqrt(sum(auth * auth)) FROM a{k}raw) AS auth
+          FROM a{k}raw
+        ),
+        h{k}raw AS (
+          SELECT n.id, coalesce(s.v, 0.0) AS hub
+          FROM nodes n LEFT JOIN (
+            SELECT e.src AS id, sum(a.auth) AS v
+            FROM dedges e JOIN a{k} a ON a.id = e.dst
+            GROUP BY e.src
+          ) s ON s.id = n.id
+        ),
+        h{k} AS (
+          SELECT id, hub / (SELECT sqrt(sum(hub * hub)) FROM h{k}raw) AS hub
+          FROM h{k}raw
+        )""")
+    return f"""
+        nodes AS (
+          SELECT DISTINCT src AS id FROM dedges
+          UNION SELECT DISTINCT dst FROM dedges
+        ),
+        h0 AS (SELECT id, 1.0 AS hub FROM nodes),
         {",".join(iters)}
     """
 
@@ -3795,6 +3872,35 @@ def oracle_sql() -> dict[str, str]:
         dedges AS (SELECT DISTINCT src, dst FROM sim_edges),
         {_pagerank_cte_chain(5)}
         SELECT id, round(rank, 6) AS rank FROM r5 ORDER BY id
+    """
+
+    # link_graph_hits: the HITS mutual recursion unrolled (auth from
+    # previous hubs, hub from current auths, L2 norm each half-step).
+    o["link_graph_hits"] = f"""
+        WITH {_sim_linkgraph_sql()},
+        dedges AS (SELECT DISTINCT src, dst FROM sim_edges),
+        {_hits_cte_chain(3)}
+        SELECT h.id, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+        FROM h3 h JOIN a3 a ON a.id = h.id
+        ORDER BY h.id
+    """
+
+    # crawl_depth_labels: independent algorithm — recursive walk
+    # enumerating (url, depth) states; UNION (distinct) bounds the state
+    # space at nodes × (max_depth+1) so cycles terminate, min(depth) is
+    # the BFS distance, the depth < 4 guard is the crawl-depth bound.
+    o["crawl_depth_labels"] = f"""
+        WITH RECURSIVE {_sim_linkgraph_sql()},
+        dedges AS (SELECT DISTINCT src, dst FROM sim_edges),
+        walk AS (
+          SELECT CAST(0 AS BIGINT) AS url, CAST(0 AS BIGINT) AS depth
+          UNION
+          SELECT e.dst AS url, w.depth + 1 AS depth
+          FROM walk w JOIN dedges e ON e.src = w.url
+          WHERE w.depth < 4
+        )
+        SELECT url, min(depth) AS depth FROM walk
+        GROUP BY url ORDER BY url
     """
 
     # redirect_resolution: independent algorithm — a recursive CTE walks

@@ -138,6 +138,86 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """(id, hub, auth) after ``n_iter`` HITS iterations (Kleinberg,
+    JACM'99) — the second classic link signal: a high-HUB page is a
+    directory worth crawling for its outlinks even when its own
+    authority is low, exactly the pages a frontier wants EARLY.
+
+    Standard mutual recursion, L2-normalized each half-step, duplicate
+    edges collapsed to one endorsement:
+
+        auth'(v) = Σ_{u→v} hub(u)   then  auth ← auth/‖auth‖₂
+        hub'(u)  = Σ_{u→v} auth'(v) then  hub  ← hub/‖hub‖₂
+
+    Fixed iteration count, no RNG — deterministic and SQL-mirrorable by
+    unrolling (the DuckDB oracle replays the same recurrence).  Per
+    iteration: two key-partitioned map-combinable aggregates over the
+    persisted src-partitioned edge list (only the node-sized score
+    table shuffles) and two scalar norms (one double each across the
+    driver, same shape as pagerank's dangling mass); localCheckpoint
+    keeps lineage O(1).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    if nodes.limit(1).count() == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn("auth", F.lit(0.0))
+    scores = nodes.select(
+        "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    ).localCheckpoint(eager=True)
+
+    def _normed(agg: DataFrame, col: str) -> DataFrame:
+        norm = agg.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("n")).collect()[0]["n"]
+        return agg.select("id", (F.col(col) / F.lit(float(norm or 1.0))).alias(col))
+
+    for _ in range(n_iter):
+        auth = _normed(
+            nodes.join(
+                e.join(scores, e["src"] == scores["id"])
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("auth")),
+                nodes["id"] == F.col("dst"),
+                "left",
+            ).select("id", F.coalesce("auth", F.lit(0.0)).alias("auth")),
+            "auth",
+        )
+        hub = _normed(
+            nodes.join(
+                e.join(auth, e["dst"] == auth["id"])
+                .groupBy("src")
+                .agg(F.sum("auth").alias("hub")),
+                nodes["id"] == F.col("src"),
+                "left",
+            ).select("id", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+            "hub",
+        )
+        scores = (
+            hub.join(auth.withColumnRenamed("id", "__aid"), hub["id"] == F.col("__aid"))
+            .select("id", "hub", "auth")
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return scores
+
+
 def rank_priority(ranks: DataFrame, levels: int = 10) -> DataFrame:
     """Map ranks to the scheduler's ``priority`` column (lower = sooner):
     quantile-bucket by rank so the top slice crawls first.
@@ -166,6 +246,62 @@ def rank_priority(ranks: DataFrame, levels: int = 10) -> DataFrame:
         .cast("long")
         .alias("priority"),
     )
+
+
+def crawl_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "url",
+    max_depth: int = 8,
+) -> DataFrame:
+    """(url, depth) — minimum link-hops from the seed set, BFS layers.
+
+    The frontier policy a focused crawl runs: pages beyond ``max_depth``
+    clicks from the seeds are simply never labeled (and so never
+    scheduled) — depth-bounded crawling is how a 10^10-URL frontier
+    stays finite (Cho & Garcia-Molina's crawl ordering work measures
+    quality as a function of depth).
+
+    Algorithm: level-synchronous BFS.  ``frontier`` holds exactly the
+    nodes first reached at depth d; one hash join against the (persisted,
+    src-partitioned) edge list + one anti-join against the visited set
+    per level — the join is on the SAME key every level, so with the
+    edge table pre-partitioned on src (as ``pagerank`` does) only the
+    node-sized frontier shuffles.  Visited accumulates via unionByName
+    + localCheckpoint (lineage stays O(1), not O(depth)).  Early-exits
+    when a layer comes back empty, so the loop runs min(max_depth,
+    graph eccentricity) times.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    visited = (
+        seeds.select(F.col(seed_col).alias("url"))
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["url"] == e["src"])
+            .select(F.col("dst").alias("url"))
+            .distinct()
+            .join(visited.select("url"), "url", "left_anti")
+            .withColumn("depth", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return visited
 
 
 def resolve_redirects(

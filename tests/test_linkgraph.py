@@ -5,7 +5,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from cex_crawler_spark.operators.linkgraph import (
+    crawl_depth,
     extract_links,
+    hits,
     page_links,
     pagerank,
     rank_priority,
@@ -102,6 +104,74 @@ def test_demote_trapped_priority(spark):
         "https://ok.com/a": 0,
         "https://trap.com/cal/2": 102,
     }
+
+
+def _np_hits(edges, n_iter=3):
+    """Independent dense twin of the HITS recurrence."""
+    dedup = sorted(set(edges))
+    nodes = sorted({u for e in dedup for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, t in dedup:
+        A[idx[s], idx[t]] = 1.0
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(n_iter):
+        auth = A.T @ hub
+        auth = auth / (np.linalg.norm(auth) or 1.0)
+        hub = A @ auth
+        hub = hub / (np.linalg.norm(hub) or 1.0)
+    return {v: (hub[idx[v]], auth[idx[v]]) for v in nodes}
+
+
+def test_hits_matches_dense_twin(spark):
+    # bipartite-ish core + chain + duplicate edge (one endorsement)
+    edges = [(0, 3), (0, 4), (1, 3), (1, 4), (2, 4), (4, 5), (5, 6), (0, 3)]
+    got = {
+        r["id"]: (r["hub"], r["auth"])
+        for r in hits(spark.createDataFrame(edges, ["src", "dst"]), n_iter=3).collect()
+    }
+    want = _np_hits(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][0] == pytest.approx(want[v][0], abs=1e-12), v
+        assert got[v][1] == pytest.approx(want[v][1], abs=1e-12), v
+
+
+def test_hits_hub_vs_authority_separation(spark):
+    # directory D links to many leaves; leaves never link out.
+    edges = [("D", f"p{i}") for i in range(6)]
+    got = {r["id"]: r for r in hits(spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    assert got["D"]["hub"] > 0.99 and got["D"]["auth"] == pytest.approx(0.0)
+    for i in range(6):
+        assert got[f"p{i}"]["hub"] == pytest.approx(0.0)
+        assert got[f"p{i}"]["auth"] == pytest.approx(1 / np.sqrt(6), abs=1e-12)
+
+
+def test_crawl_depth_layers_and_bound(spark):
+    #   s -> a -> b -> c -> d   and s -> b (shortcut: b is depth 1, not 2)
+    #   plus an unreachable island x -> y (must not appear at all)
+    edges = [("s", "a"), ("a", "b"), ("b", "c"), ("c", "d"),
+             ("s", "b"), ("x", "y")]
+    seeds = spark.createDataFrame([("s",)], ["url"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["url"]: r["depth"] for r in crawl_depth(e, seeds, max_depth=8).collect()}
+    assert got == {"s": 0, "a": 1, "b": 1, "c": 2, "d": 3}
+    # depth bound: with max_depth=2, d is never labeled
+    got2 = {r["url"]: r["depth"] for r in crawl_depth(e, seeds, max_depth=2).collect()}
+    assert got2 == {"s": 0, "a": 1, "b": 1, "c": 2}
+
+
+def test_crawl_depth_multi_seed_min(spark):
+    # two seeds; depth is the MIN over seeds; cycles must terminate
+    edges = [("s1", "m"), ("m", "t"), ("s2", "t"), ("t", "s1")]
+    seeds = spark.createDataFrame([("s1",), ("s2",)], ["url"])
+    got = {
+        r["url"]: r["depth"]
+        for r in crawl_depth(spark.createDataFrame(edges, ["src", "dst"]), seeds).collect()
+    }
+    assert got == {"s1": 0, "s2": 0, "m": 1, "t": 1}
 
 
 def _py_resolve(edges):
