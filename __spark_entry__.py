@@ -2340,6 +2340,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_depth_labels"] = crawl_depth_labels
 
+    def doc_line_scrub(spark, sf):
+        """C4/CCNet line-level boilerplate scrub
+        (dedup.scrub_duplicated_lines): nav/footer lines repeated
+        across the corpus are removed except one canonical first
+        occurrence; docs rebuilt in line order, fully-scrubbed docs
+        come back empty rather than dropped.  Linear — no pair join.
+        Fixture: documents re-lined at 8 words/line with a nav header
+        planted on doc_id%3==0 and a copyright footer on doc_id%5==0
+        (the boilerplate line-dedup exists to kill)."""
+        from cex_crawler_spark.operators.dedup import scrub_duplicated_lines
+
+        d = _t(spark, sf, "documents")
+        words = F.split(F.col("text"), " ")
+        nl = F.floor((F.size(words) - 1) / 8).cast("int")
+        lined = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), nl),
+                lambda i: F.array_join(F.slice(words, i * 8 + 1, F.lit(8)), " "),
+            ),
+            "\n",
+        )
+        header = F.when(
+            F.col("doc_id") % 3 == 0, F.lit("nav home products contact\n")
+        ).otherwise(F.lit(""))
+        footer = F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("\ncopyright example corp all rights reserved"),
+        ).otherwise(F.lit(""))
+        fixture = d.select(
+            "doc_id", F.concat(header, lined, footer).alias("text")
+        )
+        return (
+            scrub_duplicated_lines(fixture, "text", "doc_id")
+            .select(
+                F.col("id").alias("doc_id"), "text", "n_lines", "n_kept"
+            )
+            .orderBy("doc_id")
+        )
+
+    q["doc_line_scrub"] = doc_line_scrub
+
+    def image_batch_packing(spark, sf):
+        """Aspect-bucketed pixel-budget batch packing
+        (multimodal.aspect_bucket + pack_images): vision trainers batch
+        images of like aspect ratio under a per-batch pixel budget —
+        the image twin of sequence packing.  Bucket = nearest grid
+        ratio in log space, computed tie-stably from exact integer
+        cross-products (no transcendentals); packing restarts per
+        bucket via the chunked prefix-sum decomposition (no global
+        window).  Oracled by an independent cross-join argmin + plain
+        window cumsum."""
+        from cex_crawler_spark.operators.multimodal import pack_images
+
+        imgs = spark.range(600).select(
+            F.col("id").alias("image_id"),
+            (160 + (F.col("id") * 37) % 768).alias("w"),
+            (160 + (F.col("id") * 53) % 768).alias("h"),
+        )
+        return (
+            pack_images(imgs, budget_px=1_500_000)
+            .select("image_id", "ar_bucket", "n_px", "pack_id")
+            .orderBy("image_id")
+        )
+
+    q["image_batch_packing"] = image_batch_packing
+
     def page_link_extract(spark, sf):
         """<a href> extraction (operators/linkgraph.page_links): pure
         codegen regexp over fetched html, zipped href/anchor pairs —
@@ -3901,6 +3967,95 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT url, min(depth) AS depth FROM walk
         GROUP BY url ORDER BY url
+    """
+
+    # doc_line_scrub: same fixture (8-word lines + planted header/footer),
+    # independent scrub replay — df counts GROUP BY the line STRING (the
+    # engine groups by xxhash64(line); equal absent 64-bit collisions),
+    # canonical first occurrence via row_number over (doc_id, pos).
+    o["doc_line_scrub"] = """
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        lined AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 3 = 0
+                       THEN 'nav home products contact' || chr(10) ELSE '' END)
+                 || array_to_string(
+                      [array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')
+                       for i in range(0, (len(toks) - 1) // 8 + 1)], chr(10))
+                 || (CASE WHEN doc_id % 5 = 0
+                          THEN chr(10) || 'copyright example corp all rights reserved'
+                          ELSE '' END) AS text
+          FROM base
+        ),
+        l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+        x AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS p FROM l),
+        ln AS (SELECT doc_id, p - 1 AS pos, ls[p] AS line FROM x),
+        st AS (SELECT line, count(*) AS line_df FROM ln GROUP BY line),
+        firsts AS (
+          SELECT line, doc_id AS fid, pos AS fpos
+          FROM (SELECT line, doc_id, pos,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, pos) AS rn
+                FROM ln)
+          WHERE rn = 1
+        ),
+        kept AS (
+          SELECT n.doc_id, n.pos, n.line
+          FROM ln n
+          JOIN st USING (line)
+          JOIN firsts f USING (line)
+          WHERE st.line_df <= 1 OR (n.doc_id = f.fid AND n.pos = f.fpos)
+        ),
+        reb AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(r.text, '') AS text, t.n_lines,
+               coalesce(r.n_kept, 0) AS n_kept
+        FROM tot t LEFT JOIN reb r USING (doc_id)
+        ORDER BY t.doc_id
+    """
+
+    # image_batch_packing: independent formulation — bucket argmin via
+    # cross join + row_number (the engine uses array_min over structs),
+    # packing via a plain per-bucket window cumsum (the engine uses the
+    # chunked decomposition).  Distances are IEEE divisions of exact
+    # integer cross-products in BOTH engines, so no transcendental-ulp
+    # bucket flips; ties order by (d, i) in both.
+    o["image_batch_packing"] = """
+        WITH imgs AS (
+          SELECT range AS image_id,
+                 160 + (range * 37) % 768 AS w,
+                 160 + (range * 53) % 768 AS h
+          FROM range(600)
+        ),
+        ratios AS (
+          SELECT * FROM (VALUES (0, 1, 2), (1, 3, 4), (2, 1, 1),
+                                (3, 4, 3), (4, 2, 1)) AS t(i, p, q)
+        ),
+        cand AS (
+          SELECT image_id, w, h, i,
+                 greatest(w * q, h * p) / least(w * q, h * p) AS d
+          FROM imgs CROSS JOIN ratios
+        ),
+        pick AS (
+          SELECT image_id, w, h, CAST(i AS BIGINT) AS ar_bucket
+          FROM (SELECT *, row_number() OVER (PARTITION BY image_id
+                                             ORDER BY d, i) AS rn
+                FROM cand)
+          WHERE rn = 1
+        )
+        SELECT image_id, ar_bucket, w * h AS n_px,
+               CAST(floor((sum(w * h) OVER (PARTITION BY ar_bucket
+                             ORDER BY image_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - w * h) / 1500000) AS BIGINT) AS pack_id
+        FROM pick
+        ORDER BY image_id
     """
 
     # redirect_resolution: independent algorithm — a recursive CTE walks

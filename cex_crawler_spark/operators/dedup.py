@@ -320,6 +320,78 @@ def duplicate_span_stats(
     )
 
 
+def scrub_duplicated_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    delim: str = "\n",
+    max_df: int = 1,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Rebuild each document with globally-duplicated lines removed — the
+    C4/CCNet line-level scrub (Raffel et al. arXiv:1910.10683 §2.2
+    discard repeated boilerplate; CCNet drops duplicated paragraphs):
+    nav bars, cookie banners and footers repeat across thousands of
+    pages and would dominate a training corpus.
+
+    A line is SCRUBBED when its corpus-wide document frequency exceeds
+    ``max_df`` — except (``keep_first``) its single canonical first
+    occurrence, the ``min(doc_id, pos)`` one, which survives so the
+    corpus keeps exactly one copy of each over-represented line (set
+    ``keep_first=False`` to drop boilerplate everywhere).  Returns
+    ``(id, text, n_lines, n_kept)`` for EVERY input doc — a doc whose
+    lines all scrub comes back with empty text, not silently dropped.
+
+    Scale shape — linear, no pair join (same family as
+    ``duplicate_span_stats``): posexplode lines → count per 8-byte
+    xxhash64 line key (map-side combinable; a million-document footer
+    is one agg key, AQE skew handling covers the join back) → hash
+    join the verdict back → one doc-keyed aggregate rebuilds the text
+    with ``sort_array`` over (pos, line) structs.  Only the rebuild
+    shuffles line bytes, and it shuffles each KEPT line exactly once.
+    64-bit line-hash collisions mis-merge two distinct lines with
+    probability ~n²/2⁶⁵ — at 10¹⁰ lines swap in a 128-bit digest.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim))).alias(
+            "pos", "line"
+        ),
+    ).withColumn("lh", F.xxhash64("line"))
+    stats = lines.groupBy("lh").agg(
+        F.count("*").alias("line_df"),
+        F.min(F.struct("id", "pos")).alias("first_occ"),
+    )
+    kept = lines.join(stats, "lh").filter(
+        (F.col("line_df") <= max_df)
+        | (
+            F.lit(keep_first)
+            & (F.col("first_occ.id") == F.col("id"))
+            & (F.col("first_occ.pos") == F.col("pos"))
+        )
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 # -------------------------------------------- winnowing fingerprints
 
 def winnow_fingerprints(

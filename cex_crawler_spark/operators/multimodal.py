@@ -234,3 +234,76 @@ def audio_features(audio: DataFrame) -> DataFrame:
             )
 
     return audio.select("audio_id", "bytes").mapInPandas(run, schema=schema)
+
+
+# ----------------------------------------- aspect-ratio batch shaping
+
+# width:height (w_num, h_den) candidates, ascending by ratio — the
+# bucket grid vision trainers batch by (portrait … square … landscape).
+DEFAULT_ASPECT_RATIOS: tuple[tuple[int, int], ...] = (
+    (1, 2), (3, 4), (1, 1), (4, 3), (2, 1),
+)
+
+
+def aspect_bucket(
+    width, height, ratios: tuple[tuple[int, int], ...] = DEFAULT_ASPECT_RATIOS
+):
+    """Column: index into ``ratios`` of the bucket nearest to w/h.
+
+    Nearest in LOG space — |ln(w/h) − ln(p/q)| — which is symmetric
+    for portrait/landscape (2:1 and 1:2 are equally far from square).
+    Computed WITHOUT ln: minimizing |ln x| over candidates x = (w·q)/(h·p)
+    is minimizing max(x, 1/x), and each candidate distance is one IEEE
+    division of two exact integers — bit-identical across engines,
+    unlike transcendental ln whose last-ulp differences could flip a
+    near-tie bucket.  Ties break to the lowest index (array_min over
+    (d, idx) structs — lexicographic struct order).  Pure scan-side
+    codegen: no shuffle, no UDF.
+    """
+    w = F.col(width) if isinstance(width, str) else width
+    h = F.col(height) if isinstance(height, str) else height
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    F.greatest(w * F.lit(q), h * F.lit(p))
+                    / F.least(w * F.lit(q), h * F.lit(p))
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, (p, q) in enumerate(ratios)
+        ]
+    )
+    return F.array_min(cands)["i"]
+
+
+def pack_images(
+    images: DataFrame,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    budget_px: int = 2_000_000,
+    ratios: tuple[tuple[int, int], ...] = DEFAULT_ASPECT_RATIOS,
+) -> DataFrame:
+    """Aspect-bucketed pixel-budget batch packing — the image twin of
+    sequence packing: trainers batch images of LIKE aspect ratio
+    (resize within a bucket distorts least) under a per-batch pixel
+    budget.  Adds (ar_bucket, n_px, pack_id); the batch key is
+    (ar_bucket, pack_id) since packing restarts per bucket.
+
+    Same contiguous-packing scale shape as ``pack_documents`` (chunked
+    prefix sums, no global window); bucket assignment is scan-side.
+    """
+    from .packing import pack_documents
+
+    bucketed = images.withColumn(
+        "ar_bucket", aspect_bucket(w_col, h_col, ratios).cast("long")
+    )
+    out = pack_documents(
+        bucketed,
+        order_col=id_col,
+        length_col=(F.col(w_col) * F.col(h_col)).cast("long"),
+        budget=budget_px,
+        partition_by=["ar_bucket"],
+    )
+    return out.withColumnRenamed("n_tokens", "n_px")

@@ -36,6 +36,7 @@ def pack_documents(
     length_col: Column,
     budget: int,
     chunk_width: int = _CHUNK_WIDTH,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """``df`` + (n_tokens, pack_id) under contiguous token packing.
 
@@ -44,29 +45,40 @@ def pack_documents(
     token-count expression.  Chunks are keyed by ``order_col div
     chunk_width`` — order-aligned by construction, so no range-sampling
     pass is needed, exactly as in the scheduler's chunked rank.
+
+    ``partition_by``: optional grouping columns; the running sum (and so
+    ``pack_id``) restarts per group — e.g. pack each aspect-ratio bucket
+    of an image corpus separately.  The output pack key is then
+    (*partition_by, pack_id).  Chunk offsets stay one broadcast-sized
+    table of groups × corpus/chunk_width rows.
     """
+    part = list(partition_by or [])
     d = df.withColumn("n_tokens", length_col).withColumn(
         "__chunk", F.floor(F.col(order_col) / F.lit(chunk_width))
     )
     local = d.withColumn(
         "__lsum",
         F.sum("n_tokens").over(
-            Window.partitionBy("__chunk")
+            Window.partitionBy(*part, "__chunk")
             .orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
     # per-chunk totals are corpus/chunk_width rows — the offset window
     # over them is tiny (same pattern as the per-host rank offsets)
-    counts = local.groupBy("__chunk").agg(F.sum("n_tokens").alias("__cnt"))
-    w_off = Window.orderBy("__chunk").rowsBetween(
-        Window.unboundedPreceding, -1
+    counts = local.groupBy(*part, "__chunk").agg(
+        F.sum("n_tokens").alias("__cnt")
     )
+    w_off = (
+        Window.partitionBy(*part).orderBy("__chunk")
+        if part
+        else Window.orderBy("__chunk")
+    ).rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
-    ).select("__chunk", "__off")
+    ).select(*part, "__chunk", "__off")
     return (
-        local.join(F.broadcast(offsets), "__chunk")
+        local.join(F.broadcast(offsets), [*part, "__chunk"])
         .withColumn(
             "pack_id",
             F.floor(

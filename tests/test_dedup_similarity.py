@@ -71,6 +71,56 @@ class TestDedup:
         assert out[0][1] == 2 and out[1][1] == 2
         assert out[0][0] == 7 and out[1][0] == 8  # (tokens - k + 1) spans
 
+    def test_scrub_duplicated_lines_keep_first(self, spark):
+        """C4-style line scrub: a footer shared by 3 docs survives only
+        at its canonical first occurrence; unique lines are untouched;
+        a doc of pure boilerplate comes back EMPTY, not dropped; line
+        order inside each doc is preserved."""
+        from cex_crawler_spark.operators.dedup import scrub_duplicated_lines
+
+        footer = "subscribe to our newsletter"
+        rows = [
+            (0, f"alpha one\n{footer}\nalpha two"),
+            (1, f"{footer}\nbeta body text"),
+            (2, f"gamma opening\ngamma closing\n{footer}"),
+            (3, footer),  # would be pure boilerplate… but df rules
+        ]
+        # footer df = 4 > max_df=1 → scrubbed except first occurrence,
+        # which is min(id,pos) = (0,1)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["id"]: (r["text"], r["n_lines"], r["n_kept"])
+            for r in scrub_duplicated_lines(df, "text", "doc_id").collect()
+        }
+        assert out[0] == (f"alpha one\n{footer}\nalpha two", 3, 3)
+        assert out[1] == ("beta body text", 2, 1)
+        assert out[2] == ("gamma opening\ngamma closing", 3, 2)
+        assert out[3] == ("", 1, 0)
+
+    def test_scrub_duplicated_lines_drop_all_and_max_df(self, spark):
+        """keep_first=False drops boilerplate everywhere; max_df=2
+        tolerates a line shared by exactly two docs."""
+        from cex_crawler_spark.operators.dedup import scrub_duplicated_lines
+
+        rows = [
+            (0, "shared pair line\nunique a"),
+            (1, "shared pair line\nunique b"),
+            (2, "triple line\nunique c"),
+            (3, "triple line\nunique d"),
+            (4, "triple line\nunique e"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["id"]: r["text"]
+            for r in scrub_duplicated_lines(
+                df, "text", "doc_id", max_df=2, keep_first=False
+            ).collect()
+        }
+        # df=2 pair survives in both; df=3 triple dropped everywhere
+        assert out[0] == "shared pair line\nunique a"
+        assert out[1] == "shared pair line\nunique b"
+        assert out[2] == "unique c" and out[3] == "unique d" and out[4] == "unique e"
+
     def test_ngram_max_df_drop_semantics(self, spark):
         """Pin what the max_df stop-shingle guard DOES to Jaccard
         (VERDICT r3 item 6): a shingle above the document-frequency cap

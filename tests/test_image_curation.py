@@ -75,3 +75,85 @@ def test_hamming_pairs_include_planted_dups(spark):
         assert pairs.get(key) == 1, key
         found1 += 1
     assert found0 > 200 and found1 > 80
+
+
+class TestAspectPacking:
+    def test_aspect_bucket_assignment(self, spark):
+        from cex_crawler_spark.operators.multimodal import aspect_bucket
+
+        rows = [  # (w, h, expected bucket idx in the default grid)
+            (100, 200, 0),   # exactly 1:2
+            (300, 400, 1),   # exactly 3:4
+            (512, 512, 2),   # square
+            (400, 300, 3),   # 4:3
+            (200, 100, 4),   # 2:1
+            (95, 200, 0),    # taller than 1:2 clamps to the end bucket
+            (1000, 95, 4),   # ultra-wide clamps to 2:1
+            (370, 400, 1),   # between 3:4 (0.75) and 1:1 → nearer 0.925? no: 0.925 is nearer 1.0 in log space
+        ]
+        # fix the last expectation analytically: ln(0.925) = -0.078 vs
+        # distance to ln(0.75) = 0.210 → bucket 2 (square)
+        rows[-1] = (370, 400, 2)
+        df = spark.createDataFrame(
+            [(w, h) for w, h, _ in rows], "w long, h long"
+        )
+        got = [
+            r["b"]
+            for r in df.select(
+                aspect_bucket("w", "h").alias("b")
+            ).collect()
+        ]
+        assert got == [e for _, _, e in rows]
+
+    def test_aspect_bucket_tie_breaks_low_index(self, spark):
+        from cex_crawler_spark.operators.multimodal import aspect_bucket
+
+        # w/h = 2 is log-equidistant from 1:1 and 4:1 → lowest index wins
+        df = spark.createDataFrame([(2, 1)], "w long, h long")
+        b = df.select(
+            aspect_bucket("w", "h", ratios=((1, 1), (4, 1))).alias("b")
+        ).first()["b"]
+        assert b == 0
+
+    def test_pack_images_restarts_per_bucket(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from cex_crawler_spark.operators.multimodal import pack_images
+
+        imgs = spark.range(600).select(
+            F.col("id").alias("image_id"),
+            (160 + (F.col("id") * 37) % 768).alias("w"),
+            (160 + (F.col("id") * 53) % 768).alias("h"),
+        )
+        packed = pack_images(imgs, budget_px=1_500_000)
+        pdf = packed.select("image_id", "ar_bucket", "n_px", "pack_id").toPandas()
+        assert len(pdf) == 600
+        assert (pdf["n_px"] == (160 + pdf["image_id"] * 37 % 768) * (160 + pdf["image_id"] * 53 % 768)).all()
+        # every bucket's packing starts at pack 0 and is contiguous &
+        # non-decreasing in image_id order
+        for _, g in pdf.sort_values("image_id").groupby("ar_bucket"):
+            packs = g["pack_id"].tolist()
+            assert packs[0] == 0
+            assert all(b - a in (0, 1) for a, b in zip(packs, packs[1:]))
+        # matches the naive per-bucket global-window cumsum exactly
+        naive = (
+            packed.withColumn(
+                "c",
+                F.sum("n_px").over(
+                    Window.partitionBy("ar_bucket")
+                    .orderBy("image_id")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .withColumn(
+                "want", F.floor((F.col("c") - F.col("n_px")) / F.lit(1_500_000))
+            )
+        )
+        bad = naive.filter(F.col("want") != F.col("pack_id")).count()
+        assert bad == 0
+        # overflow bound: a pack exceeds budget by < its largest member
+        stats = packed.groupBy("ar_bucket", "pack_id").agg(
+            F.sum("n_px").alias("px"), F.max("n_px").alias("mx")
+        )
+        assert stats.filter(F.col("px") >= 1_500_000 + F.col("mx")).count() == 0
