@@ -2406,6 +2406,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_batch_packing"] = image_batch_packing
 
+    def image_decontamination(spark, sf):
+        """Image benchmark decontamination
+        (dedup.hamming_decontamination_matches): corpus images whose
+        perceptual hash lands within Hamming ≤ 3 of any eval-set image
+        (phash survives re-encode/resize, so leaked eval images are
+        caught even when bytes differ).  Directed — eval (block, fp)
+        keys broadcast, the corpus is one scan-side 4-block explode +
+        map-side join, never corpus²; pigeonhole makes radius-3 recall
+        exact.  Fixture: arithmetic 64-bit fingerprints; eval rows are
+        corpus fps with 0-3 bits flipped (even ids → leaked) or 9 bits
+        flipped (odd ids → clean).  Oracled by brute-force
+        bit_count(xor) cross join."""
+        from cex_crawler_spark.operators.dedup import (
+            hamming_decontamination_matches,
+        )
+
+        corpus = spark.range(600).select(
+            F.col("id").alias("image_id"),
+            F.expr(
+                "(id * 2654435761) ^ shiftleft(id * 48271, 30)"
+                " ^ shiftleft(id, 47)"
+            ).alias("phash"),
+        )
+        ev = spark.range(20).select(
+            F.col("id").alias("eval_id"),
+            F.expr(
+                "((id*17) * 2654435761) ^ shiftleft((id*17) * 48271, 30)"
+                " ^ shiftleft(id*17, 47)"
+                " ^ shiftleft(CAST(CASE WHEN id % 2 = 0 THEN"
+                "   CASE CAST(id % 4 AS INT) WHEN 0 THEN 0 WHEN 2 THEN 3"
+                "        ELSE 1 END"
+                "   ELSE 511 END AS BIGINT), CAST(id % 40 AS INT))"
+            ).alias("phash"),
+        )
+        return (
+            hamming_decontamination_matches(
+                corpus, ev, "phash", "image_id", eval_id_col="eval_id"
+            )
+            .select(
+                F.col("id").alias("image_id"),
+                "n_eval_matches",
+                F.col("best_hamming").cast("long").alias("best_hamming"),
+            )
+            .orderBy("image_id")
+        )
+
+    q["image_decontamination"] = image_decontamination
+
     def page_link_extract(spark, sf):
         """<a href> extraction (operators/linkgraph.page_links): pure
         codegen regexp over fetched html, zipped href/anchor pairs —
@@ -4056,6 +4104,40 @@ def oracle_sql() -> dict[str, str]:
                            - w * h) / 1500000) AS BIGINT) AS pack_id
         FROM pick
         ORDER BY image_id
+    """
+
+    # image_decontamination: brute-force cross join (600×20 is nothing
+    # for the oracle) — independent of the engine's pigeonhole blocking,
+    # which is exact at radius 3 by construction, so the two must agree.
+    o["image_decontamination"] = """
+        WITH corpus AS (
+          SELECT range AS image_id,
+                 xor(xor(range * 2654435761, (range * 48271) << 30),
+                     range << 47) AS phash
+          FROM range(600)
+        ),
+        ev AS (
+          SELECT range AS eval_id,
+                 xor(
+                   xor(xor((range*17) * 2654435761,
+                           ((range*17) * 48271) << 30),
+                       (range*17) << 47),
+                   (CASE WHEN range % 2 = 0
+                         THEN CASE range % 4 WHEN 0 THEN 0 WHEN 2 THEN 3
+                              ELSE 1 END
+                         ELSE 511 END) << (range % 40)
+                 ) AS phash
+          FROM range(20)
+        ),
+        m AS (
+          SELECT c.image_id, e.eval_id,
+                 bit_count(xor(c.phash, e.phash)) AS ham
+          FROM corpus c CROSS JOIN ev e
+          WHERE bit_count(xor(c.phash, e.phash)) <= 3
+        )
+        SELECT image_id, count(DISTINCT eval_id) AS n_eval_matches,
+               CAST(min(ham) AS BIGINT) AS best_hamming
+        FROM m GROUP BY image_id ORDER BY image_id
     """
 
     # redirect_resolution: independent algorithm — a recursive CTE walks

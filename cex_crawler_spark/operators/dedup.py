@@ -764,6 +764,66 @@ def hamming_near_dup_candidates(
     )
 
 
+def hamming_decontamination_matches(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Fingerprint decontamination — the IMAGE twin of the k-gram text
+    screen: corpus rows whose 64-bit perceptual hash is within
+    ``max_hamming`` of ANY eval-set fingerprint (an eval image leaking
+    into training data — possibly re-encoded/resized, which phash
+    survives — inflates benchmark scores).
+
+    Returns (id, n_eval_matches, best_hamming) for CONTAMINATED corpus
+    rows only; callers anti-join the corpus against it.
+
+    Scale shape — DIRECTED, never corpus²: the eval side is small by
+    definition, so its (block_no, block) keys BROADCAST; the corpus is
+    touched by one scan-side explode (``max_hamming + 1`` blocks per
+    row — pigeonhole: a pair within radius has ≥ 1 equal block) + a
+    map-side join, then the exact ``bit_count(xor)`` filter; only the
+    matching rows — rare by assumption — reach the per-id aggregate.
+    """
+    n_blocks = max_hamming + 1
+    bw = 64 // n_blocks
+    mask = (1 << bw) - 1
+
+    def blocked(d: DataFrame, src_id: str, out_id: str) -> DataFrame:
+        blocks = F.array(
+            *[
+                F.shiftrightunsigned("__fp", b * bw).bitwiseAND(F.lit(mask))
+                for b in range(n_blocks)
+            ]
+        )
+        return d.select(
+            F.col(src_id).alias(out_id), F.col(hash_col).alias("__fp")
+        ).select(
+            out_id,
+            F.col("__fp").alias(f"__fp_{out_id}"),
+            F.posexplode(blocks).alias("block_no", "block"),
+        )
+
+    c = blocked(corpus, id_col, "id")
+    ev = blocked(eval_set, eval_id_col or id_col, "eval_id")
+    return (
+        c.join(F.broadcast(ev), ["block_no", "block"])
+        .withColumn(
+            "__ham",
+            F.bit_count(F.col("__fp_id").bitwiseXOR(F.col("__fp_eval_id"))),
+        )
+        .filter(F.col("__ham") <= max_hamming)
+        .groupBy("id")
+        .agg(
+            F.countDistinct("eval_id").alias("n_eval_matches"),
+            F.min("__ham").alias("best_hamming"),
+        )
+    )
+
+
 def simhash_dedup_candidates(
     df: DataFrame,
     text_col: str,

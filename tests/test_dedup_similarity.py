@@ -825,3 +825,41 @@ class TestDecontamination:
         out = {r["doc_id"]: r for r in decontamination_matches(tr, ev).collect()}
         assert set(out) == {1}
         assert out[1]["n_shared_grams"] == 1 and out[1]["n_eval_docs"] == 1
+
+    def test_hamming_decontamination_radius_exact(self, spark):
+        """Image decontamination: corpus phashes within Hamming ≤ 3 of
+        any eval phash flag (exact dup, 1-bit and 3-bit re-encodes);
+        a 4-bit variant and unrelated hashes stay clean; one corpus row
+        near TWO eval rows counts both."""
+        from cex_crawler_spark.operators.dedup import (
+            hamming_decontamination_matches,
+        )
+
+        base = 0x1234_5678_9ABC_DEF0
+        corpus = spark.createDataFrame(
+            [
+                (0, base),                     # exact dup of eval 0
+                (1, base ^ 0b1),               # Hamming 1
+                (2, base ^ 0b10101),           # Hamming 3
+                (3, base ^ 0b1111),            # Hamming 4 → clean
+                (4, 0x0F0F_0F0F_0F0F_0F0F),    # unrelated
+                (5, (base ^ (1 << 40)) ^ 0b1), # H2 from eval0, H1 from eval1
+            ],
+            "image_id long, phash long",
+        )
+        ev = spark.createDataFrame(
+            [(0, base), (1, base ^ (1 << 40))],
+            "eval_id long, phash long",
+        )
+        out = {
+            r["id"]: (r["n_eval_matches"], r["best_hamming"])
+            for r in hamming_decontamination_matches(
+                corpus, ev, "phash", "image_id", eval_id_col="eval_id"
+            ).collect()
+        }
+        assert out == {
+            0: (2, 0),  # exact vs eval0, H1 vs eval1
+            1: (2, 1),  # H1 vs eval0, H2 vs eval1
+            2: (1, 3),  # H3 vs eval0 only (H4 vs eval1)
+            5: (2, 1),  # H2 vs eval0, H1 vs eval1
+        }
