@@ -2454,6 +2454,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_decontamination"] = image_decontamination
 
+    def anchor_text_consensus(spark, sf):
+        """Per-target anchor-text consensus
+        (linkgraph.anchor_text_profile): the modal anchor string, total
+        in-links and distinct linking pages per href — the web's name
+        for a page, and the only text a frontier has for un-fetched
+        URLs.  Two-level map-combinable aggregate, mode carried as one
+        struct per group; ties break lexicographically (deterministic).
+        Fixture: 2/3 of links use the target's canonical anchor, the
+        rest scatter — consensus must surface the canonical one."""
+        from cex_crawler_spark.operators.linkgraph import anchor_text_profile
+
+        i = F.col("id")
+        anchors = F.array(
+            F.lit("click here"),
+            F.lit("official site"),
+            F.lit("read more"),
+            F.lit("home"),
+        )
+        ai = F.when(i % 3 < 2, ((i * 261) % 80) % 4).otherwise((i * 7) % 4)
+        links = spark.range(2000).select(
+            F.format_string(
+                "https://s%d.example.com/p", (i % 200).cast("int")
+            ).alias("src_url"),
+            F.format_string(
+                "https://t%d.example.com/", ((i * 261) % 80).cast("int")
+            ).alias("href"),
+            F.element_at(anchors, (ai + 1).cast("int")).alias("anchor"),
+        )
+        return anchor_text_profile(links).orderBy("href")
+
+    q["anchor_text_consensus"] = anchor_text_consensus
+
     def page_link_extract(spark, sf):
         """<a href> extraction (operators/linkgraph.page_links): pure
         codegen regexp over fetched html, zipped href/anchor pairs —
@@ -4138,6 +4170,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT image_id, count(DISTINCT eval_id) AS n_eval_matches,
                CAST(min(ham) AS BIGINT) AS best_hamming
         FROM m GROUP BY image_id ORDER BY image_id
+    """
+
+    # anchor_text_consensus: independent mode — row_number over
+    # (count DESC, anchor ASC) picks the modal anchor (the engine uses
+    # min over (−count, anchor) structs); same fixture arithmetic.
+    o["anchor_text_consensus"] = """
+        WITH l AS (
+          SELECT printf('https://s%d.example.com/p', range % 200) AS src_url,
+                 printf('https://t%d.example.com/', (range * 261) % 80) AS href,
+                 ['click here', 'official site', 'read more', 'home'][
+                   CAST(CASE WHEN range % 3 < 2 THEN ((range * 261) % 80) % 4
+                             ELSE (range * 7) % 4 END AS INT) + 1
+                 ] AS anchor
+          FROM range(2000)
+        ),
+        c AS (
+          SELECT href, anchor, count(*) AS c FROM l GROUP BY href, anchor
+        ),
+        top AS (
+          SELECT href, anchor AS top_anchor, c AS top_n
+          FROM (SELECT *, row_number() OVER (PARTITION BY href
+                                             ORDER BY c DESC, anchor) AS rn
+                FROM c)
+          WHERE rn = 1
+        ),
+        agg AS (
+          SELECT href, count(*) AS n_links,
+                 count(DISTINCT src_url) AS n_srcs
+          FROM l GROUP BY href
+        )
+        SELECT a.href, a.n_links, a.n_srcs, t.top_anchor, t.top_n,
+               round(t.top_n / a.n_links, 6) AS top_share
+        FROM agg a JOIN top t ON t.href = a.href
+        ORDER BY a.href
     """
 
     # redirect_resolution: independent algorithm — a recursive CTE walks

@@ -138,6 +138,61 @@ def pagerank(
     return ranks
 
 
+def anchor_text_profile(
+    links: DataFrame,
+    href_col: str = "href",
+    anchor_col: str = "anchor",
+    src_col: str = "src_url",
+) -> DataFrame:
+    """Per-target anchor-text consensus — what the web CALLS a page
+    (Brin & Page 1998 §2.2: anchor text describes the target better
+    than the target describes itself; it's both a ranking signal and
+    the only text for not-yet-fetched frontier URLs).
+
+    Returns (href, n_links, n_srcs, top_anchor, top_n, top_share):
+    total in-links, distinct linking pages, the modal anchor string
+    (ties → lexicographically smallest, via min over (−count, anchor)
+    structs — deterministic), and the modal share.
+
+    Scale shape: two-level aggregate (href, anchor) → href, so a hot
+    target's million identical "click here" rows collapse map-side
+    before any shuffle; the mode is carried as ONE struct per group,
+    never a collected list.  ``n_srcs`` is an exact count-distinct —
+    for ultra-hot hrefs swap in operators/skew.salted_distinct_count
+    or the HLL sketch, same join shape.
+    """
+    c = links.groupBy(href_col, anchor_col).agg(F.count("*").alias("c"))
+    top = (
+        c.groupBy(href_col)
+        .agg(
+            F.sum("c").alias("n_links"),
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("nc"),
+                    F.col(anchor_col).alias("a"),
+                )
+            ).alias("t"),
+        )
+        .select(
+            href_col,
+            "n_links",
+            F.col("t.a").alias("top_anchor"),
+            (-F.col("t.nc")).alias("top_n"),
+        )
+    )
+    srcs = links.groupBy(href_col).agg(
+        F.countDistinct(src_col).alias("n_srcs")
+    )
+    return top.join(srcs, href_col).select(
+        href_col,
+        "n_links",
+        "n_srcs",
+        "top_anchor",
+        "top_n",
+        F.round(F.col("top_n") / F.col("n_links"), 6).alias("top_share"),
+    )
+
+
 def hits(
     edges: DataFrame,
     src_col: str = "src",

@@ -106,6 +106,26 @@ def test_demote_trapped_priority(spark):
     }
 
 
+def test_anchor_text_profile_mode_and_ties(spark):
+    from cex_crawler_spark.operators.linkgraph import anchor_text_profile
+
+    rows = [
+        ("s1", "t1", "click here"),
+        ("s2", "t1", "click here"),
+        ("s2", "t1", "acme store"),   # s2 links t1 twice → n_srcs 2
+        ("s3", "t1", "acme store"),   # tie 2-2 → lexicographic min wins
+        ("s1", "t2", "zebra"),
+        ("s2", "t2", "apple"),        # tie 1-1 → 'apple'
+    ]
+    df = spark.createDataFrame(rows, "src_url string, href string, anchor string")
+    out = {r["href"]: r for r in anchor_text_profile(df).collect()}
+    t1 = out["t1"]
+    assert (t1["n_links"], t1["n_srcs"], t1["top_anchor"], t1["top_n"]) == (
+        4, 3, "acme store", 2)
+    assert t1["top_share"] == 0.5
+    assert out["t2"]["top_anchor"] == "apple" and out["t2"]["top_share"] == 0.5
+
+
 def _np_hits(edges, n_iter=3):
     """Independent dense twin of the HITS recurrence."""
     dedup = sorted(set(edges))
