@@ -65,8 +65,11 @@ def pack_documents(
         ),
     )
     # per-chunk totals are corpus/chunk_width rows — the offset window
-    # over them is tiny (same pattern as the per-host rank offsets)
-    counts = local.groupBy(*part, "__chunk").agg(
+    # over them is tiny (same pattern as the per-host rank offsets).
+    # Derived from the PRE-window frame: totals don't need the cumsum,
+    # and hanging them off `local` duplicates the window subtree in the
+    # physical plan (Catalyst doesn't prune the unused Window).
+    counts = d.groupBy(*part, "__chunk").agg(
         F.sum("n_tokens").alias("__cnt")
     )
     w_off = (
