@@ -2486,6 +2486,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["anchor_text_consensus"] = anchor_text_consensus
 
+    def image_curation_packed(spark, sf):
+        """Image curation → batch-shaping CAPSTONE — the image twin of
+        `corpus_curation_packed`, the pipeline a vision-data job
+        actually ends with: pigeonhole Hamming pairs over phash →
+        path-halving connected components → keep one representative
+        per near-dup cluster → aspect-ratio bucket the SURVIVORS →
+        pixel-budget batch packing per bucket.  Every stage is the
+        audited scale path (bucketed candidates, O(log d) CC, no
+        global window in the packing)."""
+        from cex_crawler_spark.operators.dedup import (
+            connected_components,
+            hamming_near_dup_candidates,
+        )
+        from cex_crawler_spark.operators.multimodal import pack_images
+
+        imgs = gen_sim_images(spark)
+        pairs = hamming_near_dup_candidates(
+            imgs, "phash", "image_id"
+        ).filter(F.col("hamming") <= 3)
+        comp = connected_components(pairs)
+        drop = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("image_id")
+        )
+        survivors = imgs.join(drop, "image_id", "left_anti").withColumn(
+            "ord", F.substring("image_id", 4, 10).cast("long")
+        )
+        return (
+            pack_images(survivors, id_col="ord", budget_px=1_500_000)
+            .select("image_id", "ar_bucket", "n_px", "pack_id")
+            .orderBy("image_id")
+        )
+
+    q["image_curation_packed"] = image_curation_packed
+
     def page_link_extract(spark, sf):
         """<a href> extraction (operators/linkgraph.page_links): pure
         codegen regexp over fetched html, zipped href/anchor pairs —
@@ -4170,6 +4204,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT image_id, count(DISTINCT eval_id) AS n_eval_matches,
                CAST(min(ham) AS BIGINT) AS best_hamming
         FROM m GROUP BY image_id ORDER BY image_id
+    """
+
+    # image_curation_packed: brute-force pair + recursive-CTE closure
+    # (independent of pigeonhole blocking + path halving), survivor
+    # anti-join, then the independent argmin-bucket + window-cumsum
+    # packing replay — one SQL statement spanning the whole capstone.
+    o["image_curation_packed"] = f"""
+        WITH RECURSIVE {_sim_images_sql()},
+        prs AS (
+          SELECT a.image_id AS id_a, b.image_id AS id_b
+          FROM sim_images a JOIN sim_images b ON a.image_id < b.image_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM prs
+          UNION ALL
+          SELECT id_b, id_a FROM prs
+        ),
+        rnodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(root, node) AS (
+          SELECT id, id FROM rnodes
+          UNION
+          SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT root AS id, min(node) AS component
+          FROM reach GROUP BY root
+        ),
+        survivors AS (
+          SELECT s.*, CAST(substr(s.image_id, 4) AS BIGINT) AS ord
+          FROM sim_images s
+          WHERE s.image_id NOT IN (SELECT id FROM comp WHERE id <> component)
+        ),
+        ratios AS (
+          SELECT * FROM (VALUES (0, 1, 2), (1, 3, 4), (2, 1, 1),
+                                (3, 4, 3), (4, 2, 1)) AS t(i, p, q)
+        ),
+        cand AS (
+          SELECT s.image_id, s.ord, s.w, s.h, r.i,
+                 greatest(s.w * r.q, s.h * r.p)
+                 / least(s.w * r.q, s.h * r.p) AS d
+          FROM survivors s CROSS JOIN ratios r
+        ),
+        pick AS (
+          SELECT image_id, ord, w, h, CAST(i AS BIGINT) AS ar_bucket
+          FROM (SELECT *, row_number() OVER (PARTITION BY image_id
+                                             ORDER BY d, i) AS rn
+                FROM cand)
+          WHERE rn = 1
+        )
+        SELECT image_id, ar_bucket, CAST(w * h AS BIGINT) AS n_px,
+               CAST(floor((sum(w * h) OVER (PARTITION BY ar_bucket
+                             ORDER BY ord
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - w * h) / 1500000) AS BIGINT) AS pack_id
+        FROM pick
+        ORDER BY image_id
     """
 
     # anchor_text_consensus: independent mode — row_number over
