@@ -2520,6 +2520,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_curation_packed"] = image_curation_packed
 
+    def crawl_budget_allocation(spark, sf):
+        """Proportional crawl-budget apportionment
+        (operators/allocation.allocate_budget): split a round's global
+        fetch budget across hosts ∝ weight (frontier mass / PageRank /
+        change rate) by the largest-remainder method — sum(budget) ==
+        total EXACTLY, all integer arithmetic (quota = total·w div W,
+        remainder = total·w mod W — no float division anywhere, so
+        engines agree bit-for-bit).  The top-r remainder selection is
+        the distributed value-bucket form: only the boundary bucket is
+        window-ranked, never the whole host dim."""
+        from cex_crawler_spark.operators.allocation import allocate_budget
+
+        w = spark.range(200).select(
+            F.format_string(
+                "h%03d.example.com", F.col("id").cast("int")
+            ).alias("host"),
+            (1 + (F.col("id") * 48271) % 997).alias("weight"),
+        )
+        return allocate_budget(w, "host", "weight", 10_000).orderBy("host")
+
+    q["crawl_budget_allocation"] = crawl_budget_allocation
+
     def page_link_extract(spark, sf):
         """<a href> extraction (operators/linkgraph.page_links): pure
         codegen regexp over fetched html, zipped href/anchor pairs —
@@ -4261,6 +4283,33 @@ def oracle_sql() -> dict[str, str]:
                            - w * h) / 1500000) AS BIGINT) AS pack_id
         FROM pick
         ORDER BY image_id
+    """
+
+    # crawl_budget_allocation: plain global-window largest-remainder
+    # replay (the engine uses the bucketed distributed selection) —
+    # integer div/mod make the two bit-identical by construction.
+    o["crawl_budget_allocation"] = """
+        WITH w AS (
+          SELECT printf('h%03d.example.com', CAST(range AS INT)) AS host,
+                 1 + (range * 48271) % 997 AS weight
+          FROM range(200)
+        ),
+        tot AS (SELECT sum(weight) AS W FROM w),
+        q AS (
+          SELECT host, weight,
+                 (10000 * weight) // W AS base,
+                 (10000 * weight) % W AS rem
+          FROM w, tot
+        ),
+        rr AS (SELECT 10000 - sum(base) AS r FROM q),
+        rk AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rn
+          FROM q
+        )
+        SELECT host, weight,
+               CAST(base + CASE WHEN rn <= (SELECT r FROM rr)
+                                THEN 1 ELSE 0 END AS BIGINT) AS budget
+        FROM rk ORDER BY host
     """
 
     # anchor_text_consensus: independent mode — row_number over

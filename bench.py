@@ -42,6 +42,9 @@ HEADLINE = [
     "embedding_near_dups",
     "event_tumbling_windows",
     "event_sessionize",
+    # r5 additions (appended — earlier entries keep their warm-up order)
+    "doc_line_scrub",
+    "image_curation_packed",
 ]
 
 

@@ -1,0 +1,112 @@
+"""Proportional crawl-budget allocation — largest-remainder method.
+
+A polite crawler has a global fetch budget per round (politeness.py
+enforces the per-host pacing; THIS decides how many fetches each host
+deserves).  Splitting ``total`` proportionally to per-host weight
+(frontier mass, PageRank mass, change rate …) with plain rounding
+either over- or under-shoots; the largest-remainder (Hamilton) method
+is the standard exact apportionment: floor everyone's quota, then give
+the leftover +1s to the largest fractional remainders.
+
+Everything here is INTEGER arithmetic — quota_i = (total·w_i) div W and
+remainder_i = (total·w_i) mod W — so results are bit-identical across
+engines (no float division anywhere) and the DuckDB oracle can replay
+it with a plain window.
+
+Scale shape: the host table is dim-sized but can still be 10^8 rows at
+web scale, so the top-r remainder selection does NOT use a global
+window (single-task sort).  Instead: bucket remainders by value
+(scan-side), count per bucket (tiny aggregate → driver), walk the
+bucket histogram to find the boundary bucket, award +1 wholesale to
+better buckets, and rank ONLY the boundary bucket's rows — one task
+over ~n/B rows — the classic distributed exact-selection shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def allocate_budget(
+    weights: DataFrame,
+    key_col: str,
+    weight_col: str,
+    total: int,
+    n_value_buckets: int = 1024,
+) -> DataFrame:
+    """(key, weight, budget) with sum(budget) == ``total`` exactly.
+
+    ``weight_col`` must be non-negative integers (counts, scaled
+    ranks); rows with weight 0 get budget 0.  Ties in the fractional
+    remainder break on ascending ``key`` — fully deterministic.
+    """
+    w = weights.select(
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("long").alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").alias("W")).collect()[0]["W"]
+    if not tot:
+        return w.withColumn("budget", F.lit(0).cast("long")).withColumnRenamed(
+            "key", key_col
+        ).withColumnRenamed("weight", weight_col)
+    # integer quota/remainder: exact, no float division anywhere
+    # distributed exact top-r by (rem DESC, key ASC): value-bucket the
+    # remainders, award whole buckets above the boundary, window-rank
+    # only the boundary bucket (~n/B rows in one task)
+    q = w.select(
+        "key",
+        "weight",
+        F.expr(f"(CAST({total} AS BIGINT) * weight) div {tot}").alias("base"),
+        F.expr(f"(CAST({total} AS BIGINT) * weight) % {tot}").alias("rem"),
+    ).withColumn(
+        "__b",
+        F.expr(f"(rem * {n_value_buckets}) div {tot}").cast("int"),
+    ).persist()
+    r = total - q.agg(F.sum("base")).collect()[0][0]
+    hist = {
+        row["__b"]: row["c"]
+        for row in q.groupBy("__b").agg(F.count("*").alias("c")).collect()
+    }
+    need, boundary = int(r), None
+    for b in sorted(hist, reverse=True):
+        if hist[b] <= need:
+            need -= hist[b]
+        else:
+            boundary = b
+            break
+    if boundary is None:
+        # every row gets +1 down to the last bucket (r == n rows case)
+        bonus = q.select("key").withColumn("__x", F.lit(1))
+    else:
+        wb = Window.partitionBy("__b").orderBy(
+            F.col("rem").desc(), F.col("key").asc()
+        )
+        in_boundary = (
+            q.filter(F.col("__b") == boundary)
+            .withColumn("__rn", F.row_number().over(wb))
+            .filter(F.col("__rn") <= need)
+            .select("key")
+        )
+        bonus = (
+            q.filter(F.col("__b") > boundary)
+            .select("key")
+            .unionByName(in_boundary)
+            .withColumn("__x", F.lit(1))
+        )
+    out = (
+        q.join(bonus, "key", "left")
+        .select(
+            F.col("key").alias(key_col),
+            F.col("weight").alias(weight_col),
+            (F.col("base") + F.coalesce(F.col("__x"), F.lit(0)))
+            .cast("long")
+            .alias("budget"),
+        )
+    )
+    # pin the (dim-sized) result, release the temp cache — same
+    # lifecycle contract as dedup._materialize_release (ADVICE r1)
+    out = out.localCheckpoint(eager=True)
+    q.unpersist()
+    return out

@@ -96,3 +96,86 @@ def test_salted_topk_deterministic(spark, skewed):
     b = salted_topk(skewed, ["key"], ["score", "id"], 7, salt_buckets=16)
     # different bucket counts, identical exact result
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestBudgetAllocation:
+    def test_largest_remainder_exact_and_ties(self, spark):
+        """Hamilton apportionment: sum(budget) == total exactly; +1s go
+        to largest integer remainders; remainder ties break on key ASC."""
+        from cex_crawler_spark.operators.allocation import allocate_budget
+
+        # W=10, total=7 → quotas 2.8/2.8/1.4 → bases 2/2/1, r=2, rems
+        # 8/8/4 (×W) → hosts a,b get +1 (tie 8-8 includes both)
+        w = spark.createDataFrame(
+            [("a", 4), ("b", 4), ("c", 2)], "host string, weight long"
+        )
+        got = {
+            r["host"]: r["budget"]
+            for r in allocate_budget(w, "host", "weight", 7).collect()
+        }
+        assert got == {"a": 3, "b": 3, "c": 1}
+
+        # tie where only ONE +1 remains: key ASC wins
+        w2 = spark.createDataFrame(
+            [("x", 1), ("y", 1)], "host string, weight long"
+        )
+        got2 = {
+            r["host"]: r["budget"]
+            for r in allocate_budget(w2, "host", "weight", 3).collect()
+        }
+        assert got2 == {"x": 2, "y": 1}
+
+    def test_matches_naive_window_and_edge_rs(self, spark):
+        """Bucketed selection == plain global-window implementation on
+        300 pseudo-random weights, for several totals including exact
+        division (r=0) and r close to n."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from cex_crawler_spark.operators.allocation import allocate_budget
+
+        w = spark.range(300).select(
+            F.format_string("h%03d", F.col("id").cast("int")).alias("host"),
+            (F.pmod(F.xxhash64("id"), F.lit(97)) + 1).alias("weight"),
+        ).persist()
+        W = w.agg(F.sum("weight")).first()[0]
+        for total in (1, 17, int(W), 5000, 299):
+            got = {
+                r["host"]: r["budget"]
+                for r in allocate_budget(
+                    w, "host", "weight", total, n_value_buckets=16
+                ).collect()
+            }
+            naive = (
+                w.select(
+                    "host",
+                    F.expr(f"(CAST({total} AS BIGINT) * weight) div {W}").alias("base"),
+                    F.expr(f"(CAST({total} AS BIGINT) * weight) % {W}").alias("rem"),
+                )
+            )
+            r_total = total - naive.agg(F.sum("base")).first()[0]
+            ranked = naive.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy(F.col("rem").desc(), F.col("host").asc())
+                ),
+            )
+            want = {
+                r["host"]: r["base"] + (1 if r["rn"] <= r_total else 0)
+                for r in ranked.collect()
+            }
+            assert got == want, total
+            assert sum(got.values()) == total, total
+        w.unpersist()
+
+    def test_zero_weights_get_zero(self, spark):
+        from cex_crawler_spark.operators.allocation import allocate_budget
+
+        w = spark.createDataFrame(
+            [("a", 5), ("b", 0), ("c", 5)], "host string, weight long"
+        )
+        got = {
+            r["host"]: r["budget"]
+            for r in allocate_budget(w, "host", "weight", 101).collect()
+        }
+        assert got["b"] == 0 and sum(got.values()) == 101
