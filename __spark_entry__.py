@@ -1439,6 +1439,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_crawl_delay"] = robots_crawl_delay
 
+    def robots_rfc_match(spark, sf):
+        """Full RFC 9309 robots matcher (r5): Allow/Disallow rules with
+        ``*`` wildcards and ``$`` end-anchors, longest-pattern-wins,
+        Allow beats Disallow on length ties.  Bodies and candidate
+        paths synthesize every grammar feature per part row: a plain
+        prefix block, a longer Allow carve-out, a ``$``-anchored
+        extension rule, a mid-pattern wildcard, and an exact
+        length-tie.  Output = the decision AND the winning pattern, so
+        the oracle checks precedence, not just the boolean."""
+        from cex_crawler_spark.functions.robots import (
+            parse_robots_rules,
+            robots_allowed,
+            robots_best_rule,
+        )
+
+        p = _t(spark, sf, "part").filter(F.col("p_partkey") <= 300)
+        txt = F.format_string(
+            "User-agent: *\n"
+            "Disallow: /p%d/\n"
+            "Allow: /p%d/open\n"
+            "Disallow: /*.j%d$\n"
+            "Allow: /q%d*x\n"
+            "Disallow: /q%d\n"
+            "Allow: /t%d\n"
+            "Disallow: /t%d\n"
+            "Disallow:\n",
+            F.col("p_size"), F.col("p_size"),
+            F.col("p_partkey") % 7, F.col("p_partkey") % 7,
+            F.col("p_partkey") % 7,
+            F.col("p_partkey") % 5, F.col("p_partkey") % 5,
+        )
+        paths = F.array(
+            F.format_string("/p%d/item%d", F.col("p_size"),
+                            F.col("p_partkey") % 10),
+            F.format_string("/p%d/open/f", F.col("p_size")),
+            F.format_string("/x%d.j%d", F.col("p_partkey") % 10,
+                            F.col("p_partkey") % 7),
+            F.format_string("/x%d.j%dz", F.col("p_partkey") % 10,
+                            F.col("p_partkey") % 7),
+            F.format_string("/q%dzzx", F.col("p_partkey") % 7),
+            F.format_string("/q%dzz", F.col("p_partkey") % 7),
+            F.format_string("/t%d/y", F.col("p_partkey") % 5),
+            F.lit("/free"),
+        )
+        cand = p.select(
+            "p_partkey", txt.alias("txt"), F.explode(paths).alias("path")
+        )
+        rules = parse_robots_rules(F.col("txt"))
+        best = robots_best_rule(F.col("path"), rules)
+        return (
+            cand.select(
+                "p_partkey",
+                "path",
+                robots_allowed(F.col("path"), rules).alias("allowed"),
+                best["p"].alias("winner"),
+            )
+            .orderBy("p_partkey", "path")
+            .limit(2400)
+        )
+
+    q["robots_rfc_match"] = robots_rfc_match
+
     # ---- text analysis over documents --------------------------------------
 
     def doc_token_stats(spark, sf):
@@ -3251,6 +3313,79 @@ def oracle_sql() -> dict[str, str]:
                  END AS delay_s
           FROM part
         ) ORDER BY p_partkey LIMIT 500
+    """
+
+    # robots_rfc_match: same body construction, then an independent
+    # RFC 9309 evaluation — rules via regexp_extract_all (positional
+    # unnest zip), pattern -> RE2 regex via escape + '*'->'.*' +
+    # optional '$' anchor, winner via row_number over (length DESC,
+    # allow DESC, pattern DESC) — the engine's struct-max precedence.
+    o["robots_rfc_match"] = r"""
+        WITH src AS (
+          SELECT p_partkey, p_size, p_partkey % 7 AS b, p_partkey % 5 AS c
+          FROM part WHERE p_partkey <= 300
+        ),
+        body AS (
+          SELECT p_partkey,
+                 'User-agent: *' || chr(10) ||
+                 'Disallow: /p' || p_size || '/' || chr(10) ||
+                 'Allow: /p' || p_size || '/open' || chr(10) ||
+                 'Disallow: /*.j' || b || '$' || chr(10) ||
+                 'Allow: /q' || b || '*x' || chr(10) ||
+                 'Disallow: /q' || b || chr(10) ||
+                 'Allow: /t' || c || chr(10) ||
+                 'Disallow: /t' || c || chr(10) ||
+                 'Disallow:' || chr(10) AS txt,
+                 ['/p' || p_size || '/item' || (p_partkey % 10),
+                  '/p' || p_size || '/open/f',
+                  '/x' || (p_partkey % 10) || '.j' || b,
+                  '/x' || (p_partkey % 10) || '.j' || b || 'z',
+                  '/q' || b || 'zzx',
+                  '/q' || b || 'zz',
+                  '/t' || c || '/y',
+                  '/free'] AS paths
+          FROM src
+        ),
+        cand AS (
+          SELECT p_partkey, txt, unnest(paths) AS path FROM body
+        ),
+        rules AS (
+          SELECT p_partkey, path,
+                 unnest(regexp_extract_all(txt,
+                   '(?m)^[ \t]*([Aa]llow|[Dd]isallow):[ \t]*(\S+)', 1))
+                   AS kind,
+                 unnest(regexp_extract_all(txt,
+                   '(?m)^[ \t]*([Aa]llow|[Dd]isallow):[ \t]*(\S+)', 2))
+                   AS pattern
+          FROM cand
+        ),
+        rx AS (
+          SELECT p_partkey, path, lower(kind) = 'allow' AS allow, pattern,
+                 '^' ||
+                 replace(
+                   regexp_replace(
+                     CASE WHEN pattern LIKE '%$'
+                          THEN substr(pattern, 1, length(pattern) - 1)
+                          ELSE pattern END,
+                     '([.^$+?(){}\[\]|\\\\])', '\\\0', 'g'),
+                   '*', '.*')
+                 || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rex
+          FROM rules
+        ),
+        m AS (
+          SELECT p_partkey, path, allow, pattern,
+                 row_number() OVER (PARTITION BY p_partkey, path
+                   ORDER BY length(pattern) DESC, allow DESC,
+                            pattern DESC) AS rn
+          FROM rx WHERE regexp_matches(path, rex)
+        )
+        SELECT c.p_partkey, c.path,
+               coalesce(m.allow, TRUE) AS allowed,
+               m.pattern AS winner
+        FROM cand c
+        LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+          ON c.p_partkey = m.p_partkey AND c.path = m.path
+        ORDER BY c.p_partkey, c.path LIMIT 2400
     """
 
     # doc_decontamination: same normalized 8-grams in DuckDB (string

@@ -8,10 +8,17 @@ the scheduler applies as the F-robots terminal filter
 (operators/politeness.py).
 
 Parsing is a single Catalyst expression (multiline regex), so a
-100M-host robots table parses as a scan-side projection.  Simplified
-grammar on purpose: `Disallow:` lines only, no wildcards/Allow
-precedence — enough for prefix-blocking semantics; a full RFC 9309
-matcher would slot into the same column contract.
+100M-host robots table parses as a scan-side projection.  Two tiers:
+
+- the simplified `Disallow:`-prefix parser (`parse_robots_disallow`)
+  feeding the scheduler's startswith filter — cheap enough for the
+  10^10-row frontier hot path;
+- the full RFC 9309 matcher (`parse_robots_rules` +
+  `robots_pattern_regex` + `robots_allowed`): Allow/Disallow with `*`
+  wildcards and `$` end-anchors, longest-pattern-wins, Allow beats
+  Disallow on length ties — for the hosts whose robots actually use
+  the full grammar (rule→regex translation happens ONCE on the host
+  dim; only the per-path regexp match runs on frontier rows).
 """
 
 from __future__ import annotations
@@ -109,6 +116,83 @@ def effective_host_policy(host_policy, robots):
         )
         .drop("__dis", "__delay_s")
     )
+
+
+_RULE_RX = r"(?m)^[ \t]*([Aa]llow|[Dd]isallow):[ \t]*(\S+)"
+
+
+def parse_robots_rules(robots_txt: Column) -> Column:
+    """array<struct<allow:boolean, pattern:string>> — every Allow /
+    Disallow rule in the body (RFC 9309 §2.2.2).  Empty-path
+    `Disallow:` lines (allow-all markers) produce no rule, matching the
+    prefix parser's behavior.  Scan-side: two regexp_extract_all passes
+    zipped positionally (the extract_links shape)."""
+    kinds = F.regexp_extract_all(robots_txt, F.lit(_RULE_RX), 1)
+    pats = F.regexp_extract_all(robots_txt, F.lit(_RULE_RX), 2)
+    return F.transform(
+        F.arrays_zip(kinds.alias("k"), pats.alias("p")),
+        lambda s: F.struct(
+            (F.lower(s["k"]) == "allow").alias("allow"),
+            s["p"].alias("pattern"),
+        ),
+    )
+
+
+def robots_pattern_regex(pattern: Column) -> Column:
+    """Translate one RFC 9309 path pattern to an anchored regex:
+    a trailing ``$`` anchors end-of-path, ``*`` matches any char
+    sequence, everything else is literal (metachars escaped).  Pure
+    Catalyst — translation runs once per RULE on the host dim, so the
+    frontier-side cost is only the match itself."""
+    anchored = pattern.rlike(r"\$$")
+    body = F.regexp_replace(pattern, r"\$$", "")
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), wild, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def robots_best_rule(path: Column, rules: Column) -> Column:
+    """The winning RFC 9309 rule for ``path`` against
+    ``parse_robots_rules`` output, as ``struct<l:int, a:int,
+    p:string>`` (pattern length, allow as 0/1, pattern) — or NULL when
+    no rule matches.  Among matching rules the LONGEST pattern wins; at
+    equal length Allow beats Disallow.  (If two distinct patterns tie
+    on both length and verdict — a case the RFC leaves open — the
+    lexicographically larger pattern is deemed the winner in both the
+    engine and the oracle, keeping the choice deterministic.)
+
+    One array expression per row: filter rules by regexp match, take
+    array_max over (length, allow, pattern) structs — struct ordering
+    is field-by-field, which is exactly the precedence list.  The
+    pattern→regex translation is inlined (cheap string expressions the
+    optimizer shares); at frontier scale pre-translate on the host dim
+    with :func:`robots_pattern_regex` and match against that column
+    instead.
+    """
+    return F.array_max(
+        F.transform(
+            F.filter(
+                rules,
+                lambda r: F.regexp_like(
+                    path, robots_pattern_regex(r["pattern"])
+                ),
+            ),
+            lambda r: F.struct(
+                F.length(r["pattern"]).alias("l"),
+                r["allow"].cast("int").alias("a"),
+                r["pattern"].alias("p"),
+            ),
+        )
+    )
+
+
+def robots_allowed(path: Column, rules: Column) -> Column:
+    """RFC 9309 §2.2.2 decision for ``path``: verdict of the
+    :func:`robots_best_rule` winner; no matching rule → allowed."""
+    best = robots_best_rule(path, rules)
+    return F.when(best.isNull(), F.lit(True)).otherwise(best["a"] == 1)
 
 
 _SITEMAP_RX = r"(?m)^[Ss]itemap:[ \t]*(\S+)"

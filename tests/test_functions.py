@@ -268,6 +268,83 @@ class TestRobots:
         )
         assert rt.collect()[0]["d"] == ["/a", "/b"]
 
+    def test_rfc_matcher_grammar(self, spark):
+        """RFC 9309 §2.2.2: '*' wildcards, '$' end-anchors,
+        longest-pattern-wins, Allow beats Disallow on equal length,
+        no-match -> allowed."""
+        from pyspark.sql import functions as F
+
+        from cex_crawler_spark.functions.robots import (
+            parse_robots_rules,
+            robots_allowed,
+            robots_best_rule,
+        )
+
+        body = (
+            "User-agent: *\n"
+            "Disallow: /p1/\n"
+            "Allow: /p1/open\n"
+            "Disallow: /*.json$\n"
+            "Allow: /q2*x\n"
+            "Disallow: /q2\n"
+            "Allow: /tie\n"
+            "Disallow: /tie\n"
+            "Disallow:\n"          # empty path -> no rule
+        )
+        expect = {
+            "/p1/item9": (False, "/p1/"),       # prefix block
+            "/p1/open/f": (True, "/p1/open"),   # longer Allow carve-out
+            "/d.json": (False, "/*.json$"),     # wildcard + anchor hit
+            "/d.jsonx": (True, None),           # anchor rejects extension
+            "/q2zzx": (True, "/q2*x"),          # wildcard Allow outranks
+            "/q2zz": (False, "/q2"),
+            "/tie/y": (True, "/tie"),           # equal length -> Allow
+            "/free": (True, None),              # no rule matches
+        }
+        df = spark.createDataFrame(
+            [(p, body) for p in expect], "path string, txt string"
+        )
+        rules = parse_robots_rules(F.col("txt"))
+        best = robots_best_rule(F.col("path"), rules)
+        got = {
+            r["path"]: (r["allowed"], r["winner"])
+            for r in df.select(
+                "path",
+                robots_allowed(F.col("path"), rules).alias("allowed"),
+                best["p"].alias("winner"),
+            ).collect()
+        }
+        assert got == expect
+
+    def test_rfc_matcher_escapes_metachars(self, spark):
+        """Regex metachars inside a robots pattern are literal path
+        chars (only '*' and trailing '$' are special)."""
+        from pyspark.sql import functions as F
+
+        from cex_crawler_spark.functions.robots import (
+            parse_robots_rules,
+            robots_allowed,
+        )
+
+        body = "User-agent: *\nDisallow: /a+b(c).d\n"
+        rows = [
+            ("/a+b(c).d/e", False),  # literal match
+            ("/aab(c)xd/e", True),   # '+' and '.' must NOT act as regex
+        ]
+        df = spark.createDataFrame(
+            [(p, body) for p, _ in rows], "path string, txt string"
+        )
+        got = {
+            r["path"]: r["allowed"]
+            for r in df.select(
+                "path",
+                robots_allowed(
+                    F.col("path"), parse_robots_rules(F.col("txt"))
+                ).alias("allowed"),
+            ).collect()
+        }
+        assert got == dict(rows)
+
     def test_scheduler_blocks_parsed_prefixes(self, spark):
         """host_policy built FROM robots.txt text blocks the same rows."""
         from pyspark.sql import functions as F
