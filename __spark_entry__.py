@@ -1501,6 +1501,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_rfc_match"] = robots_rfc_match
 
+    def robots_group_select(spark, sf):
+        """RFC 9309 §2.2.1 user-agent group selection (r5): a body with
+        a headerless preamble, a single-agent group, a shared
+        two-agent group, a ``*`` fallback group, and a SECOND group for
+        the first agent (must merge).  Per row the governing agent
+        varies, so every selection branch — own group(s) merged, shared
+        group, ``*`` fallback, preamble never selected — is exercised;
+        output keeps the winning pattern so precedence inside the
+        selected set is checked too."""
+        from cex_crawler_spark.functions.robots import (
+            parse_robots_groups,
+            robots_allowed,
+            robots_best_rule,
+            select_robots_rules,
+        )
+
+        p = _t(spark, sf, "part").filter(F.col("p_partkey") <= 300)
+        txt = F.format_string(
+            "Disallow: /pre\n"
+            "User-agent: alpha\n"
+            "Disallow: /own%d\n"
+            "User-agent: beta\n"
+            "User-agent: gamma\n"
+            "Disallow: /shared%d\n"
+            "Allow: /shared%d/pub\n"
+            "User-agent: *\n"
+            "Disallow: /star%d\n"
+            "User-agent: alpha\n"
+            "Allow: /own%d/pub\n",
+            F.col("p_size"),
+            F.col("p_partkey") % 7, F.col("p_partkey") % 7,
+            F.col("p_partkey") % 5,
+            F.col("p_size"),
+        )
+        agent = F.element_at(
+            F.array(
+                F.lit("alpha"), F.lit("beta"),
+                F.lit("gamma"), F.lit("nobody"),
+            ),
+            (F.col("p_partkey") % 4 + 1).cast("int"),
+        )
+        paths = F.array(
+            F.format_string("/own%d/x", F.col("p_size")),
+            F.format_string("/own%d/pub/f", F.col("p_size")),
+            F.format_string("/shared%d/x", F.col("p_partkey") % 7),
+            F.format_string("/shared%d/pub/f", F.col("p_partkey") % 7),
+            F.format_string("/star%d/x", F.col("p_partkey") % 5),
+            F.lit("/pre/x"),
+            F.lit("/free"),
+        )
+        cand = p.select(
+            "p_partkey",
+            agent.alias("agent"),
+            txt.alias("txt"),
+            F.explode(paths).alias("path"),
+        )
+        rules = select_robots_rules(
+            parse_robots_groups(F.col("txt")), F.col("agent")
+        )
+        best = robots_best_rule(F.col("path"), rules)
+        return (
+            cand.select(
+                "p_partkey",
+                "agent",
+                "path",
+                robots_allowed(F.col("path"), rules).alias("allowed"),
+                best["p"].alias("winner"),
+            )
+            .orderBy("p_partkey", "path")
+            .limit(2400)
+        )
+
+    q["robots_group_select"] = robots_group_select
+
     # ---- text analysis over documents --------------------------------------
 
     def doc_token_stats(spark, sf):
@@ -3380,6 +3454,131 @@ def oracle_sql() -> dict[str, str]:
           FROM rx WHERE regexp_matches(path, rex)
         )
         SELECT c.p_partkey, c.path,
+               coalesce(m.allow, TRUE) AS allowed,
+               m.pattern AS winner
+        FROM cand c
+        LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+          ON c.p_partkey = m.p_partkey AND c.path = m.path
+        ORDER BY c.p_partkey, c.path LIMIT 2400
+    """
+
+    # robots_group_select: same body construction, then a STRUCTURALLY
+    # independent group reconstruction — explode to numbered lines,
+    # group id = running count of User-agent lines not preceded by one
+    # (lag window), agents/rules aggregated per group, selection =
+    # agent-named groups merged else the '*' groups, then the same
+    # longest/allow/lexicographic precedence as robots_rfc_match.
+    o["robots_group_select"] = r"""
+        WITH src AS (
+          SELECT p_partkey, p_size AS k1, p_partkey % 7 AS k2,
+                 p_partkey % 5 AS k3,
+                 ['alpha','beta','gamma','nobody'][(p_partkey % 4) + 1]
+                   AS agent
+          FROM part WHERE p_partkey <= 300
+        ),
+        body AS (
+          SELECT p_partkey, agent,
+                 'Disallow: /pre' || chr(10) ||
+                 'User-agent: alpha' || chr(10) ||
+                 'Disallow: /own' || k1 || chr(10) ||
+                 'User-agent: beta' || chr(10) ||
+                 'User-agent: gamma' || chr(10) ||
+                 'Disallow: /shared' || k2 || chr(10) ||
+                 'Allow: /shared' || k2 || '/pub' || chr(10) ||
+                 'User-agent: *' || chr(10) ||
+                 'Disallow: /star' || k3 || chr(10) ||
+                 'User-agent: alpha' || chr(10) ||
+                 'Allow: /own' || k1 || '/pub' || chr(10) AS txt,
+                 ['/own' || k1 || '/x',
+                  '/own' || k1 || '/pub/f',
+                  '/shared' || k2 || '/x',
+                  '/shared' || k2 || '/pub/f',
+                  '/star' || k3 || '/x',
+                  '/pre/x',
+                  '/free'] AS paths
+          FROM src
+        ),
+        lines AS (
+          SELECT p_partkey,
+                 unnest(string_split(txt, chr(10))) AS line,
+                 generate_subscripts(string_split(txt, chr(10)), 1) AS i
+          FROM body
+        ),
+        marked AS (
+          SELECT *, regexp_matches(line, '^[Uu]ser-[Aa]gent:') AS is_ua
+          FROM lines
+        ),
+        lagged AS (
+          SELECT *,
+                 coalesce(lag(is_ua) OVER
+                   (PARTITION BY p_partkey ORDER BY i), FALSE) AS prev_ua
+          FROM marked
+        ),
+        grp AS (
+          SELECT *,
+                 sum(CASE WHEN is_ua AND NOT prev_ua
+                     THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY p_partkey ORDER BY i) AS gid
+          FROM lagged
+        ),
+        agents AS (
+          SELECT p_partkey, gid,
+                 list(lower(regexp_extract(line,
+                   '^[Uu]ser-[Aa]gent:[ \t]*(\S+)', 1))) AS ags
+          FROM grp WHERE is_ua GROUP BY p_partkey, gid
+        ),
+        sel AS (
+          SELECT b.p_partkey, a.gid
+          FROM body b JOIN agents a ON b.p_partkey = a.p_partkey
+          WHERE list_contains(a.ags, b.agent)
+        ),
+        chosen AS (
+          SELECT p_partkey, gid FROM sel
+          UNION ALL
+          SELECT b.p_partkey, a.gid
+          FROM body b JOIN agents a ON b.p_partkey = a.p_partkey
+          WHERE list_contains(a.ags, '*')
+            AND NOT EXISTS (SELECT 1 FROM sel
+                            WHERE sel.p_partkey = b.p_partkey)
+        ),
+        rules AS (
+          SELECT g.p_partkey,
+                 lower(regexp_extract(g.line,
+                   '^[ \t]*([Aa]llow|[Dd]isallow):', 1)) = 'allow'
+                   AS allow,
+                 regexp_extract(g.line,
+                   '^[ \t]*(?:[Aa]llow|[Dd]isallow):[ \t]*(\S+)', 1)
+                   AS pattern
+          FROM grp g JOIN chosen c
+            ON g.p_partkey = c.p_partkey AND g.gid = c.gid
+          WHERE regexp_matches(g.line,
+                  '^[ \t]*([Aa]llow|[Dd]isallow):[ \t]*\S')
+        ),
+        cand AS (
+          SELECT p_partkey, agent, unnest(paths) AS path FROM body
+        ),
+        rx AS (
+          SELECT p_partkey, allow, pattern,
+                 '^' ||
+                 replace(
+                   regexp_replace(
+                     CASE WHEN pattern LIKE '%$'
+                          THEN substr(pattern, 1, length(pattern) - 1)
+                          ELSE pattern END,
+                     '([.^$+?(){}\[\]|\\\\])', '\\\0', 'g'),
+                   '*', '.*')
+                 || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rex
+          FROM rules
+        ),
+        m AS (
+          SELECT c.p_partkey, c.path, r.allow, r.pattern,
+                 row_number() OVER (PARTITION BY c.p_partkey, c.path
+                   ORDER BY length(r.pattern) DESC, r.allow DESC,
+                            r.pattern DESC) AS rn
+          FROM cand c JOIN rx r ON c.p_partkey = r.p_partkey
+          WHERE regexp_matches(c.path, r.rex)
+        )
+        SELECT c.p_partkey, c.agent, c.path,
                coalesce(m.allow, TRUE) AS allowed,
                m.pattern AS winner
         FROM cand c

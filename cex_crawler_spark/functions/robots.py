@@ -195,6 +195,61 @@ def robots_allowed(path: Column, rules: Column) -> Column:
     return F.when(best.isNull(), F.lit(True)).otherwise(best["a"] == 1)
 
 
+_UA_RX = r"(?m)^[Uu]ser-[Aa]gent:[ \t]*(\S+)"
+# A group boundary is a User-agent line whose PREVIOUS line is not one
+# (consecutive User-agent lines share one rule block — RFC 9309 §2.2.1).
+# Java regex (Spark-side) supports the lookahead; the DuckDB oracle
+# reconstructs groups structurally (line numbers + lag window) instead.
+_GROUP_BOUNDARY_RX = (
+    r"(?m)^((?![Uu]ser-[Aa]gent:)[^\n]*)\n(?=[Uu]ser-[Aa]gent:)"
+)
+_GROUP_SEP = "\x01"
+
+
+def parse_robots_groups(robots_txt: Column) -> Column:
+    """``array<struct<agents:array<string>, rules:...>>`` — RFC 9309
+    §2.2.1 groups: each is the consecutive ``User-agent:`` lines (one
+    start-group set) plus the rules that follow until the next group.
+
+    Split point = a User-agent line not preceded by another (a marker
+    char is injected there, then one `split`); each segment yields its
+    lowercased agent tokens and its :func:`parse_robots_rules` output.
+    A headerless preamble (rules before any User-agent line) becomes a
+    group with zero agents — never selected, per the RFC's
+    undefined-record guidance.  Still a single scan-side expression on
+    the host dim."""
+    marked = F.regexp_replace(
+        robots_txt, _GROUP_BOUNDARY_RX, "$1\n" + _GROUP_SEP
+    )
+    return F.transform(
+        F.split(marked, _GROUP_SEP),
+        lambda seg: F.struct(
+            F.transform(
+                F.regexp_extract_all(seg, F.lit(_UA_RX), 1),
+                lambda a: F.lower(a),
+            ).alias("agents"),
+            parse_robots_rules(seg).alias("rules"),
+        ),
+    )
+
+
+def select_robots_rules(groups: Column, agent: Column) -> Column:
+    """The rule set governing ``agent`` per RFC 9309 §2.2.1: the union
+    of every group naming the agent (case-insensitive exact product
+    token — multiple groups for one agent MERGE); if none names it,
+    the union of the ``*`` groups; if neither exists, no rules (then
+    :func:`robots_allowed` allows everything).  Feed the result
+    straight to :func:`robots_allowed` / :func:`robots_best_rule`."""
+    mine = F.filter(
+        groups, lambda g: F.array_contains(g["agents"], F.lower(agent))
+    )
+    star = F.filter(
+        groups, lambda g: F.array_contains(g["agents"], F.lit("*"))
+    )
+    chosen = F.when(F.size(mine) > 0, mine).otherwise(star)
+    return F.flatten(F.transform(chosen, lambda g: g["rules"]))
+
+
 _SITEMAP_RX = r"(?m)^[Ss]itemap:[ \t]*(\S+)"
 
 

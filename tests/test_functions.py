@@ -345,6 +345,74 @@ class TestRobots:
         }
         assert got == dict(rows)
 
+    def test_rfc_group_selection(self, spark):
+        """RFC 9309 §2.2.1: User-agent groups — consecutive UA lines
+        share one rule block, multiple groups for one agent MERGE,
+        unknown agents fall back to '*', a headerless preamble is
+        never selected, matching is case-insensitive."""
+        from pyspark.sql import functions as F
+
+        from cex_crawler_spark.functions.robots import (
+            parse_robots_groups,
+            robots_allowed,
+            select_robots_rules,
+        )
+
+        body = (
+            "Disallow: /preamble\n"      # headerless -> never selected
+            "User-agent: Alpha\n"
+            "Disallow: /a/\n"
+            "User-agent: beta\n"         # consecutive UA lines =
+            "User-agent: gamma\n"        # one shared group
+            "Disallow: /bg\n"
+            "Allow: /bg/pub\n"
+            "User-agent: *\n"
+            "Disallow: /all\n"
+            "User-agent: alpha\n"        # second alpha group -> MERGE
+            "Allow: /a/pub\n"
+        )
+        cases = [
+            ("alpha", "/a/x", False),
+            ("ALPHA", "/a/pub/f", True),   # merged + case-insensitive
+            ("alpha", "/bg/x", True),      # others' rules don't apply
+            ("alpha", "/all/x", True),     # '*' unused when own exists
+            ("beta", "/bg/x", False),
+            ("gamma", "/bg/pub/f", True),
+            ("beta", "/a/x", True),
+            ("delta", "/all/x", False),    # unknown agent -> '*'
+            ("delta", "/preamble/x", True),
+            ("delta", "/a/x", True),
+        ]
+        df = spark.createDataFrame(
+            [(a, p, body) for a, p, _ in cases],
+            "agent string, path string, txt string",
+        )
+        rules = select_robots_rules(
+            parse_robots_groups(F.col("txt")), F.col("agent")
+        )
+        got = {
+            (r["agent"], r["path"]): r["ok"]
+            for r in df.select(
+                "agent", "path",
+                robots_allowed(F.col("path"), rules).alias("ok"),
+            ).collect()
+        }
+        assert got == {(a, p): e for a, p, e in cases}
+
+        # no group at all (not even '*') -> everything allowed
+        nogrp = spark.createDataFrame(
+            [("x", "/a/x", "User-agent: other\nDisallow: /a/\n")],
+            "agent string, path string, txt string",
+        )
+        assert nogrp.select(
+            robots_allowed(
+                F.col("path"),
+                select_robots_rules(
+                    parse_robots_groups(F.col("txt")), F.col("agent")
+                ),
+            ).alias("ok")
+        ).first()["ok"] is True
+
     def test_scheduler_blocks_parsed_prefixes(self, spark):
         """host_policy built FROM robots.txt text blocks the same rows."""
         from pyspark.sql import functions as F
