@@ -1575,6 +1575,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_group_select"] = robots_group_select
 
+    def warc_roundtrip(spark, sf):
+        """WARC interchange round-trip (r5): documents → per-file WARC
+        blobs (byte-accurate Content-Length, deterministic record ids)
+        → Content-Length-honoring parse → per-record fields.  Every
+        doc_id%5==0 payload embeds a COMPLETE fake WARC record
+        (``\\r\\n\\r\\nWARC/1.0…``) plus a multi-byte char, so the
+        oracle match proves the parser frames by Content-Length bytes
+        — a delimiter-splitting parser would emit extra records and
+        mis-slice every payload after the sentinel."""
+        from cex_crawler_spark.sources.warc import (
+            parse_warc,
+            render_warc_files,
+        )
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+        sentinel = (
+            "qé\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n"
+            "Content-Length: 3\r\n\r\nxyz\r\n\r\n"
+        )
+        recs = d.select(
+            (F.col("doc_id") % 7).alias("file_id"),
+            F.format_string(
+                "http://site%d.example/doc/%d",
+                F.col("doc_id") % 50, F.col("doc_id"),
+            ).alias("uri"),
+            F.format_string(
+                "2025-08-%02dT00:00:00Z",
+                (F.col("doc_id") % 28 + 1).cast("int"),
+            ).alias("date"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(sentinel), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("payload"),
+        )
+        parsed = parse_warc(render_warc_files(recs))
+        return (
+            parsed.select(
+                "target_uri",
+                "warc_date",
+                "content_length",
+                F.md5("payload").alias("payload_md5"),
+            )
+            .orderBy("target_uri")
+            .limit(1000)
+        )
+
+    q["warc_roundtrip"] = warc_roundtrip
+
     # ---- text analysis over documents --------------------------------------
 
     def doc_token_stats(spark, sf):
@@ -3460,6 +3510,33 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
           ON c.p_partkey = m.p_partkey AND c.path = m.path
         ORDER BY c.p_partkey, c.path LIMIT 2400
+    """
+
+    # warc_roundtrip: the oracle never renders or parses WARC at all —
+    # it derives each record's fields straight from documents, so a
+    # framing bug anywhere in the render→parse loop (mis-sliced
+    # payload, wrong byte length, phantom sentinel record) breaks the
+    # hash.  strlen = byte length (octet_length twin); md5 over the
+    # same UTF-8 bytes on both engines.
+    o["warc_roundtrip"] = r"""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN 'qé' || e'\r\n\r\nWARC/1.0\r\n' ||
+                           e'WARC-Type: response\r\n' ||
+                           e'Content-Length: 3\r\n\r\nxyz\r\n\r\n' ||
+                           text
+                      ELSE text END AS payload
+          FROM documents WHERE doc_id < 500
+        )
+        SELECT 'http://site' || (doc_id % 50) || '.example/doc/' || doc_id
+                 AS target_uri,
+               '2025-08-' || printf('%02d', (doc_id % 28) + 1)
+                 || 'T00:00:00Z' AS warc_date,
+               strlen(payload) AS content_length,
+               md5(payload) AS payload_md5
+        FROM src
+        ORDER BY target_uri LIMIT 1000
     """
 
     # robots_group_select: same body construction, then a STRUCTURALLY

@@ -1,0 +1,93 @@
+"""WARC render/parse (sources/warc.py) — framing, strictness, offsets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cex_crawler_spark.sources.warc import (
+    parse_warc,
+    render_warc_files,
+    warc_record,
+)
+
+FAKE = (
+    "before\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n"
+    "Content-Length: 3\r\n\r\nxyz\r\n\r\nafter"
+)
+
+
+def _files(spark, rows):
+    return render_warc_files(
+        spark.createDataFrame(
+            rows, "file_id long, uri string, date string, payload string"
+        )
+    )
+
+
+class TestWarcRoundtrip:
+    def test_payloads_survive_exactly(self, spark):
+        rows = [
+            (0, "http://a/1", "2025-08-01T00:00:00Z", "plain text"),
+            (0, "http://a/2", "2025-08-02T00:00:00Z", "caption: caña é 中"),
+            (0, "http://a/3", "2025-08-03T00:00:00Z", FAKE),
+            (1, "http://b/1", "2025-08-04T00:00:00Z", ""),
+        ]
+        got = {
+            r["target_uri"]: r
+            for r in parse_warc(_files(spark, rows)).collect()
+        }
+        assert len(got) == 4  # sentinel did NOT become a 5th record
+        for fid, uri, date, payload in rows:
+            r = got[uri]
+            assert r["payload"] == payload
+            assert r["warc_date"] == date
+            assert r["file_id"] == fid
+            assert r["content_length"] == len(payload.encode("utf-8"))
+            assert r["warc_type"] == "response"
+
+    def test_offsets_are_byte_accurate(self, spark):
+        rows = [
+            (0, "http://a/1", "2025-08-01T00:00:00Z", "first é"),
+            (0, "http://a/2", "2025-08-02T00:00:00Z", "second"),
+        ]
+        blob = _files(spark, rows).first()["warc"]
+        rec1 = (
+            spark.range(1)
+            .select(
+                warc_record(
+                    F.lit("http://a/1"),
+                    F.lit("2025-08-01T00:00:00Z"),
+                    F.lit("first é"),
+                )
+            )
+            .first()[0]
+        )
+        offs = {
+            r["target_uri"]: r["rec_offset"]
+            for r in parse_warc(_files(spark, rows)).collect()
+        }
+        assert offs["http://a/1"] == 0
+        assert offs["http://a/2"] == len(rec1.encode("utf-8"))
+        assert blob.startswith(rec1)
+
+    def test_malformed_archive_raises(self, spark):
+        # truncated payload: Content-Length points past the terminator
+        bad = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: http://a/1\r\nWARC-Date: d\r\n"
+            "Content-Length: 999\r\n\r\nshort\r\n\r\n"
+        )
+        df = spark.createDataFrame(
+            [(0, bad)], "file_id long, warc string"
+        )
+        with pytest.raises(Exception, match="not terminated|no record magic"):
+            parse_warc(df).collect()
+
+    def test_render_is_deterministic_and_sorted(self, spark):
+        rows = [
+            (0, "http://a/2", "2025-08-02T00:00:00Z", "b"),
+            (0, "http://a/1", "2025-08-01T00:00:00Z", "a"),
+        ]
+        b1 = _files(spark, rows).first()["warc"]
+        b2 = _files(spark, list(reversed(rows))).first()["warc"]
+        assert b1 == b2  # input order can't leak into the artifact
+        assert b1.index("http://a/1") < b1.index("http://a/2")
