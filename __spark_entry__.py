@@ -1625,6 +1625,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_roundtrip"] = warc_roundtrip
 
+    def warc_cdx_index(spark, sf):
+        """CDX index over the same rendered archives (r5): SURT url
+        keys, 14-digit timestamps, payload digests, and byte-exact
+        (file, offset, length) pointers.  The oracle re-derives every
+        offset ANALYTICALLY (window sum of SQL-reconstructed record
+        byte lengths) — a single byte of layout drift anywhere in the
+        engine's render or parse shifts every subsequent offset in the
+        file and breaks the hash."""
+        from cex_crawler_spark.sources.warc import (
+            cdx_index,
+            parse_warc,
+            render_warc_files,
+        )
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+        sentinel = (
+            "qé\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n"
+            "Content-Length: 3\r\n\r\nxyz\r\n\r\n"
+        )
+        recs = d.select(
+            (F.col("doc_id") % 7).alias("file_id"),
+            F.format_string(
+                "http://site%d.example/doc/%d",
+                F.col("doc_id") % 50, F.col("doc_id"),
+            ).alias("uri"),
+            F.format_string(
+                "2025-08-%02dT00:00:00Z",
+                (F.col("doc_id") % 28 + 1).cast("int"),
+            ).alias("date"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(sentinel), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("payload"),
+        )
+        return (
+            cdx_index(parse_warc(render_warc_files(recs)))
+            .orderBy("urlkey", "cdx_ts")
+            .limit(1000)
+        )
+
+    q["warc_cdx_index"] = warc_cdx_index
+
     # ---- text analysis over documents --------------------------------------
 
     def doc_token_stats(spark, sf):
@@ -3537,6 +3581,63 @@ def oracle_sql() -> dict[str, str]:
                md5(payload) AS payload_md5
         FROM src
         ORDER BY target_uri LIMIT 1000
+    """
+
+    # warc_cdx_index: offsets derived ANALYTICALLY — each record's byte
+    # length is reconstructed in SQL (same template, strlen = bytes),
+    # offset = window sum of preceding records in the file's (uri,
+    # date) render order.  Byte-exact layout equivalence, no parsing.
+    o["warc_cdx_index"] = r"""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN 'qé' || e'\r\n\r\nWARC/1.0\r\n' ||
+                           e'WARC-Type: response\r\n' ||
+                           e'Content-Length: 3\r\n\r\nxyz\r\n\r\n' ||
+                           text
+                      ELSE text END AS payload
+          FROM documents WHERE doc_id < 500
+        ),
+        rec AS (
+          SELECT doc_id % 7 AS file_id,
+                 'http://site' || (doc_id % 50) || '.example/doc/'
+                   || doc_id AS uri,
+                 'site' || (doc_id % 50) || '.example' AS host,
+                 '/doc/' || doc_id AS path,
+                 '2025-08-' || printf('%02d', (doc_id % 28) + 1)
+                   || 'T00:00:00Z' AS dt,
+                 payload
+          FROM src
+        ),
+        rendered AS (
+          SELECT *,
+                 e'WARC/1.0\r\n' ||
+                 e'WARC-Type: response\r\n' ||
+                 'WARC-Target-URI: ' || uri || e'\r\n' ||
+                 'WARC-Date: ' || dt || e'\r\n' ||
+                 'WARC-Record-ID: <urn:md5:' || md5(uri || '|' || dt)
+                   || e'>\r\n' ||
+                 'Content-Length: ' || strlen(payload) || e'\r\n\r\n' ||
+                 payload || e'\r\n\r\n' AS rec
+          FROM rec
+        ),
+        placed AS (
+          SELECT *,
+                 strlen(rec) AS rec_length,
+                 CAST(coalesce(sum(strlen(rec)) OVER (
+                   PARTITION BY file_id ORDER BY uri, dt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS rec_offset
+          FROM rendered
+        )
+        SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+                 || ')' || path AS urlkey,
+               regexp_replace(dt, '[^0-9]', '', 'g') AS cdx_ts,
+               uri AS original,
+               md5(payload) AS digest,
+               file_id, rec_offset, rec_length
+        FROM placed
+        ORDER BY urlkey, cdx_ts LIMIT 1000
     """
 
     # robots_group_select: same body construction, then a STRUCTURALLY

@@ -107,6 +107,7 @@ WARC_RECORD_SCHEMA = T.StructType(
     [
         T.StructField("file_id", T.LongType()),
         T.StructField("rec_offset", T.LongType()),
+        T.StructField("rec_length", T.LongType()),
         T.StructField("warc_type", T.StringType()),
         T.StructField("target_uri", T.StringType()),
         T.StructField("warc_date", T.StringType()),
@@ -154,6 +155,7 @@ def _scan_warc(file_id: int, blob: bytes):
         yield {
             "file_id": file_id,
             "rec_offset": pos,
+            "rec_length": body_end + 4 - pos,
             "warc_type": headers.get(b"warc-type", b"").decode(),
             "target_uri": headers.get(b"warc-target-uri", b"").decode(),
             "warc_date": headers.get(b"warc-date", b"").decode(),
@@ -187,3 +189,39 @@ def parse_warc(
             yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(run, schema=WARC_RECORD_SCHEMA)
+
+
+def surt_urlkey(uri: Column) -> Column:
+    """SURT-style canonical url key: reversed comma-joined host labels,
+    ``)``, then the path — ``http://news.site.com/a/b`` →
+    ``com,site,news)/a/b``.  The reversal puts a registrable domain's
+    whole subtree into one contiguous sort range, which is what makes
+    a flat sorted CDX file answerable with binary search at archive
+    scale.  Pure Catalyst (split / reverse / join)."""
+    host = F.regexp_extract(uri, r"^[a-z]+://([^/]+)", 1)
+    path = F.regexp_extract(uri, r"^[a-z]+://[^/]*(/.*)$", 1)
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        path,
+    )
+
+
+def cdx_index(records: DataFrame) -> DataFrame:
+    """CDX-style lookup index over :func:`parse_warc` output — one row
+    per record: (urlkey, cdx_ts, original, digest, file_id,
+    rec_offset, rec_length).  The (urlkey, timestamp) sort plus
+    byte-exact (file, offset, length) pointers are what replay/lookup
+    tooling (pywb, OpenWayback CDX servers) binary-search over; digest
+    enables revisit-dedup across crawls.  Projection-only over the
+    parse — no extra shuffle; sort order is left to the writer
+    (`orderBy(urlkey, cdx_ts)` before a ranged write at scale)."""
+    return records.select(
+        surt_urlkey(F.col("target_uri")).alias("urlkey"),
+        F.regexp_replace(F.col("warc_date"), "[^0-9]", "").alias("cdx_ts"),
+        F.col("target_uri").alias("original"),
+        F.md5("payload").alias("digest"),
+        "file_id",
+        "rec_offset",
+        "rec_length",
+    )

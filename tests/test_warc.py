@@ -82,6 +82,45 @@ class TestWarcRoundtrip:
         with pytest.raises(Exception, match="not terminated|no record magic"):
             parse_warc(df).collect()
 
+    def test_cdx_pointers_slice_the_archive(self, spark):
+        """The CDX contract: blob[offset:offset+length] decoded is the
+        exact record, and urlkey reverses host labels."""
+        import hashlib
+
+        from cex_crawler_spark.sources.warc import cdx_index
+
+        rows = [
+            (0, "http://news.site.com/a/1", "2025-08-01T00:00:00Z", "x é"),
+            (0, "http://news.site.com/a/2", "2025-08-02T00:00:00Z", FAKE),
+            (0, "http://other.org/b", "2025-08-03T00:00:00Z", "y"),
+        ]
+        files = _files(spark, rows)
+        blob = files.first()["warc"].encode("utf-8")
+        idx = {
+            r["original"]: r
+            for r in cdx_index(parse_warc(files)).collect()
+        }
+        assert idx["http://news.site.com/a/1"]["urlkey"] == "com,site,news)/a/1"
+        assert idx["http://other.org/b"]["urlkey"] == "org,other)/b"
+        assert idx["http://news.site.com/a/2"]["cdx_ts"] == "20250802000000"
+        for fid, uri, date, payload in rows:
+            r = idx[uri]
+            sliced = blob[r["rec_offset"]: r["rec_offset"] + r["rec_length"]]
+            assert sliced.startswith(b"WARC/1.0\r\n")
+            assert sliced.endswith(
+                payload.encode("utf-8") + b"\r\n\r\n"
+            )
+            assert r["digest"] == hashlib.md5(payload.encode()).hexdigest()
+        # offsets tile the file exactly: sorted offsets + lengths chain
+        recs = sorted(
+            (r["rec_offset"], r["rec_length"]) for r in idx.values()
+        )
+        pos = 0
+        for off, ln in recs:
+            assert off == pos
+            pos += ln
+        assert pos == len(blob)
+
     def test_render_is_deterministic_and_sorted(self, spark):
         rows = [
             (0, "http://a/2", "2025-08-02T00:00:00Z", "b"),
