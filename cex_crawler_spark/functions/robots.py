@@ -75,7 +75,7 @@ def parse_robots_crawl_delay(robots_txt: Column) -> Column:
     )
 
 
-def effective_host_policy(host_policy, robots):
+def effective_host_policy(host_policy, robots, agent=None):
     """Fold raw robots.txt bodies into the host-policy dim table.
 
     ``robots``: ``(host, robots_txt)`` — one fetched robots body per
@@ -90,11 +90,27 @@ def effective_host_policy(host_policy, robots):
     still-tiny dim (one row per host — even 100M hosts is a few GB,
     and the parse is a scan-side projection on that dim, not on the
     10^10-row frontier).
+
+    ``agent``: pass the crawler's product token to ALSO attach a
+    ``robots_rules`` column — the RFC 9309 rule set governing that
+    agent (:func:`parse_robots_groups` → :func:`select_robots_rules`,
+    still dim-side).  The scheduler detects the column and switches
+    those hosts to full wildcard/anchor evaluation (strict-robots
+    tier); hosts without a body stay NULL → prefix tier.
     """
     parsed = robots.select(
         "host",
         parse_robots_disallow(F.col("robots_txt")).alias("__dis"),
         parse_robots_crawl_delay(F.col("robots_txt")).alias("__delay_s"),
+        *(
+            [
+                select_robots_rules(
+                    parse_robots_groups(F.col("robots_txt")), F.lit(agent)
+                ).alias("robots_rules")
+            ]
+            if agent is not None
+            else []
+        ),
     )
     return (
         host_policy.join(parsed, "host", "left")

@@ -196,6 +196,19 @@ def schedule_round(
     robots_hit = F.exists(
         F.col("robots_disallow"), lambda p: F.startswith(F.col("path"), p)
     )
+    if "robots_rules" in host_policy.columns:
+        # strict-robots tier: hosts whose policy carries parsed RFC 9309
+        # rules (functions/robots.select_robots_rules) get the full
+        # Allow/Disallow wildcard/anchor evaluation; hosts with NULL
+        # rules keep the cheap prefix tier.  Still row-local scan-side
+        # work — the per-rule regexp match only runs on rows of hosts
+        # that opted in.
+        from cex_crawler_spark.functions.robots import robots_allowed
+
+        robots_hit = F.when(
+            F.col("robots_rules").isNotNull(),
+            ~robots_allowed(F.col("path"), F.col("robots_rules")),
+        ).otherwise(robots_hit)
     stale_prefetch = F.col("time_known_prefetch") & (
         F.col("release_time") < F.to_timestamp(F.lit(watermark))
     )

@@ -413,6 +413,71 @@ class TestRobots:
             ).alias("ok")
         ).first()["ok"] is True
 
+    def test_scheduler_strict_robots_tier(self, spark):
+        """A host_policy carrying robots_rules switches the scheduler
+        to full RFC evaluation: an Allow carve-out UNBLOCKS paths the
+        prefix tier would block, and a wildcard/$ rule blocks paths the
+        prefix tier would pass."""
+        from pyspark.sql import functions as F
+
+        from cex_crawler_spark.functions.robots import (
+            parse_robots_groups,
+            select_robots_rules,
+        )
+        from cex_crawler_spark.operators.politeness import schedule_round
+        from cex_crawler_spark.plans.round import ingest_seeds
+        from cex_crawler_spark.synth import gen_frontier, gen_host_policy
+
+        body = "User-agent: *\nAllow: /private\nDisallow: /*1$\n"
+        policy = gen_host_policy(spark).withColumn(
+            "robots_rules",
+            select_robots_rules(
+                parse_robots_groups(F.lit(body)), F.lit("enginebot")
+            ),
+        )
+        frontier = ingest_seeds(gen_frontier(spark, 400, n_payloads=60))
+        d = schedule_round(frontier, policy, "2025-08-29 00:00:00")
+        blocked = d.filter(F.col("status") == "robots_blocked")
+        # the wildcard rule is the ONLY block: every blocked path ends
+        # in 1, and /private alone (the prefix tier's block) no longer
+        # blocks anything
+        assert blocked.count() > 0
+        assert blocked.filter(~F.col("canonical_url").rlike("1$")).count() == 0
+        priv_ok = d.filter(
+            F.col("canonical_url").contains("/private")
+            & ~F.col("canonical_url").rlike("1$")
+        )
+        assert priv_ok.count() > 0
+        assert (
+            priv_ok.filter(F.col("status") == "robots_blocked").count() == 0
+        )
+
+    def test_effective_policy_attaches_agent_rules(self, spark):
+        """effective_host_policy(agent=...) adds robots_rules for hosts
+        with bodies (the agent's governing group) and NULL for hosts
+        without — the scheduler's tier switch key."""
+        from pyspark.sql import functions as F
+
+        from cex_crawler_spark.functions.robots import effective_host_policy
+        from cex_crawler_spark.synth import gen_host_policy
+
+        policy = gen_host_policy(spark)
+        h0, h1 = [r["host"] for r in policy.select("host").limit(2).collect()]
+        robots = spark.createDataFrame(
+            [
+                (
+                    h0,
+                    "User-agent: enginebot\nDisallow: /mine\n"
+                    "User-agent: *\nDisallow: /star\n",
+                )
+            ],
+            "host string, robots_txt string",
+        )
+        eff = effective_host_policy(policy, robots, agent="EngineBot")
+        by_host = {r["host"]: r for r in eff.collect()}
+        assert [r["pattern"] for r in by_host[h0]["robots_rules"]] == ["/mine"]
+        assert by_host[h1]["robots_rules"] is None
+
     def test_scheduler_blocks_parsed_prefixes(self, spark):
         """host_policy built FROM robots.txt text blocks the same rows."""
         from pyspark.sql import functions as F
