@@ -1669,6 +1669,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_cdx_index"] = warc_cdx_index
 
+    def warc_revisit_dedup(spark, sf):
+        """Digest-deduplicated WARC export (r5): payloads synthesized
+        to collide in groups of 3 — the canonical first capture
+        (min (uri, date), deterministic) stores its bytes as a
+        ``response`` record, every other capture becomes a zero-length
+        ``revisit`` record pointing at it (the spec's recrawl-dedup
+        mechanism).  Round-tripped through the strict parser, so
+        revisit framing (Content-Length: 0) is proven too."""
+        from cex_crawler_spark.sources.warc import (
+            parse_warc,
+            render_warc_files_deduped,
+        )
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+        recs = d.select(
+            (F.col("doc_id") % 7).alias("file_id"),
+            F.format_string(
+                "http://site%d.example/doc/%d",
+                F.col("doc_id") % 50, F.col("doc_id"),
+            ).alias("uri"),
+            F.format_string(
+                "2025-08-%02dT00:00:00Z",
+                (F.col("doc_id") % 28 + 1).cast("int"),
+            ).alias("date"),
+            F.format_string(
+                "doc body %d é",
+                F.col("doc_id") - F.col("doc_id") % 3,
+            ).alias("payload"),
+        )
+        parsed = parse_warc(render_warc_files_deduped(recs))
+        return (
+            parsed.select(
+                "target_uri", "warc_type", "refers_to", "content_length"
+            )
+            .orderBy("target_uri")
+            .limit(1000)
+        )
+
+    q["warc_revisit_dedup"] = warc_revisit_dedup
+
     # ---- text analysis over documents --------------------------------------
 
     def doc_token_stats(spark, sf):
@@ -3638,6 +3678,36 @@ def oracle_sql() -> dict[str, str]:
                file_id, rec_offset, rec_length
         FROM placed
         ORDER BY urlkey, cdx_ts LIMIT 1000
+    """
+
+    # warc_revisit_dedup: independent derivation — no WARC at all.
+    # Canonical capture per payload group via row_number over
+    # (uri, date) (the engine's min-struct), revisit rows point at the
+    # group's first_value and carry length 0.
+    o["warc_revisit_dedup"] = r"""
+        WITH src AS (
+          SELECT 'http://site' || (doc_id % 50) || '.example/doc/'
+                   || doc_id AS uri,
+                 '2025-08-' || printf('%02d', (doc_id % 28) + 1)
+                   || 'T00:00:00Z' AS dt,
+                 'doc body ' || (doc_id - doc_id % 3) || ' é' AS payload
+          FROM documents WHERE doc_id < 500
+        ),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER w AS rn,
+                 first_value(uri) OVER w AS canon
+          FROM src
+          WINDOW w AS (PARTITION BY payload ORDER BY uri, dt)
+        )
+        SELECT uri AS target_uri,
+               CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END
+                 AS warc_type,
+               CASE WHEN rn = 1 THEN NULL ELSE canon END AS refers_to,
+               CASE WHEN rn = 1 THEN strlen(payload) ELSE 0 END
+                 AS content_length
+        FROM ranked
+        ORDER BY target_uri LIMIT 1000
     """
 
     # robots_group_select: same body construction, then a STRUCTURALLY

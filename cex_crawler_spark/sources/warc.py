@@ -103,6 +103,91 @@ def render_warc_files(
     )
 
 
+def warc_revisit_record(
+    uri: Column, date: Column, ref_uri: Column, ref_date: Column,
+    digest: Column,
+) -> Column:
+    """A WARC ``revisit`` record (ISO 28500 §6.7.2 shape): the payload
+    was byte-identical to an earlier capture, so the archive stores
+    only a pointer — ``WARC-Refers-To-Target-URI``/``-Date`` plus the
+    shared payload digest, ``Content-Length: 0``.  At recrawl scale
+    this is the mechanism that keeps a 100 TB archive from storing the
+    unchanged 90 % of the web again every round."""
+    return F.concat(
+        F.lit("WARC/1.0" + CRLF),
+        F.lit("WARC-Type: revisit" + CRLF),
+        F.lit("WARC-Target-URI: "), uri, F.lit(CRLF),
+        F.lit("WARC-Date: "), date, F.lit(CRLF),
+        F.lit("WARC-Record-ID: <urn:md5:"),
+        F.md5(F.concat(uri, F.lit("|"), date)),
+        F.lit(">" + CRLF),
+        F.lit("WARC-Refers-To-Target-URI: "), ref_uri, F.lit(CRLF),
+        F.lit("WARC-Refers-To-Date: "), ref_date, F.lit(CRLF),
+        F.lit("WARC-Payload-Digest: md5:"), digest, F.lit(CRLF),
+        F.lit("Content-Length: 0" + CRLF + CRLF + CRLF + CRLF),
+    )
+
+
+def render_warc_files_deduped(
+    records: DataFrame,
+    file_col: str = "file_id",
+    uri_col: str = "uri",
+    date_col: str = "date",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(file_id, warc) like :func:`render_warc_files`, but each
+    distinct payload digest stores its bytes ONCE: the canonical first
+    capture (min (uri, date) — deterministic, not arrival order)
+    renders as a full ``response`` record, every other capture as a
+    :func:`warc_revisit_record` pointing at it.
+
+    Scale shape = `dedup_exact`'s: one map-combinable min-struct
+    aggregate on the 16-byte digest (never a window over the corpus),
+    one join back, then the per-file group-concat — two shuffles
+    total, both on narrow keys."""
+    digest = F.md5(F.col(payload_col))
+    tagged = records.withColumn("__digest", digest)
+    firsts = tagged.groupBy("__digest").agg(
+        F.min(
+            F.struct(
+                F.col(uri_col).alias("u"), F.col(date_col).alias("d")
+            )
+        ).alias("__first")
+    )
+    j = tagged.join(firsts, "__digest")
+    is_first = (F.col(uri_col) == F.col("__first.u")) & (
+        F.col(date_col) == F.col("__first.d")
+    )
+    rec = F.when(
+        is_first,
+        warc_record(F.col(uri_col), F.col(date_col), F.col(payload_col)),
+    ).otherwise(
+        warc_revisit_record(
+            F.col(uri_col), F.col(date_col),
+            F.col("__first.u"), F.col("__first.d"), F.col("__digest"),
+        )
+    )
+    return (
+        j.select(
+            F.col(file_col).alias("file_id"),
+            F.struct(
+                F.col(uri_col).alias("u"),
+                F.col(date_col).alias("d"),
+                rec.alias("rec"),
+            ).alias("s"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["rec"]
+                ),
+                "",
+            ).alias("warc")
+        )
+    )
+
+
 WARC_RECORD_SCHEMA = T.StructType(
     [
         T.StructField("file_id", T.LongType()),
@@ -111,6 +196,7 @@ WARC_RECORD_SCHEMA = T.StructType(
         T.StructField("warc_type", T.StringType()),
         T.StructField("target_uri", T.StringType()),
         T.StructField("warc_date", T.StringType()),
+        T.StructField("refers_to", T.StringType()),
         T.StructField("content_length", T.LongType()),
         T.StructField("payload", T.StringType()),
     ]
@@ -159,6 +245,11 @@ def _scan_warc(file_id: int, blob: bytes):
             "warc_type": headers.get(b"warc-type", b"").decode(),
             "target_uri": headers.get(b"warc-target-uri", b"").decode(),
             "warc_date": headers.get(b"warc-date", b"").decode(),
+            "refers_to": (
+                headers[b"warc-refers-to-target-uri"].decode()
+                if b"warc-refers-to-target-uri" in headers
+                else None
+            ),
             "content_length": clen,
             "payload": blob[body_start:body_end].decode("utf-8"),
         }

@@ -121,6 +121,34 @@ class TestWarcRoundtrip:
             pos += ln
         assert pos == len(blob)
 
+    def test_revisit_dedup_stores_payload_once(self, spark):
+        from cex_crawler_spark.sources.warc import (
+            render_warc_files_deduped,
+        )
+
+        rows = [
+            (0, "http://a/2", "2025-08-02T00:00:00Z", "same bytes é"),
+            (0, "http://a/1", "2025-08-01T00:00:00Z", "same bytes é"),
+            (0, "http://a/3", "2025-08-03T00:00:00Z", "unique"),
+        ]
+        files = render_warc_files_deduped(
+            spark.createDataFrame(
+                rows,
+                "file_id long, uri string, date string, payload string",
+            )
+        )
+        blob = files.first()["warc"]
+        assert blob.count("same bytes é") == 1  # bytes stored ONCE
+        got = {r["target_uri"]: r for r in parse_warc(files).collect()}
+        assert got["http://a/1"]["warc_type"] == "response"
+        assert got["http://a/1"]["payload"] == "same bytes é"
+        assert got["http://a/1"]["refers_to"] is None
+        assert got["http://a/2"]["warc_type"] == "revisit"
+        assert got["http://a/2"]["refers_to"] == "http://a/1"
+        assert got["http://a/2"]["content_length"] == 0
+        assert got["http://a/2"]["payload"] == ""
+        assert got["http://a/3"]["warc_type"] == "response"
+
     def test_render_is_deterministic_and_sorted(self, spark):
         rows = [
             (0, "http://a/2", "2025-08-02T00:00:00Z", "b"),
