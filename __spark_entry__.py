@@ -1709,6 +1709,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_revisit_dedup"] = warc_revisit_dedup
 
+    def warc_gz_roundtrip(spark, sf):
+        """Record-gzipped WARC round-trip (r5): same archives as
+        warc_roundtrip but shipped as per-record gzip members
+        (``.warc.gz`` — the ranged-read layout Common Crawl uses),
+        member boundaries recovered from zlib end-of-stream accounting.
+        The oracle is warc_roundtrip's verbatim: compression must be
+        invisible to the record contents."""
+        from cex_crawler_spark.sources.warc import (
+            parse_warc_gz,
+            render_warc_gz_files,
+        )
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+        sentinel = (
+            "qé\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n"
+            "Content-Length: 3\r\n\r\nxyz\r\n\r\n"
+        )
+        recs = d.select(
+            (F.col("doc_id") % 7).alias("file_id"),
+            F.format_string(
+                "http://site%d.example/doc/%d",
+                F.col("doc_id") % 50, F.col("doc_id"),
+            ).alias("uri"),
+            F.format_string(
+                "2025-08-%02dT00:00:00Z",
+                (F.col("doc_id") % 28 + 1).cast("int"),
+            ).alias("date"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(sentinel), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("payload"),
+        )
+        parsed = parse_warc_gz(render_warc_gz_files(recs))
+        return (
+            parsed.select(
+                "target_uri",
+                "warc_date",
+                "content_length",
+                F.md5("payload").alias("payload_md5"),
+            )
+            .orderBy("target_uri")
+            .limit(1000)
+        )
+
+    q["warc_gz_roundtrip"] = warc_gz_roundtrip
+
     # ---- text analysis over documents --------------------------------------
 
     def doc_token_stats(spark, sf):
@@ -3622,6 +3670,10 @@ def oracle_sql() -> dict[str, str]:
         FROM src
         ORDER BY target_uri LIMIT 1000
     """
+
+    # warc_gz_roundtrip: gzip framing must be invisible — the oracle
+    # is warc_roundtrip's, verbatim.
+    o["warc_gz_roundtrip"] = o["warc_roundtrip"]
 
     # warc_cdx_index: offsets derived ANALYTICALLY — each record's byte
     # length is reconstructed in SQL (same template, strlen = bytes),

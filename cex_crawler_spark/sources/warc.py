@@ -282,6 +282,99 @@ def parse_warc(
     return src.mapInPandas(run, schema=WARC_RECORD_SCHEMA)
 
 
+def render_warc_gz_files(
+    records: DataFrame,
+    file_col: str = "file_id",
+    uri_col: str = "uri",
+    date_col: str = "date",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(file_id, warc_gz:binary) — records as PER-RECORD gzip members
+    concatenated, the ``.warc.gz`` layout the archive world actually
+    ships (Common Crawl, IA): member-at-a-time compression is what
+    lets a CDX pointer fetch ONE record with a ranged read + single
+    inflate, instead of decompressing the file prefix.  Record text
+    renders in Catalyst (same bytes as :func:`render_warc_files`);
+    only the gzip framing runs in Python (``applyInPandas`` per file
+    group — compression is inherently opaque to Catalyst).
+    Deterministic: mtime=0, fixed level, (uri, date) member order."""
+    import gzip
+
+    rec = warc_record(
+        F.col(uri_col), F.col(date_col), F.col(payload_col)
+    )
+    src = records.select(
+        F.col(file_col).alias("file_id"),
+        F.col(uri_col).alias("u"),
+        F.col(date_col).alias("d"),
+        rec.alias("rec"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["u", "d"])
+        blob = b"".join(
+            gzip.compress(r.encode("utf-8"), compresslevel=6, mtime=0)
+            for r in pdf["rec"]
+        )
+        return pd.DataFrame(
+            {"file_id": [pdf["file_id"].iloc[0]], "warc_gz": [blob]}
+        )
+
+    return src.groupBy("file_id").applyInPandas(
+        pack, schema="file_id long, warc_gz binary"
+    )
+
+
+def parse_warc_gz(
+    files: DataFrame, file_col: str = "file_id", warc_col: str = "warc_gz"
+) -> DataFrame:
+    """Explode ``.warc.gz`` blobs (one gzip member per record) into
+    WARC_RECORD_SCHEMA rows.  ``rec_offset``/``rec_length`` are the
+    COMPRESSED member's byte position and size — exactly what a CDX
+    pointer into a ``.warc.gz`` archive means, so
+    ``inflate(blob[off:off+len])`` yields the record.  Member
+    boundaries come from zlib's own end-of-stream accounting
+    (``unused_data``), never from scanning for magic bytes — gzip
+    payload bytes may legally contain the member header pattern."""
+    import zlib
+
+    src = files.select(
+        F.col(file_col).cast("long").alias("file_id"),
+        F.col(warc_col).alias("warc_gz"),
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for fid, blob in zip(pdf["file_id"], pdf["warc_gz"]):
+                blob = bytes(blob)
+                pos = 0
+                while pos < len(blob):
+                    z = zlib.decompressobj(wbits=31)
+                    try:
+                        member = z.decompress(blob[pos:])
+                    except zlib.error as exc:
+                        raise ValueError(
+                            f"warc.gz file {fid}: bad gzip member at "
+                            f"byte {pos}: {exc}"
+                        )
+                    if not z.eof:
+                        raise ValueError(
+                            f"warc.gz file {fid}: truncated member at "
+                            f"byte {pos}"
+                        )
+                    member_len = len(blob) - pos - len(z.unused_data)
+                    (record,) = _scan_warc(int(fid), member)
+                    record["rec_offset"] = pos
+                    record["rec_length"] = member_len
+                    rows.append(record)
+                    pos += member_len
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, schema=WARC_RECORD_SCHEMA)
+
+
 def surt_urlkey(uri: Column) -> Column:
     """SURT-style canonical url key: reversed comma-joined host labels,
     ``)``, then the path — ``http://news.site.com/a/b`` →

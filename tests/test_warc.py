@@ -149,6 +149,67 @@ class TestWarcRoundtrip:
         assert got["http://a/2"]["payload"] == ""
         assert got["http://a/3"]["warc_type"] == "response"
 
+    def test_gz_members_support_ranged_reads(self, spark):
+        """The .warc.gz contract: blob[off:off+len] is ONE complete
+        gzip member that inflates to exactly that record — no prefix
+        decompression needed."""
+        import gzip
+
+        from cex_crawler_spark.sources.warc import (
+            parse_warc_gz,
+            render_warc_gz_files,
+        )
+
+        rows = [
+            (0, "http://a/1", "2025-08-01T00:00:00Z", "first é"),
+            (0, "http://a/2", "2025-08-02T00:00:00Z", FAKE),
+            (0, "http://a/3", "2025-08-03T00:00:00Z", "third"),
+        ]
+        files = render_warc_gz_files(
+            spark.createDataFrame(
+                rows,
+                "file_id long, uri string, date string, payload string",
+            )
+        )
+        blob = bytes(files.first()["warc_gz"])
+        recs = {
+            r["target_uri"]: r for r in parse_warc_gz(files).collect()
+        }
+        assert len(recs) == 3
+        pos = 0
+        for fid, uri, date, payload in rows:
+            r = recs[uri]
+            assert r["payload"] == payload
+            member = blob[r["rec_offset"]: r["rec_offset"] + r["rec_length"]]
+            text = gzip.decompress(member).decode("utf-8")
+            assert f"WARC-Target-URI: {uri}\r\n" in text
+            assert text.endswith(payload + "\r\n\r\n")
+            assert r["rec_offset"] == pos  # members tile the file
+            pos += r["rec_length"]
+        assert pos == len(blob)
+
+    def test_gz_truncated_member_raises(self, spark):
+        from cex_crawler_spark.sources.warc import (
+            parse_warc_gz,
+            render_warc_gz_files,
+        )
+
+        files = render_warc_gz_files(
+            spark.createDataFrame(
+                [(0, "http://a/1", "2025-08-01T00:00:00Z", "x" * 500)],
+                "file_id long, uri string, date string, payload string",
+            )
+        )
+        blob = bytes(files.first()["warc_gz"])
+        cut = spark.createDataFrame(
+            [(0, bytearray(blob[: len(blob) - 7]))],
+            "file_id long, warc_gz binary",
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="truncated|bad gzip"):
+            parse_warc_gz(cut).collect()
+
     def test_render_is_deterministic_and_sorted(self, spark):
         rows = [
             (0, "http://a/2", "2025-08-02T00:00:00Z", "b"),
