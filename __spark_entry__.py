@@ -1757,6 +1757,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_gz_roundtrip"] = warc_gz_roundtrip
 
+    def sitemap_index_expand(spark, sf):
+        """Sitemap-index expansion (r5): the middle hop of discovery
+        (robots ``Sitemap:`` → INDEX → leaf sitemaps → seeds) — the
+        protocol's own sharding for 10^9-URL hosts.  Bodies exercise
+        per-block isolation: lastmod-less children, whitespace-padded
+        locs, tag order flipped inside a block, and an empty-loc entry
+        that must drop without shifting its neighbors."""
+        from cex_crawler_spark.sources.sitemap import expand_sitemap_index
+
+        p = _t(spark, sf, "part").filter(F.col("p_partkey") <= 400)
+        k = F.col("p_partkey")
+        b0 = F.format_string(
+            "<sitemap><loc>https://h%d.example/sm-a.xml</loc>"
+            "<lastmod>2025-08-%02dT00:00:00Z</lastmod></sitemap>",
+            k, (k % 28 + 1).cast("int"),
+        )
+        b1 = F.format_string(
+            "<sitemap>\n  <loc> https://h%d.example/sm-b.xml </loc>\n"
+            "</sitemap>", k,
+        )
+        b2 = F.when(
+            k % 3 == 0, F.lit("<sitemap><loc></loc></sitemap>")
+        ).otherwise(
+            F.format_string(
+                "<sitemap><lastmod>2025-01-%02d</lastmod>"
+                "<loc>https://h%d.example/sm-c%d.xml</loc></sitemap>",
+                (k % 28 + 1).cast("int"), k, k % 9,
+            )
+        )
+        idx = p.select(
+            F.format_string("h%d.example", k).alias("host"),
+            F.concat(
+                F.lit("<sitemapindex>"), b0, b1, b2,
+                F.lit("</sitemapindex>"),
+            ).alias("xml"),
+        )
+        return (
+            expand_sitemap_index(idx)
+            .orderBy("host", "sitemap_url")
+            .limit(2000)
+        )
+
+    q["sitemap_index_expand"] = sitemap_index_expand
+
     # ---- text analysis over documents --------------------------------------
 
     def doc_token_stats(spark, sf):
@@ -3669,6 +3713,33 @@ def oracle_sql() -> dict[str, str]:
                md5(payload) AS payload_md5
         FROM src
         ORDER BY target_uri LIMIT 1000
+    """
+
+    # sitemap_index_expand: expected children derived directly (no XML
+    # parsing) — sm-a always with its timestamp, sm-b always
+    # lastmod-NULL, sm-c only when p_partkey % 3 <> 0 (the empty-loc
+    # branch contributes nothing).
+    o["sitemap_index_expand"] = """
+        SELECT host, sitemap_url, CAST(lm AS TIMESTAMP) AS lastmod
+        FROM (
+          SELECT 'h' || p_partkey || '.example' AS host,
+                 'https://h' || p_partkey || '.example/sm-a.xml'
+                   AS sitemap_url,
+                 '2025-08-' || printf('%02d', (p_partkey % 28) + 1)
+                   || 'T00:00:00Z' AS lm
+          FROM part WHERE p_partkey <= 400
+          UNION ALL
+          SELECT 'h' || p_partkey || '.example',
+                 'https://h' || p_partkey || '.example/sm-b.xml',
+                 NULL
+          FROM part WHERE p_partkey <= 400
+          UNION ALL
+          SELECT 'h' || p_partkey || '.example',
+                 'https://h' || p_partkey || '.example/sm-c'
+                   || (p_partkey % 9) || '.xml',
+                 '2025-01-' || printf('%02d', (p_partkey % 28) + 1)
+          FROM part WHERE p_partkey <= 400 AND p_partkey % 3 <> 0
+        ) ORDER BY host, sitemap_url LIMIT 2000
     """
 
     # warc_gz_roundtrip: gzip framing must be invisible — the oracle

@@ -68,3 +68,53 @@ def parse_sitemaps(
             F.to_timestamp("e.lastmod").alias("lastmod"),
         )
     )
+
+
+# sitemap-index files (sitemaps.org: <sitemapindex> of <sitemap>
+# blocks) — the protocol's own sharding: one index can fan out to
+# 50k child sitemaps × 50k URLs each, which is how a 10^9-URL host
+# actually publishes its inventory.
+_INDEX_BLOCK = r"(?s)<sitemap>(.*?)</sitemap>"
+
+
+def sitemap_index_entries(xml: Column) -> Column:
+    """array<struct<loc,lastmod>> of CHILD SITEMAP references from a
+    sitemap-index body — same per-block isolation as
+    :func:`sitemap_entries` (a missing <lastmod> cannot shift the
+    zip), different block tag."""
+    blocks = F.regexp_extract_all(xml, F.lit(_INDEX_BLOCK), 1)
+    return F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.regexp_extract(b, _LOC, 1).alias("loc"),
+            F.nullif(F.regexp_extract(b, _LASTMOD, 1), F.lit("")).alias(
+                "lastmod"
+            ),
+        ),
+    )
+
+
+def expand_sitemap_index(
+    indexes: DataFrame, host_col: str = "host", xml_col: str = "xml"
+) -> DataFrame:
+    """Explode sitemap-index bodies into (host, sitemap_url,
+    lastmod:timestamp) fetch tasks — the middle hop of the discovery
+    chain robots ``Sitemap:`` → index → leaf sitemaps →
+    :func:`parse_sitemaps` → frontier seeds.  A child whose lastmod
+    predates the last successful fetch of that same child can be
+    skipped by the freshness watermark exactly like a page URL — at
+    sitemap-index scale (50k children per index) that pruning is the
+    difference between re-reading a host's whole inventory every
+    round and touching only changed shards."""
+    return (
+        indexes.select(
+            F.col(host_col).alias("host"),
+            F.explode(sitemap_index_entries(F.col(xml_col))).alias("e"),
+        )
+        .filter(F.col("e.loc") != "")
+        .select(
+            "host",
+            F.col("e.loc").alias("sitemap_url"),
+            F.to_timestamp("e.lastmod").alias("lastmod"),
+        )
+    )

@@ -31,6 +31,29 @@ def test_sitemap_missing_lastmod_does_not_shift(spark):
     assert str(rows["https://s/1"]).startswith("2025-01-01")
 
 
+def test_sitemap_index_expands_children(spark):
+    """Sitemap-index: <sitemap> block isolation (same shift trap as
+    <url> blocks), flipped tag order inside a block, empty-loc drop."""
+    from cex_crawler_spark.sources.sitemap import expand_sitemap_index
+
+    xml = """<?xml version="1.0"?>
+    <sitemapindex>
+      <sitemap><loc>https://s/a.xml</loc><lastmod>2025-01-01</lastmod></sitemap>
+      <sitemap><loc>https://s/b.xml</loc></sitemap>
+      <sitemap><lastmod>2025-03-03</lastmod><loc> https://s/c.xml </loc></sitemap>
+      <sitemap><loc></loc></sitemap>
+    </sitemapindex>"""
+    df = spark.createDataFrame([("s", xml)], ["host", "xml"])
+    rows = {
+        r["sitemap_url"]: r["lastmod"]
+        for r in expand_sitemap_index(df).collect()
+    }
+    assert set(rows) == {"https://s/a.xml", "https://s/b.xml", "https://s/c.xml"}
+    assert rows["https://s/b.xml"] is None
+    assert str(rows["https://s/a.xml"]).startswith("2025-01-01")
+    assert str(rows["https://s/c.xml"]).startswith("2025-03-03")
+
+
 def test_sniff_real_png_and_magic_bytes(spark):
     arr = np.zeros((8, 8, 3), dtype=np.uint8)
     payloads = [
