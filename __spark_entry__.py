@@ -1801,6 +1801,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_index_expand"] = sitemap_index_expand
 
+    def corpus_split_assign(spark, sf):
+        """Leakage-safe train/val/test assignment (r5): the split key
+        is the NEAR-DUP CLUSTER, not the document — hashing raw doc
+        ids puts near-copies of one page in train AND test, and the
+        eval set silently becomes training data.  Gates → LSH pairs →
+        connected components (all the audited scale paths), then
+        split = md5(component) first byte mod 10 (8 → val, 9 → test)
+        so every member of a cluster lands in the same split by
+        construction.  md5 keeps the bucket choice engine-portable;
+        the hash is of the CLUSTER id, so moving one doc between
+        clusters moves its whole cluster's split, never a lone doc."""
+        from cex_crawler_spark.functions.text import lang_id, quality_score
+        from cex_crawler_spark.operators.dedup import (
+            dedup_cluster_representatives,
+        )
+
+        d = _t(spark, sf, "documents")
+        scored = d.select(
+            "doc_id", "text",
+            quality_score(F.col("text")).alias("quality"),
+            lang_id(F.col("text")).alias("lang_pred"),
+        )
+        kept = scored.filter(
+            (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+        )
+        pairs = minhash_lsh_pairs(
+            kept, "text", "doc_id", num_hashes=64, bands=32, shingle_k=3,
+            threshold=0.5,
+        )
+        labeled = dedup_cluster_representatives(kept, pairs, "doc_id")
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("component").cast("string")), 1, 2
+                ),
+                16, 10,
+            ).cast("int")
+            % 10
+        )
+        split = (
+            F.when(h == 8, F.lit("val"))
+            .when(h == 9, F.lit("test"))
+            .otherwise(F.lit("train"))
+        )
+        return (
+            labeled.select("doc_id", "component", split.alias("split"))
+            .orderBy("doc_id")
+        )
+
+    q["corpus_split_assign"] = corpus_split_assign
+
     # ---- text analysis over documents --------------------------------------
 
     def doc_token_stats(spark, sf):
@@ -4206,6 +4257,26 @@ def oracle_sql() -> dict[str, str]:
 
     # corpus_curation_packed: the same curation CTE chain, then the
     # window-cumsum pack assignment over the representatives
+    # corpus_split_assign: the same gates + closure CTE chain, then the
+    # cluster-keyed md5 bucket — every doc of a component must get the
+    # component's split, so a single doc landing in the wrong bucket
+    # (leakage) breaks the hash.
+    o["corpus_split_assign"] = (
+        o["corpus_curation_neardup"].split("SELECT c.doc_id")[0]
+        + """
+        SELECT c.doc_id, c.component,
+               CASE CAST(('0x' ||
+                      substr(md5(CAST(c.component AS VARCHAR)), 1, 2))
+                      AS INT) % 10
+                 WHEN 8 THEN 'val'
+                 WHEN 9 THEN 'test'
+                 ELSE 'train'
+               END AS split
+        FROM comp c
+        ORDER BY c.doc_id
+    """
+    )
+
     o["corpus_curation_packed"] = (
         o["corpus_curation_neardup"].split("SELECT c.doc_id")[0]
         + f""", rep AS (

@@ -417,14 +417,36 @@ class SnapshotCatalog:
 
             from .functions.zorder import morton2
 
-            df = (
-                df.withColumn(
-                    "__z", morton2(F.col(sort_by[0]), F.col(sort_by[1]))
-                )
-                .repartitionByRange(int(n_files), "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
+            df = df.withColumn(
+                "__z", morton2(F.col(sort_by[0]), F.col(sort_by[1]))
             )
+            # Deterministic near-equal z-ranges: bin on percentile_approx
+            # boundaries (mergeable sketch, one tiny agg) instead of
+            # letting RangePartitioner row-sample the continuous Morton
+            # key — its run-dependent samples occasionally produce a fat
+            # partition whose z-span projects to wide x/y ranges and
+            # ruins file skipping (observed as suite-order-dependent
+            # pruning flakiness).  The range exchange then only has to
+            # split an already-balanced 0..n-1 int.
+            if int(n_files) > 1:
+                qs = [i / int(n_files) for i in range(1, int(n_files))]
+                bounds = (
+                    df.select(
+                        F.percentile_approx("__z", qs, 10000).alias("b")
+                    ).first()["b"]
+                    or []
+                )
+                bin_expr = F.lit(0)
+                for b in bounds:
+                    bin_expr = bin_expr + (F.col("__z") > F.lit(b)).cast(
+                        "int"
+                    )
+                df = (
+                    df.withColumn("__bin", bin_expr)
+                    .repartitionByRange(int(n_files), "__bin", "__z")
+                    .drop("__bin")
+                )
+            df = df.sortWithinPartitions("__z").drop("__z")
         elif sort_by:
             df = df.repartitionByRange(
                 int(n_files), *sort_by

@@ -628,6 +628,63 @@ class TestConnectedComponents:
         }
 
 
+class TestLeakageSafeSplits:
+    def test_split_keys_on_cluster_not_doc(self, spark):
+        """Planted near-dup clusters must land whole in one split;
+        hashing raw doc ids (the naive split) demonstrably scatters
+        members of the SAME cluster across train/val/test — the
+        eval-leakage failure corpus_split_assign exists to prevent."""
+        from pyspark.sql import functions as F
+
+        from cex_crawler_spark.operators.dedup import (
+            dedup_cluster_representatives,
+            minhash_lsh_pairs,
+        )
+
+        rows = [
+            (
+                i,
+                " ".join(f"w{i // 3}x{j}" for j in range(30))
+                + f" m{i % 3} tail{i % 3}",
+            )
+            for i in range(12)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=64, bands=32,
+            shingle_k=3, threshold=0.5,
+        )
+        labeled = dedup_cluster_representatives(docs, pairs, "doc_id")
+
+        def bucket(col):
+            return (
+                F.conv(
+                    F.substring(F.md5(col.cast("string")), 1, 2), 16, 10
+                ).cast("int")
+                % 10
+            )
+
+        got = labeled.select(
+            "doc_id",
+            "component",
+            bucket(F.col("component")).alias("by_cluster"),
+            bucket(F.col("doc_id")).alias("by_doc"),
+        ).collect()
+        comps = {}
+        for r in got:
+            comps.setdefault(r["component"], []).append(r)
+        # the planted clusters actually formed
+        assert sorted(comps) == [0, 3, 6, 9]
+        assert all(len(v) == 3 for v in comps.values())
+        leaks = 0
+        for members in comps.values():
+            # cluster-keyed: one bucket per cluster, by construction
+            assert len({m["by_cluster"] for m in members}) == 1
+            # doc-keyed counterfactual: members scatter
+            leaks += len({m["by_doc"] for m in members}) > 1
+        assert leaks >= 3  # ids 0..11: every cluster but one scatters
+
+
 class TestBucketCaps:
     """Degenerate-key guard: 10⁴ identical docs make ONE bucket; without
     a cap the self-join emits ~5·10⁷ pairs (quadratic).  With the cap the
