@@ -1852,6 +1852,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_split_assign"] = corpus_split_assign
 
+    def sitemap_discovery_chain(spark, sf):
+        """Discovery-chain capstone (r5): robots ``Sitemap:`` →
+        sitemap-INDEX → leaf sitemaps → frontier seeds, with the
+        freshness watermark pruning BETWEEN hops — a stale child shard
+        is dropped before its leaf is ever expanded, and a stale page
+        before it reaches the frontier.  That inter-hop pruning is the
+        point at 10^10 URLs: an unchanged shard of 50k URLs costs one
+        dropped row, not 50k.  Bodies at each hop derive scan-side
+        from the previous hop's URL (deterministic stand-in for the
+        fetch), so the whole chain is Catalyst end to end."""
+        from cex_crawler_spark.functions.robots import (
+            parse_robots_sitemaps,
+        )
+        from cex_crawler_spark.sources.sitemap import (
+            expand_sitemap_index,
+            parse_sitemaps,
+        )
+
+        wm = F.to_timestamp(F.lit("2025-06-01 00:00:00"))
+
+        def fresh(df):
+            return df.filter(
+                F.col("lastmod").isNull() | (F.col("lastmod") >= wm)
+            )
+
+        p = _t(spark, sf, "part").filter(F.col("p_partkey") <= 200)
+        k = F.col("p_partkey")
+        robots_txt = F.concat(
+            F.format_string(
+                "User-agent: *\nDisallow: /private\n"
+                "Sitemap: https://h%d.example/idx.xml\n", k,
+            ),
+            F.when(
+                k % 4 == 0,
+                F.format_string(
+                    "Sitemap: https://h%d.example/idx2.xml\n", k
+                ),
+            ).otherwise(F.lit("")),
+        )
+        hop1 = p.select(
+            F.format_string("h%d.example", k).alias("host"),
+            F.explode(parse_robots_sitemaps(robots_txt)).alias(
+                "sitemap_url"
+            ),
+        )
+
+        # hop 2: index XML derived from the index URL; child 'c' is
+        # stale (Jan lastmod < watermark) and must die HERE
+        kk = F.regexp_extract(F.col("sitemap_url"), r"h(\d+)\.", 1)
+        day = (kk.cast("int") % 28 + 1).cast("int")
+        idx_xml = F.when(
+            F.col("sitemap_url").endswith("idx2.xml"),
+            F.format_string(
+                "<sitemapindex><sitemap>"
+                "<loc>https://h%s.example/sm-d.xml</loc>"
+                "<lastmod>2025-08-%02d</lastmod></sitemap>"
+                "</sitemapindex>", kk, day,
+            ),
+        ).otherwise(
+            F.format_string(
+                "<sitemapindex>"
+                "<sitemap><loc>https://h%s.example/sm-a.xml</loc>"
+                "<lastmod>2025-08-%02d</lastmod></sitemap>"
+                "<sitemap><loc>https://h%s.example/sm-b.xml</loc>"
+                "</sitemap>"
+                "<sitemap><loc>https://h%s.example/sm-c.xml</loc>"
+                "<lastmod>2025-01-%02d</lastmod></sitemap>"
+                "</sitemapindex>", kk, day, kk, kk, day,
+            )
+        )
+        hop2 = fresh(
+            expand_sitemap_index(
+                hop1.select("host", idx_xml.alias("xml")), xml_col="xml"
+            )
+        ).select("host", "sitemap_url")
+
+        # hop 3: leaf XML from the leaf URL; page u2 is stale and dies
+        leaf = F.regexp_extract(F.col("sitemap_url"), r"(sm-[a-d])", 1)
+        kk3 = F.regexp_extract(F.col("sitemap_url"), r"h(\d+)\.", 1)
+        leaf_xml = F.format_string(
+            "<urlset>"
+            "<url><loc>https://h%s.example/%s/u1</loc>"
+            "<lastmod>2025-07-15</lastmod></url>"
+            "<url><loc>https://h%s.example/%s/u2</loc>"
+            "<lastmod>2025-02-01</lastmod></url>"
+            "<url><loc>https://h%s.example/%s/u3</loc></url>"
+            "</urlset>", kk3, leaf, kk3, leaf, kk3, leaf,
+        )
+        seeds = fresh(
+            parse_sitemaps(
+                hop2.select("host", leaf_xml.alias("xml")), xml_col="xml"
+            )
+        )
+        return seeds.select("host", "url", "lastmod").orderBy(
+            "host", "url"
+        ).limit(3000)
+
+    q["sitemap_discovery_chain"] = sitemap_discovery_chain
+
     # ---- text analysis over documents --------------------------------------
 
     def doc_token_stats(spark, sf):
@@ -3791,6 +3890,31 @@ def oracle_sql() -> dict[str, str]:
                  '2025-01-' || printf('%02d', (p_partkey % 28) + 1)
           FROM part WHERE p_partkey <= 400 AND p_partkey % 3 <> 0
         ) ORDER BY host, sitemap_url LIMIT 2000
+    """
+
+    # sitemap_discovery_chain: survivors enumerated directly — leaf
+    # sm-c and page u2 are stale (pre-watermark lastmod) and must never
+    # appear; sm-d exists only for k%4==0 hosts (second Sitemap: line).
+    o["sitemap_discovery_chain"] = """
+        WITH ks AS (
+          SELECT p_partkey AS k FROM part WHERE p_partkey <= 200
+        ),
+        leaves AS (
+          SELECT k, 'sm-a' AS leaf FROM ks
+          UNION ALL SELECT k, 'sm-b' FROM ks
+          UNION ALL SELECT k, 'sm-d' FROM ks WHERE k % 4 = 0
+        ),
+        urls AS (
+          SELECT k, leaf, 'u1' AS u,
+                 TIMESTAMP '2025-07-15 00:00:00' AS lastmod
+          FROM leaves
+          UNION ALL
+          SELECT k, leaf, 'u3', NULL FROM leaves
+        )
+        SELECT 'h' || k || '.example' AS host,
+               'https://h' || k || '.example/' || leaf || '/' || u AS url,
+               lastmod
+        FROM urls ORDER BY host, url LIMIT 3000
     """
 
     # warc_gz_roundtrip: gzip framing must be invisible — the oracle
