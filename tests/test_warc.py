@@ -210,6 +210,60 @@ class TestWarcRoundtrip:
         with _pytest.raises(Exception, match="truncated|bad gzip"):
             parse_warc_gz(cut).collect()
 
+    def test_crawl_results_export_roundtrip(self, spark, tmp_path):
+        """End-to-end interchange: run a real crawl, export its fetched
+        rows as .warc.gz blobs committed ATOMICALLY to the same
+        catalog, read the table back and re-parse — every fetched
+        (url, caption) survives, nothing extra appears.  This is the
+        path that hands a crawl to external archive tooling."""
+        from pyspark.sql import functions as F
+
+        from cex_crawler_spark.catalog import APPEND, SnapshotCatalog
+        from cex_crawler_spark.plans.driver import bootstrap, crawl
+        from cex_crawler_spark.sources.warc import (
+            parse_warc_gz,
+            render_warc_gz_files,
+        )
+        from cex_crawler_spark.synth import gen_frontier, gen_host_policy
+
+        cat = SnapshotCatalog(str(tmp_path / "cat"))
+        bootstrap(
+            cat, gen_frontier(spark, 200, n_payloads=40),
+            "2025-08-29 00:00:00",
+        )
+        crawl(
+            spark, cat, gen_host_policy(spark), "2025-08-29 00:00:00",
+            max_rounds=2,
+        )
+        fetched = cat.read(spark, "results").filter(
+            F.col("status") == "fetched"
+        )
+        n_fetched = fetched.count()
+        assert n_fetched > 0
+        recs = fetched.select(
+            F.pmod(F.col("url_hash"), F.lit(8)).alias("file_id"),
+            F.col("url").alias("uri"),
+            F.format_string(
+                "2025-08-29T00:00:0%dZ", F.col("round")
+            ).alias("date"),
+            F.col("caption").alias("payload"),
+        )
+        v = cat.commit(
+            99, {"warc": (render_warc_gz_files(recs), APPEND)}
+        )
+        assert v > 0
+        back = parse_warc_gz(
+            cat.read(spark, "warc"), warc_col="warc_gz"
+        ).select(
+            F.col("target_uri").alias("url"),
+            F.col("payload").alias("caption"),
+        )
+        want = sorted(
+            (r["url"], r["caption"]) for r in fetched.collect()
+        )
+        got = sorted((r["url"], r["caption"]) for r in back.collect())
+        assert got == want
+
     def test_render_is_deterministic_and_sorted(self, spark):
         rows = [
             (0, "http://a/2", "2025-08-02T00:00:00Z", "b"),
