@@ -104,8 +104,11 @@ def effective_host_policy(host_policy, robots, agent=None):
         parse_robots_crawl_delay(F.col("robots_txt")).alias("__delay_s"),
         *(
             [
-                select_robots_rules(
-                    parse_robots_groups(F.col("robots_txt")), F.lit(agent)
+                translate_robots_rules(
+                    select_robots_rules(
+                        parse_robots_groups(F.col("robots_txt")),
+                        F.lit(agent),
+                    )
                 ).alias("robots_rules")
             ]
             if agent is not None
@@ -169,7 +172,26 @@ def robots_pattern_regex(pattern: Column) -> Column:
     )
 
 
-def robots_best_rule(path: Column, rules: Column) -> Column:
+def translate_robots_rules(rules: Column) -> Column:
+    """``array<struct<allow,pattern,rex>>`` — rules with the
+    pattern→regex translation MATERIALIZED.  Run this on the host dim
+    (one row per host): the translation is a chain of string rewrites
+    per rule, fine once per host but real work at per-frontier-row ×
+    per-rule scale.  :func:`robots_best_rule` and the scheduler's
+    strict tier detect the ``rex`` field and skip re-translating."""
+    return F.transform(
+        rules,
+        lambda r: F.struct(
+            r["allow"].alias("allow"),
+            r["pattern"].alias("pattern"),
+            robots_pattern_regex(r["pattern"]).alias("rex"),
+        ),
+    )
+
+
+def robots_best_rule(
+    path: Column, rules: Column, pretranslated: bool = False
+) -> Column:
     """The winning RFC 9309 rule for ``path`` against
     ``parse_robots_rules`` output, as ``struct<l:int, a:int,
     p:string>`` (pattern length, allow as 0/1, pattern) — or NULL when
@@ -181,19 +203,21 @@ def robots_best_rule(path: Column, rules: Column) -> Column:
 
     One array expression per row: filter rules by regexp match, take
     array_max over (length, allow, pattern) structs — struct ordering
-    is field-by-field, which is exactly the precedence list.  The
-    pattern→regex translation is inlined (cheap string expressions the
-    optimizer shares); at frontier scale pre-translate on the host dim
-    with :func:`robots_pattern_regex` and match against that column
-    instead.
+    is field-by-field, which is exactly the precedence list.
+    ``pretranslated=True`` matches against the rules' materialized
+    ``rex`` field (:func:`translate_robots_rules`) instead of
+    re-deriving the regex per row — the form the frontier hot path
+    must use.
     """
+    if pretranslated:
+        rex = lambda r: r["rex"]  # noqa: E731
+    else:
+        rex = lambda r: robots_pattern_regex(r["pattern"])  # noqa: E731
     return F.array_max(
         F.transform(
             F.filter(
                 rules,
-                lambda r: F.regexp_like(
-                    path, robots_pattern_regex(r["pattern"])
-                ),
+                lambda r: F.regexp_like(path, rex(r)),
             ),
             lambda r: F.struct(
                 F.length(r["pattern"]).alias("l"),
@@ -204,10 +228,12 @@ def robots_best_rule(path: Column, rules: Column) -> Column:
     )
 
 
-def robots_allowed(path: Column, rules: Column) -> Column:
+def robots_allowed(
+    path: Column, rules: Column, pretranslated: bool = False
+) -> Column:
     """RFC 9309 §2.2.2 decision for ``path``: verdict of the
     :func:`robots_best_rule` winner; no matching rule → allowed."""
-    best = robots_best_rule(path, rules)
+    best = robots_best_rule(path, rules, pretranslated=pretranslated)
     return F.when(best.isNull(), F.lit(True)).otherwise(best["a"] == 1)
 
 

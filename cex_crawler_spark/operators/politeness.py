@@ -202,12 +202,22 @@ def schedule_round(
         # Allow/Disallow wildcard/anchor evaluation; hosts with NULL
         # rules keep the cheap prefix tier.  Still row-local scan-side
         # work — the per-rule regexp match only runs on rows of hosts
-        # that opted in.
+        # that opted in.  When the rules carry a materialized `rex`
+        # field (translate_robots_rules — what effective_host_policy
+        # emits), the per-row pattern→regex re-derivation is skipped:
+        # at 10^10 frontier rows the translation belongs on the host
+        # dim, the hot path should only ever MATCH.
         from cex_crawler_spark.functions.robots import robots_allowed
 
+        elem = host_policy.schema["robots_rules"].dataType.elementType
+        has_rex = "rex" in [f.name for f in elem.fields]
         robots_hit = F.when(
             F.col("robots_rules").isNotNull(),
-            ~robots_allowed(F.col("path"), F.col("robots_rules")),
+            ~robots_allowed(
+                F.col("path"),
+                F.col("robots_rules"),
+                pretranslated=has_rex,
+            ),
         ).otherwise(robots_hit)
     stale_prefetch = F.col("time_known_prefetch") & (
         F.col("release_time") < F.to_timestamp(F.lit(watermark))

@@ -345,6 +345,42 @@ class TestRobots:
         }
         assert got == dict(rows)
 
+    def test_rfc_pretranslated_parity(self, spark):
+        """Matching against translate_robots_rules' materialized rex
+        (the frontier hot-path form) must agree with inline
+        translation on every grammar case."""
+        from pyspark.sql import functions as F
+
+        from cex_crawler_spark.functions.robots import (
+            parse_robots_rules,
+            robots_allowed,
+            translate_robots_rules,
+        )
+
+        body = (
+            "User-agent: *\nDisallow: /p1/\nAllow: /p1/open\n"
+            "Disallow: /*.json$\nAllow: /q2*x\nDisallow: /q2\n"
+            "Disallow: /a+b(c).d\n"
+        )
+        paths = [
+            "/p1/item9", "/p1/open/f", "/d.json", "/d.jsonx",
+            "/q2zzx", "/q2zz", "/a+b(c).d/e", "/free",
+        ]
+        df = spark.createDataFrame(
+            [(p, body) for p in paths], "path string, txt string"
+        )
+        rules = parse_robots_rules(F.col("txt"))
+        got = df.select(
+            "path",
+            robots_allowed(F.col("path"), rules).alias("inline"),
+            robots_allowed(
+                F.col("path"),
+                translate_robots_rules(rules),
+                pretranslated=True,
+            ).alias("pre"),
+        ).collect()
+        assert all(r["inline"] == r["pre"] for r in got)
+
     def test_rfc_group_selection(self, spark):
         """RFC 9309 §2.2.1: User-agent groups — consecutive UA lines
         share one rule block, multiple groups for one agent MERGE,
@@ -428,11 +464,20 @@ class TestRobots:
         from cex_crawler_spark.plans.round import ingest_seeds
         from cex_crawler_spark.synth import gen_frontier, gen_host_policy
 
+        from cex_crawler_spark.functions.robots import (
+            translate_robots_rules,
+        )
+
         body = "User-agent: *\nAllow: /private\nDisallow: /*1$\n"
+        # pre-translated rules (the effective_host_policy form) — the
+        # scheduler must detect the rex field and take the match-only
+        # hot path; verdicts asserted below are tier-behavior proof
         policy = gen_host_policy(spark).withColumn(
             "robots_rules",
-            select_robots_rules(
-                parse_robots_groups(F.lit(body)), F.lit("enginebot")
+            translate_robots_rules(
+                select_robots_rules(
+                    parse_robots_groups(F.lit(body)), F.lit("enginebot")
+                )
             ),
         )
         frontier = ingest_seeds(gen_frontier(spark, 400, n_payloads=60))
@@ -451,6 +496,28 @@ class TestRobots:
         assert (
             priv_ok.filter(F.col("status") == "robots_blocked").count() == 0
         )
+        # raw (untranslated) rules take the inline-translation branch
+        # and must produce the identical verdict set
+        raw_policy = gen_host_policy(spark).withColumn(
+            "robots_rules",
+            select_robots_rules(
+                parse_robots_groups(F.lit(body)), F.lit("enginebot")
+            ),
+        )
+        d2 = schedule_round(frontier, raw_policy, "2025-08-29 00:00:00")
+        b1 = sorted(
+            r["canonical_url"]
+            for r in d.filter(
+                F.col("status") == "robots_blocked"
+            ).collect()
+        )
+        b2 = sorted(
+            r["canonical_url"]
+            for r in d2.filter(
+                F.col("status") == "robots_blocked"
+            ).collect()
+        )
+        assert b1 == b2
 
     def test_effective_policy_attaches_agent_rules(self, spark):
         """effective_host_policy(agent=...) adds robots_rules for hosts
