@@ -2071,6 +2071,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_unigram_logprob"] = doc_unigram_logprob
 
+    def doc_bigram_logprob(spark, sf):
+        """Interpolated-bigram LM gate (r5): context-aware upgrade of
+        the unigram filter — λ=0.5 mix of P(w|prev) and P(w), both MLE
+        from the corpus itself.  Oracle pairs bigrams by a positional
+        self-join where the engine uses a per-doc lag window —
+        different mechanics, same counts."""
+        from cex_crawler_spark.functions.text import bigram_logprob_scores
+
+        d = _t(spark, sf, "documents")
+        return (
+            bigram_logprob_scores(d, "text", "doc_id")
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id")
+            .limit(500)
+        )
+
+    q["doc_bigram_logprob"] = doc_bigram_logprob
+
     def doc_lang_id(spark, sf):
         d = _t(spark, sf, "documents")
         return (
@@ -4245,6 +4263,38 @@ def oracle_sql() -> dict[str, str]:
                round(avg(ln(n_total) - ln(c)), 4) AS avg_neg_logprob
         FROM toks JOIN freq USING (tok) CROSS JOIN total
         GROUP BY doc_id ORDER BY doc_id LIMIT 500
+    """
+
+    # doc_bigram_logprob: positional self-join replaces the engine's
+    # lag window; λ=0.5 is binary-exact; round(4) absorbs
+    # summation-order ulps (house convention)
+    o["doc_bigram_logprob"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok,
+                 generate_subscripts({_TOKS}, 1) AS pos
+          FROM documents
+        ),
+        big AS (
+          SELECT a.doc_id, a.tok AS prev, b.tok AS tok
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        total AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM freq),
+        bfreq AS (
+          SELECT prev, tok, count(*) AS cb FROM big GROUP BY prev, tok
+        )
+        SELECT big.doc_id, count(*) AS n_bigrams,
+               round(avg(-ln(
+                 0.5 * cb::DOUBLE / fp.c::DOUBLE
+                 + 0.5 * ft.c::DOUBLE / n_total
+               )), 4) AS avg_neg_logprob
+        FROM big
+        JOIN bfreq USING (prev, tok)
+        JOIN freq fp ON fp.tok = big.prev
+        JOIN freq ft ON ft.tok = big.tok
+        CROSS JOIN total
+        GROUP BY big.doc_id ORDER BY big.doc_id LIMIT 500
     """
 
     o["doc_lang_id"] = f"""

@@ -172,6 +172,65 @@ def unigram_logprob_scores(df, text_col: str, id_col: str):
     )
 
 
+def bigram_logprob_scores(df, text_col: str, id_col: str, lam: float = 0.5):
+    """Per-document mean −ln of the INTERPOLATED bigram probability
+    ``λ·P(wᵢ|wᵢ₋₁) + (1−λ)·P(wᵢ)`` under the corpus's own MLE counts —
+    the next rung above :func:`unigram_logprob_scores` on the CCNet
+    ladder (context-aware: "the the the" scores terribly here and
+    fine under unigrams).  λ defaults to 0.5 (binary-exact, so the
+    interpolation weight itself can never be a cross-engine ulp).
+    Docs with < 2 tokens have no bigrams and drop out.  Returns
+    ``(id, n_bigrams, avg_neg_logprob)``.
+
+    Scale shape: positions via posexplode; the (wᵢ₋₁, wᵢ) pairing is a
+    per-doc lag window (partitioned by doc id — bounded by document
+    length, never corpus-wide); corpus unigram/bigram counts are
+    map-side-combinable aggregates; scoring is three hash joins
+    (bigram count, previous-token count, token count) plus the one-row
+    total broadcast.  Stopword-headed skew in the joins is AQE's
+    skew-join case, same as the unigram scorer.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    big = (
+        toks.withColumn("prev", F.lag("tok").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("id", "prev", "tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    bfreq = big.groupBy("prev", "tok").agg(F.count("*").alias("cb"))
+    scored = (
+        big.join(bfreq, ["prev", "tok"])
+        .join(
+            freq.select(
+                F.col("tok").alias("prev"), F.col("c").alias("cp")
+            ),
+            "prev",
+        )
+        .join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__nll",
+            -F.log(
+                F.lit(lam) * F.col("cb") / F.col("cp")
+                + F.lit(1.0 - lam) * F.col("c") / F.col("n_total")
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("__nll"), 4).alias("avg_neg_logprob"),
+    )
+
+
 # ------------------------------------------------- PII scrubbing
 
 # Patterns chosen to mean the same thing in Java regex (Spark) and RE2
