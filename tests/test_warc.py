@@ -264,6 +264,45 @@ class TestWarcRoundtrip:
         got = sorted((r["url"], r["caption"]) for r in back.collect())
         assert got == want
 
+    def test_adversarial_payload_corpus(self, spark):
+        """120 seeded-random payloads stuffed with framing hazards —
+        CRLF runs, record magic at every offset, empty strings, header
+        look-alikes, multi-byte unicode — must survive both plain and
+        gzip round-trips byte-for-byte."""
+        import random
+
+        from cex_crawler_spark.sources.warc import (
+            parse_warc_gz,
+            render_warc_gz_files,
+        )
+
+        rng = random.Random(42)
+        hazards = [
+            "", "\r\n", "\r\n\r\n", "WARC/1.0", "\r\n\r\nWARC/1.0\r\n",
+            "Content-Length: 0\r\n\r\n", FAKE, "é中🙂", "\r", "\n",
+            "WARC-Type: response", "x" * 300,
+        ]
+        rows = []
+        for i in range(120):
+            payload = "".join(
+                rng.choice(hazards) for _ in range(rng.randrange(6))
+            )
+            rows.append(
+                (i % 5, f"http://h/{i}", "2025-08-01T00:00:00Z", payload)
+            )
+        for rt in (
+            lambda df: parse_warc(render_warc_files(df)),
+            lambda df: parse_warc_gz(render_warc_gz_files(df)),
+        ):
+            df = spark.createDataFrame(
+                rows,
+                "file_id long, uri string, date string, payload string",
+            )
+            got = {r["target_uri"]: r["payload"] for r in rt(df).collect()}
+            assert len(got) == 120
+            for _, uri, _, payload in rows:
+                assert got[uri] == payload
+
     def test_render_is_deterministic_and_sorted(self, spark):
         rows = [
             (0, "http://a/2", "2025-08-02T00:00:00Z", "b"),
