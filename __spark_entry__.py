@@ -1294,6 +1294,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["url_canonicalize"] = q_url_canonicalize
     q["frontier_schedule"] = q_frontier_schedule
 
+    def frontier_priority_aging(spark, sf):
+        """Starvation-free scheduling (r5): effective priority after
+        aging — a URL waiting ``age_every`` rounds climbs one level
+        (politeness.age_priorities), so a steady priority-0 inflow can
+        never defer anything forever.  Fixture spans every branch:
+        levels 0-3, waits 0-16 (incl. waits that clamp at the floor and
+        a negative wait — producer clock skew — that must NOT promote),
+        current_round=12, age_every=4.  Pure row-local arithmetic; the
+        oracle replays it with the same integer floor."""
+        from cex_crawler_spark.operators.politeness import age_priorities
+
+        o = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+        frontier = o.select(
+            F.col("o_orderkey").alias("url_id"),
+            (F.col("o_orderkey") % 4).cast("long").alias("priority"),
+            # enqueued_round -4..12: waits of 16 down to 0, plus rows
+            # enqueued "in the future" (negative wait)
+            ((F.col("o_orderkey") % 17) - 4).cast("long").alias(
+                "enqueued_round"
+            ),
+        )
+        aged = age_priorities(frontier, current_round=12, age_every=4)
+        return (
+            aged.select(
+                "url_id",
+                "enqueued_round",
+                F.col("priority").alias("effective_priority"),
+            )
+            .orderBy("url_id")
+            .limit(2000)
+        )
+
+    q["frontier_priority_aging"] = frontier_priority_aging
+
     def extractor_announcements(spark, sf):
         """U2 fallback-analyzer fidelity cases: both-families emission
         (delisting ⊃ listing substring), dash pairs, lowercase symbols,
@@ -3690,6 +3724,24 @@ def oracle_sql() -> dict[str, str]:
           FROM first
         ) WHERE host_seq <= 20
         ORDER BY hostname, host_seq
+    """
+
+    # frontier_priority_aging: the same integer clamp/floor replayed in
+    # SQL — GREATEST clamps both the negative wait (clock skew must not
+    # promote) and the floor; FLOOR over a double is exact at round-count
+    # magnitudes.
+    o["frontier_priority_aging"] = """
+        SELECT o_orderkey AS url_id,
+               (o_orderkey % 17) - 4 AS enqueued_round,
+               GREATEST(
+                 0,
+                 (o_orderkey % 4)
+                 - CAST(FLOOR(
+                     GREATEST(0, 12 - ((o_orderkey % 17) - 4)) / 4.0
+                   ) AS BIGINT)
+               ) AS effective_priority
+        FROM orders WHERE o_orderkey <= 2000
+        ORDER BY url_id LIMIT 2000
     """
 
     # independent derivation: expected fallback-analyzer output per text class

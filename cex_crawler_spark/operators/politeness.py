@@ -93,6 +93,46 @@ _NARROW_COLS = [
 ]
 
 
+def age_priorities(
+    frontier: DataFrame,
+    current_round: int,
+    age_every: int,
+    enqueued_col: str = "enqueued_round",
+    floor: int = 0,
+) -> DataFrame:
+    """Starvation-free effective priority: a waiting URL's priority level
+    drops by one (lower = sooner, _ORDER_COLS) for every ``age_every``
+    rounds since it was enqueued, clamped at ``floor``.
+
+    Without aging, a steady inflow of priority-0 discoveries can defer a
+    priority-2 URL forever — the classic priority-queue starvation the
+    reference never faces (its whole frontier is one bounded section
+    list, /root/reference/exchange/base_scraper.py) but a 10^10-URL
+    frontier with per-host budgets hits immediately.  Aging makes every
+    enqueued URL's eventual fetch a certainty: after
+    ``(priority - floor) * age_every`` rounds it competes at the top
+    level.
+
+    Row-local scan-side arithmetic — zero shuffle, zero joins; the
+    scheduler downstream is unchanged (it just reads ``priority``).
+    Negative waits (an ``enqueued_round`` ahead of ``current_round`` —
+    clock skew between producers) clamp to zero rather than PROMOTING
+    the row's level.
+    """
+    if age_every <= 0:
+        raise ValueError(f"age_every must be positive, got {age_every}")
+    waited = F.greatest(
+        F.lit(0).cast("long"),
+        (F.lit(current_round) - F.col(enqueued_col)).cast("long"),
+    )
+    aged = F.greatest(
+        F.lit(floor).cast("long"),
+        F.col("priority").cast("long")
+        - F.floor(waited / F.lit(age_every)).cast("long"),
+    )
+    return frontier.withColumn("priority", aged)
+
+
 _CHUNK_WIDTH = 8192
 
 

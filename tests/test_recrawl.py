@@ -156,3 +156,43 @@ def test_backoff_schedule_trailing_failures(spark):
     assert out["recov"]["next_attempt"] == ts(2)
     assert out["dead"]["give_up"] and out["dead"]["next_attempt"] is None
     assert (out["cap"]["next_attempt"] - ts(3)).total_seconds() == 1000
+
+
+def test_age_priorities_starvation_free_and_clamped(spark):
+    """age_priorities: one level per age_every waited rounds, clamped at
+    the floor; negative waits (producer clock skew) never promote; and
+    the aged column actually flips priority-major crawl order — the
+    starved old row overtakes the fresh high-priority inflow."""
+    from cex_crawler_spark.operators.politeness import age_priorities
+
+    rows = [
+        # (url_id, priority, enqueued_round)
+        ("fresh-p0", 0, 10),   # wait 0  → stays 0
+        ("old-p2", 2, 2),      # wait 8  → 2 - 2 = 0
+        ("older-p3", 3, 0),    # wait 10 → 3 - 2 = 1
+        ("clamp-p1", 1, 0),    # wait 10 → clamps at floor 0
+        ("skew-p1", 1, 99),    # negative wait → stays 1 (never promoted)
+    ]
+    df = spark.createDataFrame(rows, ["url_id", "priority", "enqueued_round"])
+    got = {
+        r["url_id"]: r["priority"]
+        for r in age_priorities(df, current_round=10, age_every=4).collect()
+    }
+    assert got == {
+        "fresh-p0": 0, "old-p2": 0, "older-p3": 1, "clamp-p1": 0,
+        "skew-p1": 1,
+    }
+    # order flip: before aging old-p2 sorts AFTER fresh-p0; after aging
+    # they tie at level 0 and older-p3 (was last) outranks skew-p1
+    aged = age_priorities(df, current_round=10, age_every=4)
+    order = [
+        r["url_id"] for r in aged.orderBy("priority", "url_id").collect()
+    ]
+    assert order.index("older-p3") < order.index("skew-p1")
+    # row-local: no Exchange in the plan
+    plan = aged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        age_priorities(df, current_round=10, age_every=0)
