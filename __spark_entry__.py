@@ -1791,6 +1791,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_gz_roundtrip"] = warc_gz_roundtrip
 
+    def warc_wet_extract(spark, sf):
+        """WET sidecar extraction (r5): HTML response archives →
+        parse → visible-text ``conversion`` records (render_wet_files)
+        → re-parse.  The payload is a full HTML page (script + style
+        blocks, entities, a multi-byte char), so the oracle match
+        proves the WARC→WET loop end to end: the text-extraction chain,
+        the conversion re-framing with its OWN byte-accurate
+        Content-Length, and the second parse — the format downstream
+        curation reads instead of raw HTML at 10× the bytes."""
+        from cex_crawler_spark.sources.warc import (
+            parse_warc,
+            render_warc_files,
+            render_wet_files,
+        )
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+        html = F.format_string(
+            "<html><head><style>h1{color:red}</style>"
+            "<script>track(1);</script></head>"
+            "<body><h1>Doc %d</h1><p>%s &amp; fin é</p></body></html>",
+            F.col("doc_id"), F.col("text"),
+        )
+        recs = d.select(
+            (F.col("doc_id") % 7).alias("file_id"),
+            F.format_string(
+                "http://site%d.example/doc/%d",
+                F.col("doc_id") % 50, F.col("doc_id"),
+            ).alias("uri"),
+            F.format_string(
+                "2025-08-%02dT00:00:00Z",
+                (F.col("doc_id") % 28 + 1).cast("int"),
+            ).alias("date"),
+            html.alias("payload"),
+        )
+        wet = parse_warc(
+            render_wet_files(parse_warc(render_warc_files(recs)))
+        )
+        return (
+            wet.select(
+                "warc_type",
+                "target_uri",
+                "warc_date",
+                "content_length",
+                F.md5("payload").alias("text_md5"),
+            )
+            .orderBy("target_uri")
+            .limit(1000)
+        )
+
+    q["warc_wet_extract"] = warc_wet_extract
+
     def sitemap_index_expand(spark, sf):
         """Sitemap-index expansion (r5): the middle hop of discovery
         (robots ``Sitemap:`` → INDEX → leaf sitemaps → seeds) — the
@@ -3995,6 +4046,42 @@ def oracle_sql() -> dict[str, str]:
     # length is reconstructed in SQL (same template, strlen = bytes),
     # offset = window sum of preceding records in the file's (uri,
     # date) render order.  Byte-exact layout equivalence, no parsing.
+    # warc_wet_extract: the oracle never touches WARC — it rebuilds the
+    # HTML wrap and replays the html_to_text regex chain (the
+    # html_text_extract oracle's, verbatim) straight off documents, so
+    # a drift anywhere in render→parse→text-extract→conversion-frame→
+    # re-parse breaks length or digest.  strlen = BYTE length (the é
+    # and any multi-byte text chars force octet counting).
+    o["warc_wet_extract"] = r"""
+        WITH src AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           '<html><head><style>h1{color:red}</style>'
+                           || '<script>track(1);</script></head>'
+                           || '<body><h1>Doc ' || doc_id || '</h1><p>'
+                           || text || ' &amp; fin é</p></body></html>',
+                           '<script[^>]*>.*?</script>', ' ', 'isg'),
+                         '<style[^>]*>.*?</style>', ' ', 'isg'),
+                       '<[^>]+>', ' ', 'sg'),
+                     '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                     '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+                   '\s+', ' ', 'g')) AS wtext
+          FROM documents WHERE doc_id < 500
+        )
+        SELECT 'conversion' AS warc_type,
+               'http://site' || (doc_id % 50) || '.example/doc/' || doc_id
+                 AS target_uri,
+               '2025-08-' || printf('%02d', (doc_id % 28) + 1)
+                 || 'T00:00:00Z' AS warc_date,
+               strlen(wtext) AS content_length,
+               md5(wtext) AS text_md5
+        FROM src ORDER BY target_uri LIMIT 1000
+    """
+
     o["warc_cdx_index"] = r"""
         WITH src AS (
           SELECT doc_id,

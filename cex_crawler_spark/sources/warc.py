@@ -188,6 +188,34 @@ def render_warc_files_deduped(
     )
 
 
+def render_wet_files(
+    records: DataFrame, file_col: str = "file_id"
+) -> DataFrame:
+    """WET sidecar render — the Common Crawl companion format: each
+    ``response`` record's HTML payload is reduced to visible text
+    (functions/text.html_to_text — the same pure-regex chain the text
+    pipeline uses) and re-framed as a WARC ``conversion`` record with
+    its own byte-accurate ``Content-Length``, grouped back into one
+    blob per file key.
+
+    This is what connects the crawl archive to the training-data
+    pipeline at scale: downstream curation (dedup, quality, packing)
+    reads WET text, never the 10× larger raw HTML.  Everything is
+    Catalyst (the text extraction is regexp expressions, the framing is
+    :func:`warc_record`); non-``response`` records (revisits, requests)
+    carry no convertible payload and are dropped, per the WET
+    convention."""
+    from ..functions.text import html_to_text
+
+    src = records.filter(F.col("warc_type") == "response").select(
+        F.col(file_col).alias("file_id"),
+        F.col("target_uri").alias("uri"),
+        F.col("warc_date").alias("date"),
+        html_to_text(F.col("payload")).alias("payload"),
+    )
+    return render_warc_files(src, warc_type="conversion")
+
+
 WARC_RECORD_SCHEMA = T.StructType(
     [
         T.StructField("file_id", T.LongType()),

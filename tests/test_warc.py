@@ -348,3 +348,49 @@ class TestWarcRoundtrip:
         b2 = _files(spark, list(reversed(rows))).first()["warc"]
         assert b1 == b2  # input order can't leak into the artifact
         assert b1.index("http://a/1") < b1.index("http://a/2")
+
+
+class TestWetExtract:
+    def test_wet_converts_responses_and_drops_revisits(self, spark):
+        """render_wet_files: HTML responses become `conversion` records
+        whose payload is the visible text with its OWN byte-accurate
+        Content-Length; revisit records (no convertible payload) are
+        dropped, per the WET convention."""
+        from cex_crawler_spark.sources.warc import (
+            render_warc_files_deduped,
+            render_wet_files,
+        )
+
+        rows = [
+            (0, "http://a/1", "2025-08-01T00:00:00Z",
+             "<html><script>x()</script><body><p>Hello &amp; bye é</p>"
+             "</body></html>"),
+            (0, "http://a/2", "2025-08-02T00:00:00Z",
+             "<html><body><p>Hello &amp; bye é</p></body></html>"),
+            # byte-identical payload to /1 → revisit under dedup render
+            (0, "http://a/3", "2025-08-03T00:00:00Z",
+             "<html><script>x()</script><body><p>Hello &amp; bye é</p>"
+             "</body></html>"),
+        ]
+        df = spark.createDataFrame(
+            rows, "file_id long, uri string, date string, payload string"
+        )
+        archive = render_warc_files_deduped(df)
+        parsed = parse_warc(archive)
+        types = {r["target_uri"]: r["warc_type"] for r in parsed.collect()}
+        assert types == {
+            "http://a/1": "response",
+            "http://a/2": "response",
+            "http://a/3": "revisit",
+        }
+        wet = {
+            r["target_uri"]: r
+            for r in parse_warc(render_wet_files(parsed)).collect()
+        }
+        # the revisit never reaches the WET sidecar
+        assert set(wet) == {"http://a/1", "http://a/2"}
+        for r in wet.values():
+            assert r["warc_type"] == "conversion"
+            assert r["payload"] == "Hello & bye é"
+            # é is 2 UTF-8 bytes: Content-Length counts octets, not chars
+            assert r["content_length"] == len("Hello & bye é".encode())
