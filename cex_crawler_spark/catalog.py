@@ -106,7 +106,42 @@ class SnapshotCatalog:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*entry["paths"])
+        deletes = entry.get("deletes") or []
+        if not deletes:
+            return reader.parquet(*entry["paths"])
+        # merge-on-read equality deletes (Iceberg v2 analog): a delete
+        # file applies to a data file iff the data file was committed AT
+        # OR BEFORE the delete (file seq <= delete seq) — so a key
+        # re-appended AFTER a delete is alive, exactly like Iceberg
+        # sequence numbers.  Delete seqs are ascending (append order),
+        # so each data file's applicable deletes are a SUFFIX of the
+        # list; files group by the suffix start, one anti-join per
+        # group (the seen-set anti-join shape — delete-key sets are
+        # small and broadcastable, AQE picks BHJ LeftAnti).  Group
+        # count is bounded by delete COMMITS since the last rewrite,
+        # which compaction resets to zero by materializing.
+        import bisect
+
+        key_cols = entry["delete_keys"]
+        paths = entry["paths"]
+        seqs = entry.get("path_seqs") or [0] * len(paths)
+        del_seqs = [d["seq"] for d in deletes]
+        groups: dict[int, list[str]] = {}
+        for p, s in zip(paths, seqs):
+            groups.setdefault(bisect.bisect_left(del_seqs, s), []).append(p)
+        parts = []
+        for i, ps in sorted(groups.items()):
+            df = reader.parquet(*ps)
+            if i < len(deletes):
+                keys = spark.read.parquet(
+                    *[d["path"] for d in deletes[i:]]
+                ).select(*key_cols)
+                df = df.join(keys, on=key_cols, how="left_anti")
+            parts.append(df)
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out
 
     def read_changes(
         self,
@@ -148,6 +183,17 @@ class SnapshotCatalog:
         if entry is None:
             raise KeyError(f"table {table!r} not in catalog @ v{to_version}")
         old = self.manifest(from_version)["tables"].get(table)
+        if (old or {}).get("deletes") != entry.get("deletes"):
+            # a delete in the window is not an append: rows the consumer
+            # already read at from_version have since been deleted, and
+            # a path diff cannot express that — refuse, like Iceberg's
+            # incremental scan on a DELETE snapshot
+            raise IncrementalReadError(
+                f"table {table!r} had rows deleted between "
+                f"v{from_version} and v{to_version}; incremental read is "
+                "only defined over pure-append history — fall back to a "
+                "full read of the newer version"
+            )
         old_paths = set(old["paths"]) if old else set()
         if not old_paths.issubset(entry["paths"]):
             raise IncrementalReadError(
@@ -283,11 +329,24 @@ class SnapshotCatalog:
             for table, (df, mode) in writes.items():
                 path = paths[table]
                 if mode == APPEND and table in tables:
-                    tables[table] = {
-                        "paths": tables[table]["paths"] + [path]
-                    }
+                    # carry delete files / key spec forward, and record
+                    # the new path's sequence number: deletes committed
+                    # EARLIER must not shadow rows appended now
+                    # (merge-on-read, see read()).  Pre-delete-era
+                    # entries have no path_seqs — seq 0 for those paths
+                    # is conservative and correct (every delete applies).
+                    e = dict(tables[table])
+                    prior = e.get("path_seqs") or [0] * len(e["paths"])
+                    e["paths"] = e["paths"] + [path]
+                    e["path_seqs"] = prior + [version]
+                    tables[table] = e
                 else:
-                    tables[table] = {"paths": [path]}
+                    # overwrite rewrites the row set: accumulated
+                    # deletes are materialized into it (read() applied
+                    # them to whatever produced ``df``) and cleared
+                    tables[table] = {
+                        "paths": [path], "path_seqs": [version]
+                    }
             new_manifest = {
                 "version": version,
                 "round": round_id,
@@ -309,6 +368,84 @@ class SnapshotCatalog:
                 return version
             except CommitConflictError:
                 if retry_conflicts > 0 and all_append:
+                    retry_conflicts -= 1
+                    continue
+                raise
+
+    def delete_rows(
+        self,
+        table: str,
+        keys: DataFrame,
+        retry_conflicts: int = 0,
+    ) -> int:
+        """Commit an EQUALITY-DELETE file against ``table`` — the
+        Iceberg v2 merge-on-read analog: rows matching any key in
+        ``keys`` (joined on its column names) disappear from subsequent
+        :meth:`read`\\ s without rewriting a single data file.  At 100 TB
+        a point-delete (GDPR takedown, a poisoned host's pages, a
+        recalled image) must not cost a table rewrite; the delete is one
+        tiny parquet of keys plus a manifest flip.
+
+        Semantics (sequence-aware, like Iceberg): the delete applies to
+        rows in data files committed at or before it — a key re-appended
+        LATER is alive.  Time travel to a pre-delete version still sees
+        the rows.  :meth:`compact` (or any overwrite) materializes
+        accumulated deletes and clears them; :meth:`read_changes`
+        refuses windows spanning a delete.  Key columns are fixed by the
+        first delete against the table (one equality spec per table —
+        mixed specs would need per-file scopes).
+
+        Concurrency matches :meth:`commit`: per-attempt immutable delete
+        file, atomic manifest link, optional bounded retry re-merging
+        against the winner's state (safe — a delete composes with
+        concurrent appends by sequence number).
+        """
+        import uuid
+
+        if not self.has_table(table):
+            raise KeyError(f"table {table!r} not in catalog")
+        key_cols = list(keys.columns)
+        attempt = uuid.uuid4().hex[:8]
+        path = str(
+            self.root / table
+            / f"delete-v{self.current_version() + 1:06d}-{attempt}"
+        )
+        keys.dropDuplicates().write.mode("overwrite").parquet(path)
+        while True:
+            base = self.manifest()
+            version = base["version"] + 1
+            tables = {k: dict(v) for k, v in base["tables"].items()}
+            e = tables.get(table)
+            if e is None:
+                raise KeyError(f"table {table!r} not in catalog")
+            spec = e.get("delete_keys")
+            if spec is not None and list(spec) != key_cols:
+                raise ValueError(
+                    f"table {table!r} already has equality-delete key "
+                    f"spec {spec}; got {key_cols}"
+                )
+            e["deletes"] = (e.get("deletes") or []) + [
+                {"path": path, "seq": version}
+            ]
+            e["delete_keys"] = key_cols
+            new_manifest = {
+                "version": version,
+                "round": base["round"],
+                "tables": tables,
+                # durable properties ride through, same as commit();
+                # bloom stays valid — it is a SUPERSET guarantee and
+                # deleting rows only shrinks the true set
+                **{
+                    k: base[k]
+                    for k in ("stream_batches", "bloom")
+                    if k in base
+                },
+            }
+            try:
+                self._link_manifest(version, new_manifest, attempt)
+                return version
+            except CommitConflictError:
+                if retry_conflicts > 0:
                     retry_conflicts -= 1
                     continue
                 raise
@@ -480,6 +617,7 @@ class SnapshotCatalog:
         for v in range(max(1, current - keep_versions + 1), current + 1):
             for entry in self.manifest(v)["tables"].values():
                 keep.update(entry["paths"])
+                keep.update(d["path"] for d in entry.get("deletes") or [])
         deleted = []
         for table_dir in self.root.iterdir():
             # "_"-prefixed dirs are catalog metadata (manifests, bloom

@@ -292,3 +292,80 @@ def test_read_merge_schema_additive_evolution(spark, cat):
     assert df.filter(F.col("tag").isNull()).count() == 5
     assert {r.id for r in df.filter(F.col("tag") == "new").collect()} == \
         {30, 31}
+
+
+# ------------------------------------------------- equality deletes (r5)
+
+
+def _ids(spark, df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_delete_rows_merge_on_read_and_time_travel(spark, cat):
+    """delete_rows removes matching keys from reads WITHOUT rewriting
+    data files; time travel to a pre-delete version still sees them."""
+    v_before = cat.current_version()
+    paths_before = cat.manifest()["tables"]["log"]["paths"]
+    cat.delete_rows("log", spark.range(2).select("id"))  # ids 0,1 (×2 files)
+    assert cat.manifest()["tables"]["log"]["paths"] == paths_before
+    # log = append of range(2) + range(3): multiset {0,0,1,1,2}
+    assert _ids(spark, cat.read(spark, "log")) == [2]
+    assert _ids(spark, cat.read(spark, "log", version=v_before)) == [
+        0, 0, 1, 1, 2,
+    ]
+
+
+def test_delete_does_not_shadow_later_appends(spark, cat):
+    """Sequence-aware: a key re-appended AFTER the delete is alive
+    (Iceberg v2 sequence-number semantics) — a naive whole-table
+    anti-join would silently swallow the new rows."""
+    cat.delete_rows("log", spark.range(2).select("id"))
+    cat.commit(2, {"log": (spark.range(2), APPEND)})  # re-add 0,1
+    assert _ids(spark, cat.read(spark, "log")) == [0, 1, 2]
+    # a SECOND delete hides the re-added rows again, but not ones
+    # appended after it
+    cat.delete_rows("log", spark.range(1).select("id"))  # id 0
+    cat.commit(3, {"log": (spark.range(1), APPEND)})
+    assert _ids(spark, cat.read(spark, "log")) == [0, 1, 2]
+
+
+def test_compact_materializes_deletes(spark, cat):
+    cat.delete_rows("log", spark.range(2).select("id"))
+    cat.compact(spark, "log", target_file_mb=128)
+    entry = cat.manifest()["tables"]["log"]
+    assert not entry.get("deletes")
+    assert _ids(spark, cat.read(spark, "log")) == [2]
+    # post-materialization appends of deleted keys are alive
+    cat.commit(9, {"log": (spark.range(1), APPEND)})
+    assert _ids(spark, cat.read(spark, "log")) == [0, 2]
+
+
+def test_read_changes_refuses_delete_window(spark, cat):
+    from cex_crawler_spark.catalog import IncrementalReadError
+
+    v0 = cat.current_version()
+    cat.delete_rows("log", spark.range(1).select("id"))
+    with pytest.raises(IncrementalReadError):
+        cat.read_changes(spark, "log", v0)
+    # windows strictly after the delete work again
+    v1 = cat.current_version()
+    cat.commit(2, {"log": (spark.range(4), APPEND)})
+    assert cat.read_changes(spark, "log", v1).count() == 4
+
+
+def test_delete_key_spec_is_fixed_and_vacuum_keeps_delete_files(
+    spark, cat, tmp_path
+):
+    cat.delete_rows("log", spark.range(1).select("id"))
+    with pytest.raises(ValueError):
+        cat.delete_rows(
+            "log", spark.range(1).select(F.col("id").alias("other"))
+        )
+    # churn versions so vacuum has something to drop, then check the
+    # referenced delete file survives and reads still apply it
+    for r in range(3, 6):
+        cat.commit(r, {"t": (spark.range(r), OVERWRITE)})
+    cat.vacuum(keep_versions=2)
+    assert _ids(spark, cat.read(spark, "log")) == [1, 1, 2]
+    with pytest.raises(KeyError):
+        cat.delete_rows("nope", spark.range(1))
