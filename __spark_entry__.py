@@ -355,6 +355,50 @@ def _sim_attempts_sql(n_urls: int = SIM_ATTEMPT_URLS) -> str:
 
 
 # --------------------------------------------------------------------------
+# sim fetch-health fixture: per-attempt latency + outcome over 23 hosts.
+# h03 is SLOW (multi-second latencies → the 3×p95 term dominates), h07
+# ERRORS on even attempts (error_rate ≈ 0.55 > 0.3 → delay doubles),
+# everything else is healthy (~5% background failures, sub-second
+# latency → the 200 ms floor or a modest 3×p95).  All integer
+# arithmetic, SQL-mirrored below.
+# --------------------------------------------------------------------------
+
+SIM_HEALTH_N = 4000
+
+
+def gen_sim_health(spark: SparkSession, n: int = SIM_HEALTH_N) -> DataFrame:
+    sid = F.col("id")
+    hostid = sid % 23
+    slow = hostid == 3
+    latency = (
+        F.lit(50)
+        + (sid * 48271) % 400
+        + F.when(slow, F.lit(2000) + (sid * 69069) % 3000).otherwise(F.lit(0))
+    )
+    ok = ~(((hostid == 7) & (sid % 2 == 0)) | ((sid * 16807) % 20 == 0))
+    return spark.range(n).select(
+        F.format_string("h%02d", hostid.cast("int")).alias("host"),
+        latency.cast("long").alias("latency_ms"),
+        ok.alias("ok"),
+    )
+
+
+def _sim_health_sql(n: int = SIM_HEALTH_N) -> str:
+    return f"""
+      sim_health AS (
+        SELECT printf('h%02d', sid % 23) AS host,
+               CAST(50 + (sid * 48271) % 400
+                    + CASE WHEN sid % 23 = 3
+                           THEN 2000 + (sid * 69069) % 3000
+                           ELSE 0 END AS BIGINT) AS latency_ms,
+               NOT ((sid % 23 = 7 AND sid % 2 = 0)
+                    OR (sid * 16807) % 20 = 0) AS ok
+        FROM (SELECT range AS sid FROM range({n}))
+      )
+    """
+
+
+# --------------------------------------------------------------------------
 # sim trap-frontier fixture: URLs over 8 hosts (varied public suffixes for
 # the registrable-domain rollup) where two hosts are calendar traps — their
 # whole URL mass collapses to one template — and the rest spread over four
@@ -3230,6 +3274,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_backoff_schedule"] = crawl_backoff_schedule
 
+    def crawl_adaptive_delay(spark, sf):
+        """Server-health-adaptive politeness delay per host
+        (operators/recrawl.adaptive_host_delay): delay = clamp(3×p95
+        latency, 200 ms, 60 s), doubled when the host's error rate
+        exceeds 0.3 — the Heritrix delay-factor policy the reference
+        replaces with a FIXED random 1-3 s sleep.  p95 via
+        `percentile_approx` (mergeable GK sketch, map-side partials —
+        exact discrete order statistic below compression), the rest
+        map-combinable aggregates; one narrow shuffle on host."""
+        from cex_crawler_spark.operators.recrawl import adaptive_host_delay
+
+        a = gen_sim_health(spark)
+        return adaptive_host_delay(a).orderBy("host")
+
+    q["crawl_adaptive_delay"] = crawl_adaptive_delay
+
     def robots_sitemap_discovery(spark, sf):
         """Sitemap: directive extraction (functions/robots.py) — the
         discovery edge robots → sitemap fetch → frontier seed; RFC 9309
@@ -5573,6 +5633,34 @@ def oracle_sql() -> dict[str, str]:
                         86400.0) AS BIGINT))
                END AS next_attempt
         FROM k ORDER BY url_hash
+    """
+
+    # crawl_adaptive_delay: percentile_approx is exact below sketch
+    # compression and picks the discrete order statistic → quantile_disc
+    # (the doc_length_quantiles_approx equivalence, verified at 3 SFs);
+    # delay arithmetic is all-integer so the engines agree bit-for-bit.
+    o["crawl_adaptive_delay"] = f"""
+        WITH {_sim_health_sql()},
+        agg AS (
+          SELECT host,
+                 quantile_disc(latency_ms, 0.95) AS p95_latency_ms,
+                 avg(CASE WHEN ok THEN 0.0 ELSE 1.0 END) AS error_rate,
+                 count(*) AS n_attempts
+          FROM sim_health GROUP BY host
+        ),
+        d AS (
+          SELECT *,
+                 least(60000, greatest(200, 3 * p95_latency_ms)) AS base
+          FROM agg
+        )
+        SELECT host,
+               CAST(p95_latency_ms AS BIGINT) AS p95_latency_ms,
+               round(error_rate, 4) AS error_rate,
+               CAST(n_attempts AS BIGINT) AS n_attempts,
+               CAST(least(60000, CASE WHEN error_rate > 0.3
+                                      THEN base * 2 ELSE base END)
+                    AS BIGINT) AS delay_ms
+        FROM d ORDER BY host
     """
 
     # robots_sitemap_discovery: same body construction + (?m) regex.

@@ -196,3 +196,59 @@ def test_age_priorities_starvation_free_and_clamped(spark):
 
     with pytest.raises(ValueError):
         age_priorities(df, current_round=10, age_every=0)
+
+
+def test_adaptive_host_delay_math_and_clamps(spark):
+    """delay = clamp(3×p95, 200 ms, 60 s), doubled past the error
+    threshold and re-clamped — each branch hit by one host."""
+    from cex_crawler_spark.operators.recrawl import adaptive_host_delay
+
+    rows = []
+    # fast: 20 samples of 40 ms, all ok → 3×40=120 < floor → 200
+    rows += [("fast", 40, True)] * 20
+    # slow: p95 of 1..20 (×100 ms) = 1900 → 5700; err 0 → 5700
+    rows += [("slow", i * 100, True) for i in range(1, 21)]
+    # flaky: 10×(300 ms, fail) + 10×(300 ms, ok) → base 900, err 0.5 → 1800
+    rows += [("flaky", 300, i < 10) for i in range(20)]
+    # pathological: latency 50 s → 3×50 s clamps to 60 s; err 1.0 →
+    # doubling re-clamps at 60 s (never exceeds the max)
+    rows += [("broken", 50_000, False)] * 5
+    df = spark.createDataFrame(rows, ["host", "latency_ms", "ok"])
+    got = {r["host"]: r for r in adaptive_host_delay(df).collect()}
+    assert got["fast"]["delay_ms"] == 200
+    assert got["slow"]["p95_latency_ms"] == 1900
+    assert got["slow"]["delay_ms"] == 5700
+    assert got["flaky"]["error_rate"] == 0.5
+    assert got["flaky"]["delay_ms"] == 1800
+    assert got["broken"]["delay_ms"] == 60_000
+    assert got["fast"]["n_attempts"] == 20
+
+
+def test_apply_adaptive_delay_only_slows_never_speeds(spark):
+    """greatest(configured, adaptive): the adaptive signal can raise a
+    host's floor but never lower a configured/robots Crawl-delay one;
+    hosts without attempt history keep their policy row unchanged."""
+    from cex_crawler_spark.operators.recrawl import (
+        adaptive_host_delay,
+        apply_adaptive_delay,
+    )
+
+    policy = spark.createDataFrame(
+        [("a", 1000, 5), ("b", 100, 5), ("c", 700, 2)],
+        ["host", "min_delay_ms", "max_concurrency"],
+    )
+    attempts = spark.createDataFrame(
+        # a: healthy+fast → adaptive 200 < configured 1000 (keeps 1000)
+        # b: slow p95 1000 → adaptive 3000 > configured 100 (slows)
+        # c: no attempts at all (keeps 700)
+        [("a", 50, True)] * 10 + [("b", 1000, True)] * 10,
+        ["host", "latency_ms", "ok"],
+    )
+    out = apply_adaptive_delay(policy, adaptive_host_delay(attempts))
+    got = {r["host"]: r for r in out.collect()}
+    assert got["a"]["min_delay_ms"] == 1000
+    assert got["b"]["min_delay_ms"] == 3000
+    assert got["c"]["min_delay_ms"] == 700
+    # the dim keeps its full shape: other policy columns ride through
+    assert got["b"]["max_concurrency"] == 5
+    assert set(out.columns) == {"host", "min_delay_ms", "max_concurrency"}
