@@ -2935,6 +2935,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_dedup_clusters"] = image_dedup_clusters
 
+    def image_quality_gates(spark, sf):
+        """LAION-style metadata gates (operators/multimodal
+        .image_quality_gates): min short side, aspect ceiling, format
+        allowlist, caption token window (CLIP's 77-token budget) —
+        pure scan-side Catalyst, zero shuffles, drop REASONS logged
+        per row.  Caption window tightened to [3, 8] so both caption
+        gates fire on the fixture's 2-13-token captions."""
+        from cex_crawler_spark.operators.multimodal import (
+            image_quality_gates as gates,
+        )
+
+        imgs = gen_sim_images(spark)
+        out = gates(imgs, min_caption_tokens=3, max_caption_tokens=8)
+        return out.select(
+            "image_id", "w", "h", "fmt", "n_caption_tokens", "keep",
+            F.array_join("reasons", ",").alias("reasons"),
+        ).orderBy("image_id")
+
+    q["image_quality_gates"] = image_quality_gates
+
+    def image_caption_dedup(spark, sf):
+        """Caption-keyed dedup + alt-text-spam screen (operators/
+        multimodal.caption_screen): one canonical image per normalized
+        caption, captions on ≥8 distinct images dropped as boiler
+        alt-text.  Fixture plants 'Stock  Photo image' (double space +
+        case — exercises normalization) on every 5th image and 97
+        small repeat-caption groups on every 7th≡3; group key is
+        xxhash64 of the normalized caption, canonical = min(struct),
+        one narrow shuffle (the dedup_exact shape)."""
+        from cex_crawler_spark.operators.multimodal import caption_screen
+
+        imgs = gen_sim_images(spark)
+        sid = F.substring("image_id", 4, 10).cast("long")
+        planted = imgs.withColumn(
+            "caption",
+            F.when(sid % 5 == 0, F.lit("Stock  Photo image"))
+            .when(sid % 7 == 3, F.format_string("repeat cap %d", sid % 97))
+            .otherwise(F.col("caption")),
+        )
+        return (
+            caption_screen(planted, spam_min_images=8)
+            .select(
+                "image_id", "w", "h", "fmt", "caption",
+                "n_caption_images", "caption_deduped",
+            )
+            .orderBy("image_id")
+        )
+
+    q["image_caption_dedup"] = image_caption_dedup
+
     def link_graph_pagerank(spark, sf):
         """Fixed-iteration PageRank with dangling-mass redistribution
         (operators/linkgraph.py) — the principled frontier-priority
@@ -5211,6 +5261,75 @@ def oracle_sql() -> dict[str, str]:
         SELECT component AS representative,
                CAST(count(*) AS BIGINT) AS n_members
         FROM comp GROUP BY component ORDER BY representative
+    """
+
+    # image_quality_gates: every gate replayed scan-side; the reasons
+    # string is concat_ws over NULL-able pieces in ALPHABETICAL order —
+    # identical to the engine's array_sort + array_join since gate
+    # names are distinct; aspect = one IEEE multiply, no division.
+    o["image_quality_gates"] = f"""
+        WITH {_sim_images_sql()},
+        t AS (
+          SELECT image_id, w, h, fmt,
+                 CAST(CASE WHEN trim(caption) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(caption),
+                                                     '[ \\t\\n\\r]+'))
+                      END AS INTEGER) AS n_caption_tokens
+          FROM sim_images
+        ),
+        r AS (
+          SELECT *,
+                 concat_ws(',',
+                   CASE WHEN fmt NOT IN ('jpeg', 'png', 'webp')
+                        THEN 'bad_format' END,
+                   CASE WHEN n_caption_tokens > 8
+                        THEN 'caption_long' END,
+                   CASE WHEN n_caption_tokens < 3
+                        THEN 'caption_short' END,
+                   CASE WHEN greatest(w, h) > 3.0 * least(w, h)
+                        THEN 'extreme_aspect' END,
+                   CASE WHEN least(w, h) < 64
+                        THEN 'too_small' END) AS reasons
+          FROM t
+        )
+        SELECT image_id, w, h, fmt, n_caption_tokens,
+               reasons = '' AS keep, reasons
+        FROM r ORDER BY image_id
+    """
+
+    # image_caption_dedup: string-keyed replay of the xxhash64-keyed
+    # engine groups (fine absent collisions — the line-scrub precedent);
+    # same planted spam/repeat captions, same normalization chain.
+    o["image_caption_dedup"] = f"""
+        WITH {_sim_images_sql()},
+        planted AS (
+          SELECT image_id, w, h, fmt,
+                 CASE WHEN sid % 5 = 0 THEN 'Stock  Photo image'
+                      WHEN sid % 7 = 3 THEN printf('repeat cap %d', sid % 97)
+                      ELSE caption END AS caption
+          FROM (
+            SELECT *, CAST(substr(image_id, 4) AS BIGINT) AS sid
+            FROM sim_images
+          )
+        ),
+        norm AS (
+          SELECT *,
+                 lower(trim(regexp_replace(caption, '[ \\t\\n\\r]+', ' ',
+                                           'g'))) AS nc
+          FROM planted
+        ),
+        grp AS (
+          SELECT nc, CAST(count(*) AS BIGINT) AS n_caption_images,
+                 min(image_id) AS canon
+          FROM norm GROUP BY nc
+        )
+        SELECT i.image_id, i.w, i.h, i.fmt, i.caption,
+               g.n_caption_images,
+               g.n_caption_images > 1 AS caption_deduped
+        FROM norm i
+        JOIN grp g ON i.nc = g.nc AND i.image_id = g.canon
+        WHERE g.n_caption_images < 8
+        ORDER BY i.image_id
     """
 
     # link_graph_pagerank: the same fixed power iteration unrolled as a

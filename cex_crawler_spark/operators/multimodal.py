@@ -307,3 +307,108 @@ def pack_images(
         partition_by=["ar_bucket"],
     )
     return out.withColumnRenamed("n_tokens", "n_px")
+
+
+def image_quality_gates(
+    images: DataFrame,
+    min_side: int = 64,
+    max_aspect: float = 3.0,
+    allowed_fmts: tuple[str, ...] = ("jpeg", "png", "webp"),
+    min_caption_tokens: int = 2,
+    max_caption_tokens: int = 77,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """LAION-style metadata gates for an image+caption corpus: minimum
+    short side, aspect-ratio ceiling, format allowlist, and a caption
+    token-count window (the CLIP text-encoder budget is 77 tokens —
+    captions past it silently truncate, captions of one token carry no
+    supervision).  Returns ``(id, w, h, fmt, n_caption_tokens, keep,
+    reasons)`` with ``reasons`` the sorted list of failed gates, so the
+    drop LOG is as queryable as the survivors (what a curation run must
+    report at 100 TB).
+
+    Pure scan-side Catalyst — zero shuffles, composes under any
+    downstream groupBy; the aspect test is an integer-cross-product
+    comparison (``max(w,h) > max_aspect·min(w,h)`` — one IEEE multiply,
+    bit-identical across engines, no division).  Token counting splits
+    on an EXPLICIT whitespace class (Java's ``\\s`` is ASCII-only while
+    Python/DuckDB split Unicode — the SimHash parity lesson).
+    """
+    w, h = F.col("w"), F.col("h")
+    n_tok = F.when(F.trim(F.col("caption")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("caption")), "[ \\t\\n\\r]+"))
+    )
+    fails = [
+        ("too_small", F.least(w, h) < min_side),
+        ("extreme_aspect", F.greatest(w, h) > F.lit(max_aspect) * F.least(w, h)),
+        ("bad_format", ~F.col("fmt").isin(*allowed_fmts)),
+        ("caption_short", F.col("n_caption_tokens") < min_caption_tokens),
+        ("caption_long", F.col("n_caption_tokens") > max_caption_tokens),
+    ]
+    out = images.withColumn("n_caption_tokens", n_tok).withColumn(
+        "reasons",
+        F.array_sort(
+            F.flatten(
+                F.array(
+                    *[
+                        F.when(cond, F.array(F.lit(name))).otherwise(
+                            F.array().cast("array<string>")
+                        )
+                        for name, cond in fails
+                    ]
+                )
+            )
+        ),
+    )
+    return out.select(
+        id_col,
+        "w",
+        "h",
+        "fmt",
+        "n_caption_tokens",
+        (F.size("reasons") == 0).alias("keep"),
+        "reasons",
+    )
+
+
+def caption_screen(
+    images: DataFrame,
+    spam_min_images: int = 8,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Caption-keyed dedup + alt-text-spam screen (the text half of
+    LAION curation): captions are normalized (lower, whitespace
+    collapse), then each distinct caption keeps ONE canonical image
+    (min id — a scraped page re-hosting the same captioned image under
+    N URLs is one training pair), and captions shared by ≥
+    ``spam_min_images`` DISTINCT images are dropped entirely — boiler
+    alt-text ("stock photo") attached to unrelated images teaches the
+    model nothing and poisons contrastive batches.
+
+    Returns the survivor rows of ``images`` plus ``(n_caption_images,
+    caption_deduped)``.  Scale shape = ``dedup_exact``: the group key
+    is the 8-byte ``xxhash64`` of the normalized caption (never the
+    string itself — a million-image spam caption is ONE agg key), the
+    canonical pick is a map-combinable ``min(struct(id))``, survivors
+    come back via one hash semi-join on id.  One narrow shuffle total.
+    """
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.col(caption_col), "[ \\t\\n\\r]+", " "))
+    )
+    keyed = images.withColumn("_ckey", F.xxhash64(norm))
+    per_caption = keyed.groupBy("_ckey").agg(
+        F.count("*").alias("n_caption_images"),
+        F.min(F.struct(F.col(id_col))).alias("_canon"),
+    )
+    winners = per_caption.filter(
+        F.col("n_caption_images") < spam_min_images
+    ).select(
+        F.col("_canon")[id_col].alias(id_col),
+        "n_caption_images",
+    )
+    return (
+        keyed.join(winners, id_col, "inner")
+        .withColumn("caption_deduped", F.col("n_caption_images") > 1)
+        .drop("_ckey")
+    )

@@ -157,3 +157,95 @@ class TestAspectPacking:
             F.sum("n_px").alias("px"), F.max("n_px").alias("mx")
         )
         assert stats.filter(F.col("px") >= 1_500_000 + F.col("mx")).count() == 0
+
+
+class TestQualityGates:
+    def _run(self, spark, rows, **kw):
+        from cex_crawler_spark.operators.multimodal import image_quality_gates
+
+        df = spark.createDataFrame(
+            rows, "image_id string, w int, h int, fmt string, caption string"
+        )
+        out = image_quality_gates(df, **kw)
+        return out, {r["image_id"]: r for r in out.collect()}
+
+    def test_each_gate_fires_and_reasons_compose(self, spark):
+        rows = [
+            ("ok", 256, 256, "jpeg", "a red fox jumping"),
+            ("small", 32, 64, "jpeg", "a red fox jumping"),
+            ("wide", 800, 200, "png", "a red fox jumping"),     # 800 > 3*200
+            ("edge", 600, 200, "png", "a red fox jumping"),     # 600 = 3*200 → pass
+            ("gif", 256, 256, "gif", "a red fox jumping"),
+            ("terse", 256, 256, "webp", "photo"),
+            ("empty", 256, 256, "webp", "   "),
+            ("wordy", 256, 256, "jpeg", " ".join(["tok"] * 78)),
+            ("both", 16, 16, "gif", "x"),
+        ]
+        out, got = self._run(spark, rows)
+        assert got["ok"]["keep"] and got["ok"]["reasons"] == []
+        assert got["small"]["reasons"] == ["too_small"]
+        assert got["wide"]["reasons"] == ["extreme_aspect"]
+        assert got["edge"]["keep"]
+        assert got["gif"]["reasons"] == ["bad_format"]
+        assert got["terse"]["reasons"] == ["caption_short"]
+        assert got["terse"]["n_caption_tokens"] == 1
+        assert got["empty"]["n_caption_tokens"] == 0
+        assert got["wordy"]["reasons"] == ["caption_long"]
+        # multi-failure rows report EVERY reason, sorted
+        assert got["both"]["reasons"] == [
+            "bad_format", "caption_short", "too_small",
+        ]
+        # scan-side: zero Exchange in the plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_thresholds_are_parameters(self, spark):
+        rows = [("a", 100, 100, "bmp", "one two three")]
+        _, got = self._run(
+            spark, rows, min_side=100, max_aspect=1.0,
+            allowed_fmts=("bmp",), min_caption_tokens=3,
+            max_caption_tokens=3,
+        )
+        assert got["a"]["keep"]
+
+
+class TestCaptionScreen:
+    def test_spam_dropped_dedup_keeps_canonical(self, spark):
+        from cex_crawler_spark.operators.multimodal import caption_screen
+
+        rows = (
+            # spam: same alt-text on 8 distinct images → all dropped
+            [(f"spam{i:02d}", f"Stock Photo {'' if i % 2 else ' '}image")
+             for i in range(8)]
+            # dup group of 3 with case/whitespace variants → min id kept
+            + [("dupC", "A Red  Fox"), ("dupA", "a red fox"),
+               ("dupB", "A red fox ")]
+            # unique captions ride through untouched
+            + [("solo1", "sunset over water"), ("solo2", "a cat")]
+        )
+        df = spark.createDataFrame(rows, ["image_id", "caption"])
+        out = caption_screen(df, spam_min_images=8)
+        got = {r["image_id"]: r for r in out.collect()}
+        assert not any(k.startswith("spam") for k in got)
+        assert set(got) == {"dupA", "solo1", "solo2"}
+        assert got["dupA"]["n_caption_images"] == 3
+        assert got["dupA"]["caption_deduped"]
+        assert got["solo1"]["n_caption_images"] == 1
+        assert not got["solo1"]["caption_deduped"]
+        # survivor keeps its ORIGINAL caption text, not the normal form
+        assert got["dupA"]["caption"] == "a red fox"
+
+    def test_threshold_boundary(self, spark):
+        from cex_crawler_spark.operators.multimodal import caption_screen
+
+        rows = [(f"i{i}", "seven wide") for i in range(7)] + [
+            ("j", "other cap")
+        ]
+        out = caption_screen(
+            spark.createDataFrame(rows, ["image_id", "caption"]),
+            spam_min_images=8,
+        )
+        got = {r["image_id"]: r for r in out.collect()}
+        # 7 < 8 → NOT spam: canonical survives
+        assert "i0" in got and got["i0"]["n_caption_images"] == 7
+        assert set(got) == {"i0", "j"}
