@@ -2985,6 +2985,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_caption_dedup"] = image_caption_dedup
 
+    def webdataset_shards(spark, sf):
+        """Deterministic-shuffle shard export assignment (operators/
+        packing.assign_shards): every image+caption sample placed in a
+        fixed-count WebDataset-style shard under a reproducible
+        md5(seed:id) global order — chunked row_number decomposition
+        (local rank in 4096 hash-prefix chunks + broadcast count
+        offsets), never a single-task global sort."""
+        from cex_crawler_spark.operators.packing import assign_shards
+
+        imgs = gen_sim_images(spark)
+        return (
+            assign_shards(imgs, "image_id", samples_per_shard=250)
+            .select("image_id", "caption", "shard_id", "idx_in_shard")
+            .orderBy("shard_id", "idx_in_shard")
+        )
+
+    q["webdataset_shards"] = webdataset_shards
+
     def link_graph_pagerank(spark, sf):
         """Fixed-iteration PageRank with dangling-mass redistribution
         (operators/linkgraph.py) — the principled frontier-priority
@@ -5330,6 +5348,25 @@ def oracle_sql() -> dict[str, str]:
         JOIN grp g ON i.nc = g.nc AND i.image_id = g.canon
         WHERE g.n_caption_images < 8
         ORDER BY i.image_id
+    """
+
+    # webdataset_shards: the chunked rank replayed as ONE plain global
+    # row_number over the identical md5 key — md5 is the only reason the
+    # order is re-derivable outside the JVM (the engine docstring's
+    # audit property, exercised here).
+    o["webdataset_shards"] = f"""
+        WITH {_sim_images_sql()},
+        ranked AS (
+          SELECT image_id, caption,
+                 row_number() OVER (
+                   ORDER BY md5('42:' || image_id), image_id
+                 ) - 1 AS rnk
+          FROM sim_images
+        )
+        SELECT image_id, caption,
+               CAST(rnk // 250 AS BIGINT) AS shard_id,
+               CAST(rnk % 250 AS BIGINT) AS idx_in_shard
+        FROM ranked ORDER BY shard_id, idx_in_shard
     """
 
     # link_graph_pagerank: the same fixed power iteration unrolled as a

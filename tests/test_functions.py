@@ -786,3 +786,106 @@ class TestPacking:
         # packs are contiguous: sorted doc ids have non-decreasing packs
         ordered = [p for _, p in sorted(got.items())]
         assert ordered == sorted(ordered)
+
+
+class TestShardAssign:
+    def _df(self, spark, n=1100):
+        return spark.range(n).select(
+            F.format_string("s%06d", F.col("id")).alias("sample_id"),
+            F.col("id").alias("payload"),
+        )
+
+    def test_matches_naive_global_row_number(self, spark):
+        """Chunked rank == one global row_number over the same key."""
+        from pyspark.sql.window import Window
+
+        from cex_crawler_spark.operators.packing import assign_shards
+
+        df = self._df(spark)
+        got = assign_shards(df, "sample_id", samples_per_shard=100)
+        key = F.md5(F.concat(F.lit("42:"), F.col("sample_id")))
+        naive = df.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(key, "sample_id")) - 1,
+        ).select(
+            "sample_id",
+            F.floor(F.col("rnk") / 100).alias("shard_id"),
+            (F.col("rnk") % 100).cast("long").alias("idx_in_shard"),
+        )
+        a = {r["sample_id"]: (r["shard_id"], r["idx_in_shard"])
+             for r in got.collect()}
+        b = {r["sample_id"]: (r["shard_id"], r["idx_in_shard"])
+             for r in naive.collect()}
+        assert a == b
+
+    def test_shard_sizes_and_density(self, spark):
+        from cex_crawler_spark.operators.packing import assign_shards
+
+        out = assign_shards(
+            self._df(spark, 1100), "sample_id", samples_per_shard=250
+        )
+        sizes = {
+            r["shard_id"]: r["n"]
+            for r in out.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+        }
+        # 1100 = 4 full shards of 250 + one 100-sample tail
+        assert sizes == {0: 250, 1: 250, 2: 250, 3: 250, 4: 100}
+        # idx_in_shard is dense 0..size-1 within every shard
+        dense = out.groupBy("shard_id").agg(
+            F.count("*").alias("n"),
+            F.min("idx_in_shard").alias("lo"),
+            F.max("idx_in_shard").alias("hi"),
+            F.count_distinct("idx_in_shard").alias("d"),
+        )
+        for r in dense.collect():
+            assert r["lo"] == 0 and r["hi"] == r["n"] - 1 and r["d"] == r["n"]
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from cex_crawler_spark.operators.packing import assign_shards
+
+        df = self._df(spark, 400)
+        a = sorted(
+            (r["sample_id"], r["shard_id"], r["idx_in_shard"])
+            for r in assign_shards(df, "sample_id", 100).collect()
+        )
+        b = sorted(
+            (r["sample_id"], r["shard_id"], r["idx_in_shard"])
+            for r in assign_shards(df, "sample_id", 100).collect()
+        )
+        assert a == b
+        c = sorted(
+            (r["sample_id"], r["shard_id"], r["idx_in_shard"])
+            for r in assign_shards(df, "sample_id", 100, seed=7).collect()
+        )
+        assert a != c  # a different seed re-shuffles the layout
+        # ...and the shuffle actually decorrelates input order: some
+        # consecutive ids land in different shards
+        by_id = dict((s, sh) for s, sh, _ in a)
+        assert len({by_id[f"s{i:06d}"] for i in range(20)}) > 1
+
+    def test_no_global_data_window(self, spark):
+        """The only unpartitioned window runs over the 4096-row chunk
+        COUNTS, never the data: every Window node over the sample rows
+        must carry a partition spec."""
+        from cex_crawler_spark.operators.packing import assign_shards
+
+        out = assign_shards(self._df(spark), "sample_id", 100)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        import re
+
+        wins = [ln for ln in plan.splitlines() if "Window [" in ln]
+        # exactly one data window + one tiny offsets window
+        assert len(wins) == 2
+        # the data window (the one ranking by __key) is PARTITIONED by
+        # __chunk — windowspecdefinition lists partition cols first
+        data_wins = [w for w in wins if "__key" in w]
+        assert len(data_wins) == 1
+        assert "windowspecdefinition(__chunk" in data_wins[0]
+
+    def test_rejects_bad_shard_size(self, spark):
+        import pytest
+
+        from cex_crawler_spark.operators.packing import assign_shards
+
+        with pytest.raises(ValueError):
+            assign_shards(self._df(spark, 10), "sample_id", 0)
