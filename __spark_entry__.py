@@ -3003,6 +3003,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["webdataset_shards"] = webdataset_shards
 
+    def host_quality_steering(spark, sf):
+        """Content-quality crawl steering (operators/politeness
+        .quality_verdicts): per-host rollup of fetched-page quality →
+        demote verdict for the scheduler's priority column — the
+        CONTENT loop beside the structural trap screen and the health
+        loop (adaptive delay).  Mean quality sums exact micro-quality
+        integers (no float-order dependence); fixture plants junk text
+        on 2/3 of src3+src7's docs so both verdict branches fire."""
+        from cex_crawler_spark.functions.text import quality_score
+        from cex_crawler_spark.operators.politeness import quality_verdicts
+
+        d = _t(spark, sf, "documents")
+        junk = F.col("source").isin("src3", "src7") & (
+            F.col("doc_id").cast("long") % 3 != 0
+        )
+        planted = d.withColumn(
+            "text",
+            F.when(junk, F.lit("!!! ??? ### %% ^^")).otherwise(F.col("text")),
+        )
+        scored = planted.select(
+            F.col("source").alias("host"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+        return quality_verdicts(scored).orderBy("host")
+
+    q["host_quality_steering"] = host_quality_steering
+
     def link_graph_pagerank(spark, sf):
         """Fixed-iteration PageRank with dangling-mass redistribution
         (operators/linkgraph.py) — the principled frontier-priority
@@ -5367,6 +5394,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(rnk // 250 AS BIGINT) AS shard_id,
                CAST(rnk % 250 AS BIGINT) AS idx_in_shard
         FROM ranked ORDER BY shard_id, idx_in_shard
+    """
+
+    # host_quality_steering: the quality formula (already proven
+    # bit-identical in doc_quality) over the same planted junk, then the
+    # micro-quality integer rollup — sums are exact integers, so the one
+    # division per stat is IEEE-identical across engines.
+    o["host_quality_steering"] = f"""
+        WITH planted AS (
+          SELECT source,
+                 CASE WHEN source IN ('src3', 'src7')
+                           AND CAST(doc_id AS BIGINT) % 3 <> 0
+                      THEN '!!! ??? ### %% ^^' ELSE text END AS text
+          FROM documents
+        ),
+        scored AS (
+          SELECT source AS host,
+                 round(
+                   least(({_STOP_RATIO}) * 4, 1.0) * 0.4
+                   + (CASE WHEN ({_MTL}) >= 3 AND ({_MTL}) <= 10
+                           THEN 1.0 ELSE 0.0 END) * 0.3
+                   + greatest(0.0, 1 - ({_PUNCT}) * 5) * 0.2
+                   + least(len({_TOKS}) / 20.0, 1.0) * 0.1,
+                 6) AS quality
+          FROM planted
+        ),
+        agg AS (
+          SELECT host, count(*) AS n_docs,
+                 CAST(sum(CAST(round(quality * 1000000, 0) AS BIGINT))
+                      AS BIGINT) AS sum_qi,
+                 CAST(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_low
+          FROM scored GROUP BY host
+        )
+        SELECT host, n_docs,
+               round(sum_qi / (n_docs * 1000000.0), 4) AS mean_quality,
+               round(n_low / n_docs, 4) AS low_share,
+               n_docs >= 5 AND n_low / n_docs >= 0.6 AS demote
+        FROM agg ORDER BY host
     """
 
     # link_graph_pagerank: the same fixed power iteration unrolled as a

@@ -354,3 +354,47 @@ def schedule_round(
             )
         )
     )
+
+
+def quality_verdicts(
+    docs: DataFrame,
+    host_col: str = "host",
+    quality_col: str = "quality",
+    min_quality: float = 0.5,
+    min_docs: int = 5,
+    demote_share: float = 0.6,
+) -> DataFrame:
+    """Content-quality crawl steering: per-host rollup of fetched-doc
+    quality → a demotion verdict the scheduler feeds back into
+    ``priority`` (via ``traps.demote_trapped`` — same broadcast-map
+    shape).  A host whose fetched pages are mostly junk
+    (``low_share ≥ demote_share`` over ≥ ``min_docs`` docs — never
+    judged on one page) stops consuming politeness budget ahead of
+    productive hosts; it sinks, it is never dropped.  This closes the
+    content loop beside the STRUCTURAL trap screen (URL templates) and
+    the HEALTH loop (adaptive delay): three independent signals, one
+    priority column.
+
+    One map-combinable groupBy on host — the verdict dim is hosts-sized.
+    Cross-engine exactness: quality rides the 1e-6 grid `quality_score`
+    rounds to, so the mean is summed as EXACT integers (micro-quality)
+    and divided once — no float-summation order dependence anywhere.
+    """
+    qi = F.round(F.col(quality_col) * 1_000_000).cast("long")
+    low = (F.col(quality_col) < min_quality).cast("long")
+    agg = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(qi).alias("__sum_qi"),
+        F.sum(low).alias("__n_low"),
+    )
+    mean_q = F.col("__sum_qi") / (F.col("n_docs") * 1_000_000.0)
+    low_share = F.col("__n_low") / F.col("n_docs")
+    return agg.select(
+        "host",
+        "n_docs",
+        F.round(mean_q, 4).alias("mean_quality"),
+        F.round(low_share, 4).alias("low_share"),
+        (
+            (F.col("n_docs") >= min_docs) & (low_share >= demote_share)
+        ).alias("demote"),
+    )

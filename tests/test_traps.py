@@ -64,3 +64,50 @@ def test_registrable_domain_rules(spark):
         ).collect()
     }
     assert got == cases
+
+
+class TestQualitySteering:
+    def _docs(self, spark):
+        rows = (
+            # junk-heavy host: 4/6 docs below 0.5 → low_share 0.667
+            [("junky", 0.2), ("junky", 0.3), ("junky", 0.1),
+             ("junky", 0.45), ("junky", 0.8), ("junky", 0.9)]
+            # good host: all high
+            + [("good", 0.8)] * 6
+            # thin host: 100% junk but only 2 docs → below min_docs
+            + [("thin", 0.1), ("thin", 0.2)]
+            # borderline: exactly 3/5 low = 0.6 → demote at threshold
+            + [("edge", 0.4)] * 3 + [("edge", 0.7)] * 2
+        )
+        return spark.createDataFrame(rows, ["host", "quality"])
+
+    def test_verdicts_thresholds(self, spark):
+        from cex_crawler_spark.operators.politeness import quality_verdicts
+
+        got = {r["host"]: r for r in quality_verdicts(self._docs(spark)).collect()}
+        assert got["junky"]["demote"]
+        assert round(got["junky"]["low_share"], 4) == 0.6667
+        assert not got["good"]["demote"]
+        assert got["good"]["mean_quality"] == 0.8
+        # never judged on a thin sample, however bad
+        assert not got["thin"]["demote"]
+        # ≥ is inclusive at the share threshold
+        assert got["edge"]["demote"]
+        assert got["edge"]["low_share"] == 0.6
+
+    def test_feeds_scheduler_priority(self, spark):
+        """Composition: verdicts → demote_trapped sinks junk-host URLs
+        behind every healthy level, drops nothing."""
+        from cex_crawler_spark.operators.politeness import quality_verdicts
+        from cex_crawler_spark.operators.traps import demote_trapped
+
+        verdicts = quality_verdicts(self._docs(spark))
+        frontier = spark.createDataFrame(
+            [("u1", "junky", 0), ("u2", "good", 0), ("u3", "good", 2)],
+            ["url_id", "host", "priority"],
+        )
+        out = demote_trapped(
+            frontier, verdicts.filter(F.col("demote")), penalty=100
+        )
+        got = {r["url_id"]: r["priority"] for r in out.collect()}
+        assert got == {"u1": 100, "u2": 0, "u3": 2}
