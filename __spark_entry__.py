@@ -3030,6 +3030,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_quality_steering"] = host_quality_steering
 
+    def ip_politeness_groups(spark, sf):
+        """IP-level politeness queues (operators/politeness
+        .ip_queue_policy): virtual hosts behind one IP share ONE
+        queue — group budget = MIN member budget, group delay = MAX;
+        unresolved hosts stay singletons.  Fixture: 60 hosts, the even
+        residues mod 4 collapse onto 10 shared IPs, every 9th host has
+        no DNS answer (NULL ip)."""
+        from cex_crawler_spark.operators.politeness import ip_queue_policy
+
+        sid = F.col("id")
+        policy = spark.range(60).select(
+            F.format_string("h%02d", sid.cast("int")).alias("host"),
+            (2 + sid % 5).cast("int").alias("budget_per_round"),
+            (100 * (1 + sid % 7)).cast("long").alias("min_delay_ms"),
+        )
+        ips = spark.range(60).select(
+            F.format_string("h%02d", sid.cast("int")).alias("host"),
+            F.when(
+                sid % 9 == 0, F.lit(None).cast("string")
+            ).when(
+                sid % 4 < 2, F.format_string("10.0.0.%d", (sid % 10).cast("int"))
+            ).otherwise(
+                F.format_string("10.1.%d.%d", (sid / 7).cast("int"),
+                                (sid % 7).cast("int"))
+            ).alias("ip"),
+        )
+        return (
+            ip_queue_policy(policy, ips)
+            .select(
+                "host", "queue_key", "n_hosts_on_queue",
+                "queue_budget_per_round", "queue_min_delay_ms",
+            )
+            .orderBy("host")
+        )
+
+    q["ip_politeness_groups"] = ip_politeness_groups
+
     def link_graph_pagerank(spark, sf):
         """Fixed-iteration PageRank with dangling-mass redistribution
         (operators/linkgraph.py) — the principled frontier-priority
@@ -5432,6 +5469,35 @@ def oracle_sql() -> dict[str, str]:
                round(n_low / n_docs, 4) AS low_share,
                n_docs >= 5 AND n_low / n_docs >= 0.6 AS demote
         FROM agg ORDER BY host
+    """
+
+    # ip_politeness_groups: the same fixture + conservative group
+    # rollup in plain SQL (integer CASE-derived ips, min/max/count).
+    o["ip_politeness_groups"] = """
+        WITH hosts AS (
+          SELECT printf('h%02d', sid) AS host,
+                 CAST(2 + sid % 5 AS INTEGER) AS budget_per_round,
+                 CAST(100 * (1 + sid % 7) AS BIGINT) AS min_delay_ms,
+                 CASE WHEN sid % 9 = 0 THEN NULL
+                      WHEN sid % 4 < 2 THEN printf('10.0.0.%d', sid % 10)
+                      ELSE printf('10.1.%d.%d', sid // 7, sid % 7)
+                 END AS ip
+          FROM (SELECT range AS sid FROM range(60))
+        ),
+        keyed AS (
+          SELECT *, coalesce(ip, host) AS queue_key FROM hosts
+        ),
+        grp AS (
+          SELECT queue_key,
+                 CAST(count(*) AS BIGINT) AS n_hosts_on_queue,
+                 min(budget_per_round) AS queue_budget_per_round,
+                 max(min_delay_ms) AS queue_min_delay_ms
+          FROM keyed GROUP BY queue_key
+        )
+        SELECT k.host, k.queue_key, g.n_hosts_on_queue,
+               g.queue_budget_per_round, g.queue_min_delay_ms
+        FROM keyed k JOIN grp g USING (queue_key)
+        ORDER BY k.host
     """
 
     # link_graph_pagerank: the same fixed power iteration unrolled as a

@@ -398,3 +398,37 @@ def quality_verdicts(
             (F.col("n_docs") >= min_docs) & (low_share >= demote_share)
         ).alias("demote"),
     )
+
+
+def ip_queue_policy(
+    host_policy: DataFrame,
+    host_ip: DataFrame,
+    budget_col: str = "budget_per_round",
+    delay_col: str = "min_delay_ms",
+) -> DataFrame:
+    """IP-level politeness queue assignment (Heritrix's
+    ``IpAddressSetDecideRule`` / queue-assignment-by-IP): N virtual
+    hosts behind one server must share ONE politeness queue — per-host
+    budgets multiply against a single box otherwise.  Re-keys the
+    policy dim on ``queue_key = coalesce(ip, host)`` (unresolved hosts
+    stay singleton queues) and rolls the group policy CONSERVATIVELY:
+    the shared budget is the group's MIN member budget, the shared
+    delay its MAX — a queue is never more aggressive than its most
+    restrictive member.
+
+    Returns one row per host: ``(host, queue_key, n_hosts_on_queue,
+    queue_budget_per_round, queue_min_delay_ms)`` plus the host's own
+    policy columns.  Dim×dim work (hosts-sized, broadcast class);
+    the scheduler consumes it by ranking on ``queue_key`` instead of
+    ``host`` — `schedule_round` is key-agnostic, so the swap is a
+    column rename at the call site (tested in tests/test_traps.py).
+    """
+    mapped = host_policy.join(
+        F.broadcast(host_ip.select("host", "ip")), "host", "left"
+    ).withColumn("queue_key", F.coalesce(F.col("ip"), F.col("host")))
+    groups = mapped.groupBy("queue_key").agg(
+        F.count("*").alias("n_hosts_on_queue"),
+        F.min(budget_col).alias("queue_budget_per_round"),
+        F.max(delay_col).alias("queue_min_delay_ms"),
+    )
+    return mapped.join(groups, "queue_key").drop("ip")

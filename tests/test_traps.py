@@ -111,3 +111,90 @@ class TestQualitySteering:
         )
         got = {r["url_id"]: r["priority"] for r in out.collect()}
         assert got == {"u1": 100, "u2": 0, "u3": 2}
+
+
+class TestIpQueuePolicy:
+    def test_group_rollup_and_null_singletons(self, spark):
+        from cex_crawler_spark.operators.politeness import ip_queue_policy
+
+        policy = spark.createDataFrame(
+            [("a", 2, 100), ("b", 5, 400), ("c", 3, 200), ("d", 9, 50)],
+            "host string, budget_per_round int, min_delay_ms long",
+        )
+        ips = spark.createDataFrame(
+            [("a", "10.0.0.1"), ("b", "10.0.0.1"), ("c", None)],
+            "host string, ip string",
+        )  # d has no DNS row at all
+        got = {r["host"]: r for r in ip_queue_policy(policy, ips).collect()}
+        # a+b share the 10.0.0.1 queue: min budget, max delay
+        for h in "ab":
+            assert got[h]["queue_key"] == "10.0.0.1"
+            assert got[h]["n_hosts_on_queue"] == 2
+            assert got[h]["queue_budget_per_round"] == 2
+            assert got[h]["queue_min_delay_ms"] == 400
+        # NULL ip and missing row both fall back to singleton host queues
+        for h, b, d in [("c", 3, 200), ("d", 9, 50)]:
+            assert got[h]["queue_key"] == h
+            assert got[h]["n_hosts_on_queue"] == 1
+            assert got[h]["queue_budget_per_round"] == b
+            assert got[h]["queue_min_delay_ms"] == d
+
+    def test_scheduler_enforces_shared_queue_budget(self, spark):
+        """Composition: re-key frontier + policy on queue_key and the
+        scheduler's per-'host' budget binds across the virtual hosts —
+        2 scheduled TOTAL for the shared IP, not 2 per host."""
+        from datetime import datetime
+
+        from cex_crawler_spark.operators.politeness import (
+            ip_queue_policy,
+            schedule_round,
+        )
+
+        policy = spark.createDataFrame(
+            [("va", 2, 0, [], 8), ("vb", 2, 0, [], 8)],
+            "host string, budget_per_round int, min_delay_ms long, "
+            "robots_disallow array<string>, list_page_size int",
+        )
+        ips = spark.createDataFrame(
+            [("va", "10.9.9.9"), ("vb", "10.9.9.9")], "host string, ip string"
+        )
+        qp = ip_queue_policy(policy, ips)
+        # group-level policy dim keyed AS host (scheduler is key-agnostic)
+        gpolicy = (
+            qp.select(
+                F.col("queue_key").alias("host"),
+                F.col("queue_budget_per_round").alias("budget_per_round"),
+                F.col("queue_min_delay_ms").alias("min_delay_ms"),
+            )
+            .distinct()
+            .withColumn("robots_disallow", F.array().cast("array<string>"))
+            .withColumn("list_page_size", F.lit(8))
+        )
+        key = {r["host"]: r["queue_key"] for r in qp.collect()}
+        new = datetime(2025, 9, 1)
+        rows = [
+            (f"https://{h}/p{i}", f"https://{h}/p{i}", hash((h, i)) % 10**9,
+             key[h], "spot", i, 10 * j + i, "t", new, "img", True, None)
+            for j, h in enumerate(["va", "vb"])
+            for i in range(4)
+        ]
+        schema = (
+            "url string, canonical_url string, url_hash long, host string, "
+            "section string, seq long, seed_id long, title string, "
+            "release_time timestamp, image_id string, "
+            "time_known_prefetch boolean, duplicate_of long"
+        )
+        frontier = spark.createDataFrame(rows, schema)
+        out = schedule_round(frontier, gpolicy, "2025-08-15 00:00:00")
+        n_sched = out.filter(F.col("status") == "scheduled").count()
+        assert n_sched == 2  # ONE shared budget across both virtual hosts
+        # control: per-host queues would schedule 2 + 2
+        frontier_h = spark.createDataFrame(rows, schema).withColumn(
+            "host", F.regexp_extract("url", r"https://(v[ab])/", 1)
+        )
+        n_per_host = (
+            schedule_round(frontier_h, policy, "2025-08-15 00:00:00")
+            .filter(F.col("status") == "scheduled")
+            .count()
+        )
+        assert n_per_host == 4
