@@ -3067,6 +3067,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ip_politeness_groups"] = ip_politeness_groups
 
+    def _thinned_documents(spark, sf):
+        # unequal source sizes (factor ~7) so temperature flattening and
+        # the no-replacement cap BOTH have something to do: keep docs
+        # where doc_id % (1 + source_idx % 7) == 0
+        # rank within source (doc_id div 20 — sources are the mod-20
+        # residue classes, so the raw id is CONSTANT mod 20 per source
+        # and thinning on it would empty half the sources)
+        d = _t(spark, sf, "documents")
+        k = F.substring("source", 4, 6).cast("long")
+        seq = F.expr("CAST(doc_id AS BIGINT) div 20")
+        return d.filter(seq % (1 + k % 7) == 0)
+
+    def corpus_temperature_mix(spark, sf):
+        """Temperature (α-)sampling targets per source (operators/
+        allocation.temperature_mix): share ∝ n^0.7 — the XLM-R mixing
+        rule that keeps a dominant source from drowning the tail;
+        weights round onto a 1e-6 grid, then the SAME all-integer
+        largest-remainder apportionment as the crawl budget;
+        target_capped = min(target, n) is the no-replacement bound."""
+        from cex_crawler_spark.operators.allocation import temperature_mix
+
+        return temperature_mix(
+            _thinned_documents(spark, sf), "source", alpha=0.7, total=200
+        ).orderBy("source")
+
+    q["corpus_temperature_mix"] = corpus_temperature_mix
+
+    def corpus_temperature_sample(spark, sf):
+        """Materialized temperature sample (operators/allocation
+        .take_stratified): first target_capped docs per source under
+        the deterministic md5(seed:id) order — unbiased, reproducible,
+        targets broadcast onto the corpus scan."""
+        from cex_crawler_spark.operators.allocation import (
+            take_stratified,
+            temperature_mix,
+        )
+
+        d = _thinned_documents(spark, sf)
+        t = temperature_mix(d, "source", alpha=0.7, total=200)
+        return (
+            take_stratified(d, t, "source", "doc_id")
+            .select("doc_id", "source")
+            .orderBy("source", "doc_id")
+        )
+
+    q["corpus_temperature_sample"] = corpus_temperature_sample
+
     def link_graph_pagerank(spark, sf):
         """Fixed-iteration PageRank with dangling-mass redistribution
         (operators/linkgraph.py) — the principled frontier-priority
@@ -5498,6 +5545,64 @@ def oracle_sql() -> dict[str, str]:
                g.queue_budget_per_round, g.queue_min_delay_ms
         FROM keyed k JOIN grp g USING (queue_key)
         ORDER BY k.host
+    """
+
+    # corpus_temperature_mix / _sample: the same thinning + pow(n,0.7)
+    # weight grid + largest-remainder window replay (the
+    # crawl_budget_allocation oracle pattern) + per-source row_number
+    # over the identical md5 key for the materialized sample.
+    _TEMP_MIX_CTES = """
+        thinned AS (
+          SELECT doc_id, source
+          FROM documents
+          WHERE (CAST(doc_id AS BIGINT) // 20)
+                % (1 + CAST(substr(source, 4) AS BIGINT) % 7) = 0
+        ),
+        w AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(round(pow(count(*), 0.7) * 1000000, 0) AS BIGINT)
+                   AS weight
+          FROM thinned GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM w),
+        q AS (
+          SELECT source, n_docs, weight,
+                 (200 * weight) // W AS base,
+                 (200 * weight) % W AS rem
+          FROM w, tot
+        ),
+        rr AS (SELECT 200 - sum(base) AS r FROM q),
+        rk AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rn
+          FROM q
+        ),
+        alloc AS (
+          SELECT source, n_docs, weight,
+                 CAST(base + CASE WHEN rn <= (SELECT r FROM rr)
+                                  THEN 1 ELSE 0 END AS BIGINT) AS target
+          FROM rk
+        )
+    """
+    o["corpus_temperature_mix"] = f"""
+        WITH {_TEMP_MIX_CTES}
+        SELECT source, n_docs, weight, target,
+               least(target, n_docs) AS target_capped
+        FROM alloc ORDER BY source
+    """
+
+    o["corpus_temperature_sample"] = f"""
+        WITH {_TEMP_MIX_CTES},
+        ranked AS (
+          SELECT t.doc_id, t.source,
+                 row_number() OVER (
+                   PARTITION BY t.source
+                   ORDER BY md5('42:' || t.doc_id), t.doc_id
+                 ) AS rn,
+                 least(a.target, a.n_docs) AS cap
+          FROM thinned t JOIN alloc a USING (source)
+        )
+        SELECT doc_id, source FROM ranked
+        WHERE rn <= cap ORDER BY source, doc_id
     """
 
     # link_graph_pagerank: the same fixed power iteration unrolled as a

@@ -110,3 +110,89 @@ def allocate_budget(
     out = out.localCheckpoint(eager=True)
     q.unpersist()
     return out
+
+
+def temperature_mix(
+    corpus: DataFrame,
+    source_col: str,
+    alpha: float,
+    total: int,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based source resampling targets (the multilingual /
+    multi-source mixing rule, e.g. mBERT/XLM-R α-sampling): a source
+    with n_i documents gets a share ∝ n_i^α — α = 1 keeps natural
+    proportions, α → 0 flattens toward uniform, the standard knob that
+    stops a dominant source (English web) from drowning the tail.
+
+    Returns one row per source: ``(source, n_docs, weight, target,
+    target_capped)`` where targets come from the SAME largest-remainder
+    apportionment as the crawl budget (sum(target) == total exactly)
+    and ``target_capped = min(target, n_docs)`` — the no-replacement
+    bound a selection can actually satisfy (upsampling past a source's
+    mass is the trainer's epoch-repeat job, not the sampler's;
+    sum(target_capped) may undershoot total when a tiny source hits
+    its cap — callers wanting exact totals re-run on the slack).
+
+    n_i^α is the one float op (rounded onto a 1/weight_scale grid
+    before the INTEGER apportionment, the TF-IDF rank-stability
+    discipline); everything after is allocate_budget's all-integer
+    path.  One source-sized aggregate + the dim-sized allocation.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = corpus.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs")
+    )
+    weights = counts.withColumn(
+        "weight",
+        F.round(F.pow(F.col("n_docs"), F.lit(alpha)) * weight_scale)
+        .cast("long"),
+    )
+    alloc = allocate_budget(weights, "source", "weight", total).select(
+        "source", F.col("budget").alias("target")
+    )
+    return (
+        weights.join(alloc, "source")
+        .withColumn(
+            "target_capped", F.least(F.col("target"), F.col("n_docs"))
+        )
+        .select("source", "n_docs", "weight", "target", "target_capped")
+    )
+
+
+def take_stratified(
+    corpus: DataFrame,
+    targets: DataFrame,
+    source_col: str,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize a per-source sample: the first ``target_capped``
+    documents of each source under the deterministic md5(seed:id)
+    order (unbiased w.r.t. any corpus attribute, reproducible for
+    audit).  ``targets`` is :func:`temperature_mix` output (or any
+    (source, target_capped) dim) — broadcast onto the corpus scan.
+
+    The per-source rank is a window PARTITIONED by source — parallelism
+    = n_sources, each task ≤ the largest source; for a corpus whose
+    single largest source outgrows one task, swap in the md5-prefix
+    chunked rank (packing.assign_shards) per source.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    ranked = corpus.withColumn("__key", key).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(source_col).orderBy("__key", id_col)
+        ),
+    )
+    t = targets.select(
+        F.col("source").alias(source_col), "target_capped"
+    )
+    return (
+        ranked.join(F.broadcast(t), source_col)
+        .filter(F.col("__rn") <= F.col("target_capped"))
+        .drop("__key", "__rn", "target_capped")
+    )

@@ -179,3 +179,89 @@ class TestBudgetAllocation:
             for r in allocate_budget(w, "host", "weight", 101).collect()
         }
         assert got["b"] == 0 and sum(got.values()) == 101
+
+
+class TestTemperatureMix:
+    def _corpus(self, spark):
+        # big: 64 docs, mid: 16, tiny: 4 — α-flattening ground truth
+        rows = (
+            [("big", f"b{i}") for i in range(64)]
+            + [("mid", f"m{i}") for i in range(16)]
+            + [("tiny", f"t{i}") for i in range(4)]
+        )
+        return spark.createDataFrame(rows, ["source", "doc_id"])
+
+    def test_alpha_flattens_and_caps(self, spark):
+        from cex_crawler_spark.operators.allocation import temperature_mix
+
+        d = self._corpus(spark)
+        # α = 0.5 (exact sqrt): weights 8:4:2 over total 42
+        got = {
+            r["source"]: r
+            for r in temperature_mix(d, "source", alpha=0.5, total=42).collect()
+        }
+        assert got["big"]["weight"] == 8_000_000
+        assert got["mid"]["weight"] == 4_000_000
+        assert got["tiny"]["weight"] == 2_000_000
+        assert sum(r["target"] for r in got.values()) == 42
+        # exact proportional split: 24 / 12 / 6
+        assert [got[s]["target"] for s in ("big", "mid", "tiny")] == [24, 12, 6]
+        # tiny's 6 > its 4 docs → capped; others uncapped
+        assert got["tiny"]["target_capped"] == 4
+        assert got["big"]["target_capped"] == 24
+        # α = 1 recovers natural proportions exactly (84 docs, total 84)
+        nat = {
+            r["source"]: r["target"]
+            for r in temperature_mix(d, "source", alpha=1.0, total=84).collect()
+        }
+        assert nat == {"big": 64, "mid": 16, "tiny": 4}
+
+    def test_flattening_is_monotone_in_alpha(self, spark):
+        from cex_crawler_spark.operators.allocation import temperature_mix
+
+        d = self._corpus(spark)
+        shares = {}
+        for a in (0.3, 0.7, 1.0):
+            got = {
+                r["source"]: r["target"]
+                for r in temperature_mix(d, "source", alpha=a, total=1000).collect()
+            }
+            shares[a] = got["big"] / 1000
+        # lower α → dominant source's share shrinks toward uniform
+        assert shares[0.3] < shares[0.7] < shares[1.0]
+
+    def test_take_stratified_counts_and_determinism(self, spark):
+        from cex_crawler_spark.operators.allocation import (
+            take_stratified,
+            temperature_mix,
+        )
+
+        d = self._corpus(spark)
+        t = temperature_mix(d, "source", alpha=0.5, total=42)
+        out = take_stratified(d, t, "source", "doc_id")
+        sizes = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert sizes == {"big": 24, "mid": 12, "tiny": 4}
+        # reproducible: identical doc set on re-run
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(
+            r["doc_id"]
+            for r in take_stratified(d, t, "source", "doc_id").collect()
+        )
+        assert a == b
+        # a different seed picks a different subset of the big source
+        c = sorted(
+            r["doc_id"]
+            for r in take_stratified(d, t, "source", "doc_id", seed=7).collect()
+        )
+        assert a != c
+
+    def test_alpha_domain_guard(self, spark):
+        import pytest
+
+        from cex_crawler_spark.operators.allocation import temperature_mix
+
+        with pytest.raises(ValueError):
+            temperature_mix(self._corpus(spark), "source", alpha=0.0, total=10)
