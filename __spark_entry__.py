@@ -3114,6 +3114,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_temperature_sample"] = corpus_temperature_sample
 
+    def frontier_blocklist_screen(spark, sf):
+        """Safety-domain blocklist gate (operators/traps
+        .blocklist_screen): hard pre-politeness drop keyed on the
+        REGISTRABLE domain, so blocking example.co.uk covers
+        news.example.co.uk — one scan-side broadcast map join over the
+        trap-frontier fixture's varied public suffixes."""
+        from cex_crawler_spark.operators.traps import blocklist_screen
+
+        frontier = gen_sim_trap_frontier(spark)
+        bl = spark.createDataFrame(
+            [("example.co.uk", "unsafe_content"), ("baz.net", "takedown"),
+             ("unused.org", "malware")],
+            ["domain", "reason"],
+        )
+        return (
+            blocklist_screen(frontier, bl)
+            .groupBy("site", "blocked", "block_reason")
+            .agg(F.count("*").alias("n_urls"))
+            .orderBy("site")
+        )
+
+    q["frontier_blocklist_screen"] = frontier_blocklist_screen
+
     def link_graph_pagerank(spark, sf):
         """Fixed-iteration PageRank with dangling-mass redistribution
         (operators/linkgraph.py) — the principled frontier-priority
@@ -5603,6 +5626,38 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source FROM ranked
         WHERE rn <= cap ORDER BY source, doc_id
+    """
+
+    # frontier_blocklist_screen: the registrable-domain replay (the
+    # domain_rollup label-array SQL) left-joined against the same
+    # 3-domain blocklist.
+    o["frontier_blocklist_screen"] = f"""
+        WITH {_sim_traps_sql()},
+        lab AS (
+          SELECT host, string_split(lower(host), '.') AS labels FROM sim_traps
+        ),
+        dom AS (
+          SELECT host,
+                 CASE WHEN len(labels) >= 3
+                           AND list_contains([{_sfx}],
+                                             labels[-2] || '.' || labels[-1])
+                      THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                      WHEN len(labels) >= 2
+                      THEN labels[-2] || '.' || labels[-1]
+                      ELSE lower(host) END AS site
+          FROM lab
+        ),
+        bl AS (
+          SELECT * FROM (VALUES ('example.co.uk', 'unsafe_content'),
+                                ('baz.net', 'takedown'),
+                                ('unused.org', 'malware'))
+            AS t(domain, reason)
+        )
+        SELECT d.site, b.domain IS NOT NULL AS blocked,
+               b.reason AS block_reason,
+               count(*) AS n_urls
+        FROM dom d LEFT JOIN bl b ON d.site = b.domain
+        GROUP BY 1, 2, 3 ORDER BY d.site
     """
 
     # link_graph_pagerank: the same fixed power iteration unrolled as a

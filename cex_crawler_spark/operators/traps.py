@@ -126,3 +126,38 @@ def demote_trapped(
         )
         .drop("__trap_host")
     )
+
+
+def blocklist_screen(
+    frontier: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+) -> DataFrame:
+    """Safety/compliance domain blocklist — the screen a production
+    crawl runs BEFORE politeness even looks at a URL (unsafe content,
+    legal takedowns, known malware sites).  Matching is by REGISTRABLE
+    domain (eTLD+1), so blocking ``badsite.com`` covers
+    ``cdn.images.badsite.com`` — subdomain hopping doesn't evade the
+    list.
+
+    ``blocklist``: dim of ``(domain, reason)`` rows (eTLD+1 keys,
+    thousands-to-millions of rows — broadcast class).  Adds
+    ``(site, blocked, block_reason)`` to every frontier row via one
+    scan-side broadcast map join; unlike trap/quality DEMOTION, a
+    blocklist verdict is a hard gate — callers drop or quarantine
+    ``blocked`` rows, they never schedule them.
+    """
+    from ..functions.urlnorm import registrable_domain
+
+    b = blocklist.select(
+        F.lower(F.col("domain")).alias("__bl_domain"),
+        F.col("reason").alias("block_reason"),
+    )
+    keyed = frontier.withColumn("site", registrable_domain(F.col(host_col)))
+    return (
+        keyed.join(
+            F.broadcast(b), keyed["site"] == b["__bl_domain"], "left"
+        )
+        .withColumn("blocked", F.col("__bl_domain").isNotNull())
+        .drop("__bl_domain")
+    )

@@ -198,3 +198,34 @@ class TestIpQueuePolicy:
             .count()
         )
         assert n_per_host == 4
+
+
+class TestBlocklistScreen:
+    def test_subdomains_cannot_evade_and_plan_is_scan_side(self, spark):
+        from cex_crawler_spark.operators.traps import blocklist_screen
+
+        frontier = spark.createDataFrame(
+            [("u1", "badsite.com"), ("u2", "cdn.images.badsite.com"),
+             ("u3", "BADSITE.com"), ("u4", "goodsite.com"),
+             ("u5", "notbadsite.com"), ("u6", "shop.evil.co.uk")],
+            ["url_id", "host"],
+        )
+        bl = spark.createDataFrame(
+            [("badsite.com", "unsafe"), ("evil.co.uk", "takedown")],
+            ["domain", "reason"],
+        )
+        out = blocklist_screen(frontier, bl)
+        got = {r["url_id"]: r for r in out.collect()}
+        # apex, deep subdomain, and case variants all match
+        for u in ("u1", "u2", "u3"):
+            assert got[u]["blocked"] and got[u]["block_reason"] == "unsafe"
+        assert not got["u4"]["blocked"] and got["u4"]["block_reason"] is None
+        # string-contains would flag notbadsite.com — eTLD+1 must not
+        assert not got["u5"]["blocked"]
+        # multi-label public suffix: evil.co.uk blocks shop.evil.co.uk
+        assert got["u6"]["blocked"] and got["u6"]["block_reason"] == "takedown"
+        # every input row survives (gate annotates; caller drops)
+        assert out.count() == 6
+        # broadcast map join, no shuffle of the frontier side
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
