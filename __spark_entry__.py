@@ -3137,6 +3137,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_blocklist_screen"] = frontier_blocklist_screen
 
+    def robots_cache_staleness(spark, sf):
+        """Robots-cache TTL screen (functions/robots.robots_refetch_due,
+        RFC 9309 §2.4): successes age out at 24 h, failed fetches
+        retry hourly; explicit `now` watermark, dim-sized scan-side
+        arithmetic.  Fixture spreads fetch ages 0-36 h with every 5th
+        fetch failed."""
+        from cex_crawler_spark.functions.robots import robots_refetch_due
+
+        sid = F.col("id")
+        base = F.unix_timestamp(F.lit("2025-09-01 12:00:00"))
+        meta = spark.range(120).select(
+            F.format_string("h%03d", sid.cast("int")).alias("host"),
+            F.timestamp_seconds(base - (sid * 1080)).alias("fetched_at"),
+            (sid % 5 != 0).alias("fetch_ok"),
+        )
+        return robots_refetch_due(meta, "2025-09-01 12:00:00").orderBy("host")
+
+    q["robots_cache_staleness"] = robots_cache_staleness
+
     def link_graph_pagerank(spark, sf):
         """Fixed-iteration PageRank with dangling-mass redistribution
         (operators/linkgraph.py) — the principled frontier-priority
@@ -5658,6 +5677,24 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_urls
         FROM dom d LEFT JOIN bl b ON d.site = b.domain
         GROUP BY 1, 2, 3 ORDER BY d.site
+    """
+
+    # robots_cache_staleness: integer-second TTL replay (1080 s steps,
+    # 36 h span; 24 h / 1 h thresholds land mid-step so boundary
+    # semantics are unambiguous).
+    o["robots_cache_staleness"] = """
+        WITH meta AS (
+          SELECT printf('h%03d', sid) AS host,
+                 TIMESTAMP '2025-09-01 12:00:00'
+                   - to_seconds(sid * 1080) AS fetched_at,
+                 sid % 5 <> 0 AS fetch_ok,
+                 CAST(sid * 1080 AS BIGINT) AS age_s
+          FROM (SELECT range AS sid FROM range(120))
+        )
+        SELECT host, fetched_at, fetch_ok, age_s,
+               age_s >= CASE WHEN fetch_ok THEN 86400 ELSE 3600 END
+                 AS refetch_due
+        FROM meta ORDER BY host
     """
 
     # link_graph_pagerank: the same fixed power iteration unrolled as a

@@ -305,3 +305,39 @@ def parse_robots_sitemaps(robots_txt: Column) -> Column:
     return F.array_distinct(
         F.regexp_extract_all(robots_txt, F.lit(_SITEMAP_RX), 1)
     )
+
+
+def robots_refetch_due(
+    robots_meta: DataFrame,
+    now: str,
+    ttl_hours: int = 24,
+    error_ttl_hours: int = 1,
+) -> DataFrame:
+    """Robots-cache staleness (RFC 9309 §2.4: cache at most 24 hours
+    unless the server says otherwise): which hosts' robots.txt must be
+    re-fetched before their URLs are scheduled this round.
+
+    ``robots_meta``: ``(host, fetched_at timestamp, fetch_ok boolean)``
+    — the robots fetch log the catalog keeps beside the policy dim.
+    Failed fetches re-try on the short ``error_ttl_hours`` (a flaky
+    robots server must not freeze a host's rules for a day), successes
+    age out at ``ttl_hours``.  ``now`` is an explicit watermark string
+    — never wall-clock (SURVEY §2.10 determinism).
+
+    Returns ``(host, fetched_at, fetch_ok, age_s, refetch_due)`` —
+    dim-sized scan-side arithmetic; the refetch itself is a handful of
+    URLs prepended to the round's fetch batch, and hosts with a fresh
+    body keep their parsed rules untouched.
+    """
+    now_ts = F.to_timestamp(F.lit(now))
+    age = now_ts.cast("long") - F.col("fetched_at").cast("long")
+    ttl = F.when(
+        F.col("fetch_ok"), F.lit(ttl_hours * 3600)
+    ).otherwise(F.lit(error_ttl_hours * 3600))
+    return robots_meta.select(
+        "host",
+        "fetched_at",
+        "fetch_ok",
+        age.alias("age_s"),
+        (age >= ttl).alias("refetch_due"),
+    )

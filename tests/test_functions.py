@@ -889,3 +889,47 @@ class TestShardAssign:
 
         with pytest.raises(ValueError):
             assign_shards(self._df(spark, 10), "sample_id", 0)
+
+
+class TestRobotsTtl:
+    def test_ttl_boundaries_and_error_fast_retry(self, spark):
+        from datetime import datetime
+
+        from cex_crawler_spark.functions.robots import robots_refetch_due
+
+        now = "2025-09-01 12:00:00"
+
+        def at(hours_ago):
+            return datetime(2025, 9, 1, 12) - __import__(
+                "datetime"
+            ).timedelta(hours=hours_ago)
+
+        meta = spark.createDataFrame(
+            [
+                ("fresh", at(1), True),      # 1 h ok → fresh
+                ("edge", at(24), True),      # exactly 24 h → due (≥)
+                ("old", at(30), True),       # 30 h → due
+                ("err-new", at(0.5), False), # 30 min failed → not yet
+                ("err-edge", at(1), False),  # exactly 1 h failed → due
+                ("err-old", at(2), False),   # 2 h failed → due
+            ],
+            "host string, fetched_at timestamp, fetch_ok boolean",
+        )
+        got = {
+            r["host"]: r for r in robots_refetch_due(meta, now).collect()
+        }
+        assert not got["fresh"]["refetch_due"]
+        assert got["edge"]["refetch_due"]
+        assert got["old"]["refetch_due"]
+        assert not got["err-new"]["refetch_due"]
+        assert got["err-edge"]["refetch_due"]
+        assert got["err-old"]["refetch_due"]
+        assert got["edge"]["age_s"] == 86400
+        # dim-sized scan-side arithmetic: no Exchange
+        plan = (
+            robots_refetch_due(meta, now)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
