@@ -364,6 +364,7 @@ def _sim_attempts_sql(n_urls: int = SIM_ATTEMPT_URLS) -> str:
 # --------------------------------------------------------------------------
 
 SIM_HEALTH_N = 4000
+KMEANS_N = 600
 
 
 def gen_sim_health(spark: SparkSession, n: int = SIM_HEALTH_N) -> DataFrame:
@@ -3156,6 +3157,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_cache_staleness"] = robots_cache_staleness
 
+    def ivf_codebook_refine(spark, sf):
+        """Distributed integer-lattice Lloyd iterations (operators/
+        similarity.kmeans_lattice): full-corpus IVF/PQ codebook
+        refinement — assignment is one scan-side min-struct expression
+        over broadcast-literal centroids, update one map-combinable
+        (cell, dim) shuffle of k·d groups; integer centroids make the
+        whole recurrence exact in doubles, hence SQL-replayable.
+        Fixture: 600 4-dim vectors in 8 planted integer clusters,
+        init = the first 8 vectors."""
+        from cex_crawler_spark.operators.similarity import kmeans_lattice
+
+        dim = 4
+        vecs = spark.range(KMEANS_N).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[
+                (
+                    100 * (((F.col("id") % 8) * 7 + d) % 8)
+                    + (F.col("id") * 48271 + d * 31) % 11
+                ).cast("long")
+                for d in range(dim)
+            ]).alias("vec"),
+        )
+        init = [
+            [100 * (((s % 8) * 7 + d) % 8) + (s * 48271 + d * 31) % 11
+             for d in range(dim)]
+            for s in range(8)
+        ]
+        assigned, cents = kmeans_lattice(vecs, init, iters=3)
+        cent_rows = [
+            (c, d, int(v)) for c, row in enumerate(cents)
+            for d, v in enumerate(row)
+        ]
+        cdf = spark.createDataFrame(cent_rows, "cell int, dim int, value long")
+        counts = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+        return (
+            cdf.join(counts, "cell", "left")
+            .select(
+                F.col("cell").cast("long").alias("cell"),
+                F.coalesce("n_members", F.lit(0)).alias("n_members"),
+                F.col("dim").cast("long").alias("dim"),
+                "value",
+            )
+            .orderBy("cell", "dim")
+        )
+
+    q["ivf_codebook_refine"] = ivf_codebook_refine
+
     def link_graph_pagerank(spark, sf):
         """Fixed-iteration PageRank with dangling-mass redistribution
         (operators/linkgraph.py) — the principled frontier-priority
@@ -5695,6 +5743,77 @@ def oracle_sql() -> dict[str, str]:
                age_s >= CASE WHEN fetch_ok THEN 86400 ELSE 3600 END
                  AS refetch_due
         FROM meta ORDER BY host
+    """
+
+    # ivf_codebook_refine: the Lloyd recurrence unrolled as a CTE chain
+    # (the pagerank-oracle pattern) over EXPLODED dims — distances and
+    # sums are integer-exact, the one division per centroid update is
+    # IEEE-identical, so the final codebook matches bit-for-bit.
+    def _kmeans_sql_chain(iters=3):
+        parts = []
+        prev = "c0"
+        for i in range(1, iters + 1):
+            parts.append(f"""
+        d{i} AS (
+          SELECT v.vid, c.cell,
+                 sum((v.val - c.c) * (v.val - c.c)) AS dist
+          FROM vecs v JOIN {prev} c ON v.dim = c.dim
+          GROUP BY v.vid, c.cell
+        ),
+        a{i} AS (
+          SELECT vid, cell FROM (
+            SELECT vid, cell,
+                   row_number() OVER (PARTITION BY vid
+                                      ORDER BY dist, cell) AS rn
+            FROM d{i}
+          ) WHERE rn = 1
+        ),
+        u{i} AS (
+          SELECT a.cell, v.dim,
+                 CAST(round(CAST(sum(v.val) AS BIGINT) / count(*), 0)
+                      AS BIGINT) AS c
+          FROM a{i} a JOIN vecs v USING (vid)
+          GROUP BY a.cell, v.dim
+        ),
+        c{i} AS (
+          SELECT p.cell, p.dim, coalesce(u.c, p.c) AS c
+          FROM {prev} p LEFT JOIN u{i} u USING (cell, dim)
+        )""")
+            prev = f"c{i}"
+        return ",".join(parts), prev
+
+    _km_chain, _km_final = _kmeans_sql_chain(3)
+    o["ivf_codebook_refine"] = f"""
+        WITH vecs AS (
+          SELECT sid AS vid, dim,
+                 CAST(100 * (((sid % 8) * 7 + dim) % 8)
+                      + (sid * 48271 + dim * 31) % 11 AS BIGINT) AS val
+          FROM (SELECT range AS sid FROM range({KMEANS_N})),
+               (SELECT range AS dim FROM range(4))
+        ),
+        c0 AS (
+          SELECT vid AS cell, dim, val AS c FROM vecs WHERE vid < 8
+        ),
+        {_km_chain},
+        df AS (
+          SELECT v.vid, c.cell,
+                 sum((v.val - c.c) * (v.val - c.c)) AS dist
+          FROM vecs v JOIN {_km_final} c ON v.dim = c.dim
+          GROUP BY v.vid, c.cell
+        ),
+        af AS (
+          SELECT vid, cell FROM (
+            SELECT vid, cell,
+                   row_number() OVER (PARTITION BY vid
+                                      ORDER BY dist, cell) AS rn
+            FROM df
+          ) WHERE rn = 1
+        ),
+        m AS (SELECT cell, count(*) AS n FROM af GROUP BY cell)
+        SELECT c.cell, coalesce(m.n, 0) AS n_members, c.dim,
+               c.c AS value
+        FROM {_km_final} c LEFT JOIN m USING (cell)
+        ORDER BY c.cell, c.dim
     """
 
     # link_graph_pagerank: the same fixed power iteration unrolled as a

@@ -593,3 +593,77 @@ def embedding_near_dup_pairs(
             )
 
     return v.mapInPandas(run, schema=schema)
+
+
+def kmeans_lattice(
+    vectors: DataFrame,
+    init_centroids: list[list[int]],
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+):
+    """Distributed Lloyd iterations on the INTEGER lattice — full-corpus
+    codebook refinement for IVF/PQ: :func:`ivf_cosine_topk` trains its
+    centroids on a bounded driver-side sample (the right call for
+    bootstrap), but a production index refines that codebook against
+    the WHOLE corpus, which no sample reproduces.  Each iteration:
+
+    - assign: ``cell = argmin_j ‖v − c_j‖²`` (ties → lowest j) as ONE
+      scan-side min-struct expression over the k broadcast-literal
+      centroids — no UDF, no join;
+    - update: ``c'_jd = round(mean of members' dim d)`` via a
+      map-combinable per-(cell, dim) sum/count over the exploded dims
+      (the only shuffle, k·d groups), k×d rows back to the driver;
+      empty cells keep their centroid (standard Lloyd degeneracy rule).
+
+    Centroids stay integers by construction (quantized codebooks are
+    the POINT of PQ), which makes every step exact in doubles: integer
+    squared distances, integer sums (order-independent below 2^53),
+    one exact division + half-up round — the whole recurrence replays
+    bit-for-bit in any engine, so the oracle can unroll it in SQL.
+
+    Returns ``(assignments, centroids)``: the final cell per vector and
+    the final k×d integer codebook.  Driver traffic is k·d ints per
+    iteration; corpus work is iters scans + iters tiny shuffles.
+    """
+    cents = [list(map(int, c)) for c in init_centroids]
+    k = len(cents)
+
+    def assign_expr(cs):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    F.array(*[F.lit(float(x)) for x in cj]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for cj in cs
+        ]
+        return F.array_min(
+            F.array(*[F.struct(d.alias("d"), F.lit(j).alias("j"))
+                      for j, d in enumerate(dists)])
+        )["j"]
+
+    for _ in range(iters):
+        assigned = vectors.withColumn("cell", assign_expr(cents))
+        upd = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("dim", "val")
+            )
+            .groupBy("cell", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .withColumn("c", F.round(F.col("s") / F.col("n")).cast("long"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty cells keep old centroid
+        for r in upd:
+            new[r["cell"]][r["dim"]] = int(r["c"])
+        cents = new
+
+    assignments = vectors.withColumn("cell", assign_expr(cents)).select(
+        id_col, "cell"
+    )
+    return assignments, cents

@@ -920,3 +920,74 @@ class TestDecontamination:
             2: (1, 3),  # H3 vs eval0 only (H4 vs eval1)
             5: (2, 1),  # H2 vs eval0, H1 vs eval1
         }
+
+
+class TestKmeansLattice:
+    def _vecs(self, spark, n=240):
+        # 3 well-separated integer clusters on 4 dims + small noise
+        centers = [[0, 0, 0, 0], [1000, 0, 1000, 0], [0, 1000, 0, 1000]]
+        rows = [
+            (i, [centers[i % 3][d] + (i * 7 + d) % 5 for d in range(4)])
+            for i in range(n)
+        ]
+        return rows, spark.createDataFrame(rows, "vec_id long, vec array<long>")
+
+    def test_converges_to_planted_clusters(self, spark):
+        from cex_crawler_spark.operators.similarity import kmeans_lattice
+
+        rows, df = self._vecs(spark)
+        # deliberately poor init: three points from ONE cluster's corner
+        init = [rows[0][1], rows[3][1], rows[6][1]]
+        assigned, cents = kmeans_lattice(df, init, iters=4)
+        # recovered centroids sit within noise range of true centers
+        recovered = sorted(tuple(c) for c in cents)
+        for got, want in zip(
+            recovered,
+            sorted([(0, 0, 0, 0), (1000, 0, 1000, 0), (0, 1000, 0, 1000)]),
+        ):
+            assert all(abs(g - w) <= 4 for g, w in zip(got, want)), (got, want)
+        # assignment is exactly the planted partition
+        got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+        by_cluster = {}
+        for vid, cell in got.items():
+            by_cluster.setdefault(vid % 3, set()).add(cell)
+        assert all(len(cells) == 1 for cells in by_cluster.values())
+        assert len(set().union(*by_cluster.values())) == 3
+
+    def test_matches_numpy_twin_exactly(self, spark):
+        """Integer lattice ⇒ the recurrence is exact: engine == numpy
+        replay bit-for-bit (assignments AND centroids)."""
+        import numpy as np
+
+        from cex_crawler_spark.operators.similarity import kmeans_lattice
+
+        rows, df = self._vecs(spark, n=90)
+        init = [rows[0][1], rows[1][1], rows[2][1]]
+        assigned, cents = kmeans_lattice(df, init, iters=3)
+
+        X = np.array([v for _, v in rows], dtype=np.int64)
+        C = np.array(init, dtype=np.int64)
+        for _ in range(3):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)  # argmin ties → lowest index, same rule
+            for j in range(3):
+                m = X[a == j]
+                if len(m):
+                    # round half-up like Spark/DuckDB round()
+                    C[j] = np.floor(m.mean(axis=0) + 0.5).astype(np.int64)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        assert [list(c) for c in C] == [list(map(int, c)) for c in cents]
+        got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+        assert got == {i: int(a[i]) for i in range(90)}
+
+    def test_empty_cell_keeps_centroid(self, spark):
+        from cex_crawler_spark.operators.similarity import kmeans_lattice
+
+        df = spark.createDataFrame(
+            [(0, [0, 0]), (1, [2, 2])], "vec_id long, vec array<long>"
+        )
+        # third centroid is unreachable → must survive verbatim
+        far = [10**6, 10**6]
+        _, cents = kmeans_lattice(df, [[0, 0], [2, 2], far], iters=2)
+        assert cents[2] == far
