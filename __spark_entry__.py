@@ -3204,6 +3204,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_codebook_refine"] = ivf_codebook_refine
 
+    def image_export_pipeline(spark, sf):
+        """CAPSTONE — crawled payloads to trainer shards in ONE
+        declarative plan: LAION metadata gates → caption spam/dedup
+        screen → pigeonhole phash near-dup pairs → path-halving CC →
+        one representative per cluster → deterministic WebDataset
+        shard assignment.  Every stage the audited scale path
+        (scan-side gates, one caption-hash shuffle, bucketed pairs,
+        O(log d) CC, chunked shard rank)."""
+        from cex_crawler_spark.operators.dedup import (
+            connected_components,
+            hamming_near_dup_candidates,
+        )
+        from cex_crawler_spark.operators.multimodal import (
+            caption_screen,
+            image_quality_gates as gates,
+        )
+        from cex_crawler_spark.operators.packing import assign_shards
+
+        imgs = gen_sim_images(spark)
+        sid = F.substring("image_id", 4, 10).cast("long")
+        planted = imgs.withColumn(
+            "caption",
+            F.when(sid % 5 == 0, F.lit("Stock  Photo image"))
+            .when(sid % 7 == 3, F.format_string("repeat cap %d", sid % 97))
+            .otherwise(F.col("caption")),
+        )
+        kept = planted.join(
+            gates(planted).filter("keep").select("image_id"), "image_id"
+        )
+        screened = caption_screen(kept, spam_min_images=8)
+        pairs = hamming_near_dup_candidates(
+            screened, "phash", "image_id"
+        ).filter(F.col("hamming") <= 3)
+        drop = (
+            connected_components(pairs)
+            .filter(F.col("id") != F.col("component"))
+            .select(F.col("id").alias("image_id"))
+        )
+        survivors = screened.join(drop, "image_id", "left_anti")
+        return (
+            assign_shards(survivors, "image_id", samples_per_shard=100)
+            .select("image_id", "caption", "shard_id", "idx_in_shard")
+            .orderBy("shard_id", "idx_in_shard")
+        )
+
+    q["image_export_pipeline"] = image_export_pipeline
+
     def link_graph_pagerank(spark, sf):
         """Fixed-iteration PageRank with dangling-mass redistribution
         (operators/linkgraph.py) — the principled frontier-priority
@@ -5814,6 +5861,82 @@ def oracle_sql() -> dict[str, str]:
                c.c AS value
         FROM {_km_final} c LEFT JOIN m USING (cell)
         ORDER BY c.cell, c.dim
+    """
+
+    # image_export_pipeline: every stage's independent oracle fragment
+    # composed in one recursive statement — metadata gates (WHERE),
+    # caption screen (string-keyed groups), brute-force Hamming pairs +
+    # recursive-CTE closure over the SCREENED subset, md5 row_number
+    # shard replay.
+    o["image_export_pipeline"] = f"""
+        WITH RECURSIVE {_sim_images_sql()},
+        planted AS (
+          SELECT image_id, w, h, fmt, phash,
+                 CASE WHEN sid % 5 = 0 THEN 'Stock  Photo image'
+                      WHEN sid % 7 = 3 THEN printf('repeat cap %d', sid % 97)
+                      ELSE caption END AS caption
+          FROM (
+            SELECT *, CAST(substr(image_id, 4) AS BIGINT) AS sid
+            FROM sim_images
+          )
+        ),
+        kept AS (
+          SELECT * FROM planted
+          WHERE least(w, h) >= 64
+            AND greatest(w, h) <= 3.0 * least(w, h)
+            AND fmt IN ('jpeg', 'png', 'webp')
+            AND len(regexp_split_to_array(trim(caption), '[ \\t\\n\\r]+'))
+                BETWEEN 2 AND 77
+        ),
+        norm AS (
+          SELECT *,
+                 lower(trim(regexp_replace(caption, '[ \\t\\n\\r]+', ' ',
+                                           'g'))) AS nc
+          FROM kept
+        ),
+        cgrp AS (
+          SELECT nc, count(*) AS n_cap, min(image_id) AS canon
+          FROM norm GROUP BY nc
+        ),
+        screened AS (
+          SELECT i.image_id, i.caption, i.phash
+          FROM norm i JOIN cgrp g ON i.nc = g.nc AND i.image_id = g.canon
+          WHERE g.n_cap < 8
+        ),
+        pairs AS (
+          SELECT a.image_id AS id_a, b.image_id AS id_b
+          FROM screened a JOIN screened b ON a.image_id < b.image_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(root, node) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT root AS id, min(node) AS component FROM reach GROUP BY root
+        ),
+        survivors AS (
+          SELECT s.image_id, s.caption FROM screened s
+          LEFT JOIN comp c ON s.image_id = c.id
+          WHERE c.id IS NULL OR c.component = s.image_id
+        ),
+        ranked AS (
+          SELECT image_id, caption,
+                 row_number() OVER (
+                   ORDER BY md5('42:' || image_id), image_id
+                 ) - 1 AS rnk
+          FROM survivors
+        )
+        SELECT image_id, caption,
+               CAST(rnk // 100 AS BIGINT) AS shard_id,
+               CAST(rnk % 100 AS BIGINT) AS idx_in_shard
+        FROM ranked ORDER BY shard_id, idx_in_shard
     """
 
     # link_graph_pagerank: the same fixed power iteration unrolled as a
