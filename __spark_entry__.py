@@ -462,6 +462,154 @@ def _sim_traps_sql(n: int = SIM_TRAP_N) -> str:
 
 
 # --------------------------------------------------------------------------
+# sim DUST fetch log: (host, url, digest) rows where digest is a pure
+# function of the CONTENT-DETERMINING URL parts, so parameter significance
+# is learnable from the log alone.  Per host:
+#   shop:  page (relevant), sessionid (noise), ref (noise hidden BEHIND the
+#          session id — only learnable on pass 2, after sessionid strips)
+#   news:  lang (constant — no evidence, kept), sort (relevant: conflicts)
+#   cdn:   v (noise, learnable pass 1); every 5th cdn URL has NO query
+# --------------------------------------------------------------------------
+
+SIM_DUST_N = 4000
+
+
+def gen_sim_dust_log(spark: SparkSession, n: int = SIM_DUST_N) -> DataFrame:
+    sid = F.col("id")
+    hostid = sid % 3
+    host = F.element_at(
+        F.array(
+            F.lit("shop.example.com"),
+            F.lit("news.example.org"),
+            F.lit("cdn.example.net"),
+        ),
+        (hostid + 1).cast("int"),
+    )
+    shop_path = F.format_string("/p/%d", sid % 10)
+    news_path = F.format_string("/a/%d", sid % 8)
+    cdn_path = F.format_string("/f/%d", sid % 6)
+    url = (
+        F.when(
+            hostid == 0,
+            F.format_string(
+                "https://shop.example.com/p/%d?page=%d&sessionid=%d&ref=%d",
+                sid % 9,
+                sid % 5,
+                (sid * 48271) % 997,
+                sid % 7,
+            ),
+        )
+        .when(
+            hostid == 1,
+            F.format_string(
+                "https://news.example.org/a/%d?lang=en&sort=%d",
+                sid % 8,
+                F.floor(sid / 3) % 3,
+            ),
+        )
+        .otherwise(
+            F.when(
+                sid % 5 == 0,
+                F.format_string("https://cdn.example.net/f/%d", sid % 7),
+            ).otherwise(
+                F.format_string(
+                    "https://cdn.example.net/f/%d?v=%d", sid % 7, sid % 11
+                )
+            )
+        )
+    )
+    digest = (
+        F.when(hostid == 0, F.md5(F.format_string("shop|/p/%d|%d", sid % 9, sid % 5)))
+        .when(
+            hostid == 1,
+            F.md5(F.format_string("news|/a/%d|%d", sid % 8, F.floor(sid / 3) % 3)),
+        )
+        .otherwise(F.md5(F.format_string("cdn|/f/%d", sid % 7)))
+    )
+    return spark.range(n).select(
+        host.alias("host"), url.alias("url"), digest.alias("digest")
+    )
+
+
+def _sim_dust_sql(n: int = SIM_DUST_N) -> str:
+    return f"""
+      sim_dust AS (
+        SELECT CASE hostid WHEN 0 THEN 'shop.example.com'
+                           WHEN 1 THEN 'news.example.org'
+                           ELSE 'cdn.example.net' END AS host,
+               CASE hostid
+                 WHEN 0 THEN printf(
+                   'https://shop.example.com/p/%d?page=%d&sessionid=%d&ref=%d',
+                   sid % 9, sid % 5, (sid * 48271) % 997, sid % 7)
+                 WHEN 1 THEN printf(
+                   'https://news.example.org/a/%d?lang=en&sort=%d',
+                   sid % 8, (sid // 3) % 3)
+                 ELSE CASE WHEN sid % 5 = 0
+                   THEN printf('https://cdn.example.net/f/%d', sid % 7)
+                   ELSE printf('https://cdn.example.net/f/%d?v=%d',
+                               sid % 7, sid % 11) END
+               END AS url,
+               CASE hostid
+                 WHEN 0 THEN md5(printf('shop|/p/%d|%d', sid % 9, sid % 5))
+                 WHEN 1 THEN md5(printf('news|/a/%d|%d', sid % 8, (sid // 3) % 3))
+                 ELSE md5(printf('cdn|/f/%d', sid % 7))
+               END AS digest
+        FROM (SELECT range AS sid, range % 3 AS hostid FROM range({n}))
+      )
+    """
+
+
+# The param-significance replay as a reusable CTE suffix: groups keyed
+# (host, param, residual) from list ops, then the verdict rollup.
+# ``src`` is the CTE name holding (host, url, digest).
+def _dust_rules_sql(src: str, min_groups: int = 3) -> str:
+    return f"""
+      {src}_parts AS (
+        SELECT host, digest, url,
+               regexp_extract(url, '^([^?]*)', 1) AS base,
+               CASE WHEN regexp_extract(url, '\\?(.*)$', 1) = '' THEN []
+                    ELSE string_split(regexp_extract(url, '\\?(.*)$', 1), '&')
+               END AS params
+        FROM {src}
+      ),
+      {src}_exploded AS (
+        SELECT host, digest, base, params, unnest(params) AS item
+        FROM {src}_parts
+      ),
+      {src}_keyed AS (
+        SELECT host, digest,
+               string_split(item, '=')[1] AS param,
+               coalesce(string_split(item, '=')[2], '') AS value,
+               base || '|' || coalesce(array_to_string(
+                 list_sort(list_filter(params,
+                   x -> string_split(x, '=')[1] <> string_split(item, '=')[1])),
+                 '&'), '') AS residual
+        FROM {src}_exploded
+      ),
+      {src}_groups AS (
+        SELECT host, param, residual,
+               count(DISTINCT value) AS n_values,
+               count(DISTINCT digest) AS n_digests
+        FROM {src}_keyed GROUP BY host, param, residual
+      ),
+      {src}_rules AS (
+        SELECT host, param,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN n_values >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_varied_groups,
+               CAST(sum(CASE WHEN n_values >= 2 AND n_digests >= 2
+                             THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_conflict_groups,
+               (sum(CASE WHEN n_values >= 2 THEN 1 ELSE 0 END)
+                  >= {min_groups}
+                AND sum(CASE WHEN n_values >= 2 AND n_digests >= 2
+                             THEN 1 ELSE 0 END) = 0) AS irrelevant
+        FROM {src}_groups GROUP BY host, param
+      )
+    """
+
+
+# --------------------------------------------------------------------------
 # sim link-graph fixture: 4000 deterministic edges over ≤600 nodes; srcs
 # only cover ids < 500, so ids 500-599 that appear as dst are DANGLING
 # (out-degree 0) — exercising pagerank's dangling-mass redistribution.
@@ -2890,6 +3038,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["crawl_trap_hosts"] = crawl_trap_hosts
+
+    def dust_param_rules(spark, sf):
+        """DUST parameter-significance learning (operators/dust.py):
+        per-(host, param) verdicts from the crawl's own (url, digest)
+        log — varied-residual evidence counting, conflict detection,
+        conservative strip rules; two map-combinable aggregates over
+        narrow exploded-param rows, no UDF, no self-join."""
+        from cex_crawler_spark.operators.dust import param_significance
+
+        log = gen_sim_dust_log(spark)
+        return param_significance(log, min_groups=3).orderBy("host", "param")
+
+    q["dust_param_rules"] = dust_param_rules
+
+    def dust_url_collapse(spark, sf):
+        """Learned-rule URL rewrite (operators/dust.py
+        strip_learned_params): pass-1 rules broadcast back onto the log,
+        scan-side array filter + order canonicalization — distinct-URL
+        collapse per host is the alias mass the frontier stops paying
+        politeness slots for."""
+        from cex_crawler_spark.operators.dust import (
+            param_significance,
+            strip_learned_params,
+        )
+
+        log = gen_sim_dust_log(spark)
+        rules = param_significance(log, min_groups=3)
+        return (
+            strip_learned_params(log, rules)
+            .groupBy("host")
+            .agg(
+                F.countDistinct("url").alias("n_raw_urls"),
+                F.countDistinct("canonical_url").alias("n_canonical_urls"),
+            )
+            .orderBy("host")
+        )
+
+    q["dust_url_collapse"] = dust_url_collapse
 
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
@@ -5472,6 +5658,48 @@ def oracle_sql() -> dict[str, str]:
         WHERE rk = 1 AND host_urls >= 100
           AND round(n_urls / host_urls, 4) > 0.5
         ORDER BY host
+    """
+
+    # dust_param_rules: the significance fold replayed with DuckDB list
+    # lambdas (string_split is 1-indexed; index 2 is NULL when no '=').
+    o["dust_param_rules"] = f"""
+        WITH {_sim_dust_sql()},
+        {_dust_rules_sql("sim_dust")}
+        SELECT host, param, n_groups, n_varied_groups, n_conflict_groups,
+               irrelevant
+        FROM sim_dust_rules ORDER BY host, param
+    """
+
+    # dust_url_collapse: pass-1 rules applied back — kept params sorted,
+    # bare base when the kept list is empty.
+    o["dust_url_collapse"] = f"""
+        WITH {_sim_dust_sql()},
+        {_dust_rules_sql("sim_dust")},
+        strip_rules AS (
+          SELECT host, list(param) AS drop_params
+          FROM sim_dust_rules WHERE irrelevant GROUP BY host
+        ),
+        rewritten AS (
+          SELECT p.host, p.url,
+                 CASE WHEN len(kept) = 0 THEN p.base
+                      ELSE p.base || '?' || array_to_string(kept, '&') END
+                   AS canonical_url
+          FROM (
+            SELECT p.*,
+                   coalesce(list_sort(list_filter(p.params,
+                     x -> NOT list_contains(
+                       coalesce(r.drop_params, CAST([] AS VARCHAR[])),
+                       string_split(x, '=')[1]))),
+                     CAST([] AS VARCHAR[])) AS kept
+            FROM sim_dust_parts p
+            LEFT JOIN strip_rules r ON p.host = r.host
+          ) p
+        )
+        SELECT host,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_raw_urls,
+               CAST(count(DISTINCT canonical_url) AS BIGINT)
+                 AS n_canonical_urls
+        FROM rewritten GROUP BY host ORDER BY host
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label
