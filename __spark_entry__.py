@@ -485,9 +485,6 @@ def gen_sim_dust_log(spark: SparkSession, n: int = SIM_DUST_N) -> DataFrame:
         ),
         (hostid + 1).cast("int"),
     )
-    shop_path = F.format_string("/p/%d", sid % 10)
-    news_path = F.format_string("/a/%d", sid % 8)
-    cdn_path = F.format_string("/f/%d", sid % 6)
     url = (
         F.when(
             hostid == 0,
@@ -555,6 +552,101 @@ def _sim_dust_sql(n: int = SIM_DUST_N) -> str:
                  ELSE md5(printf('cdn|/f/%d', sid % 7))
                END AS digest
         FROM (SELECT range AS sid, range % 3 AS hostid FROM range({n}))
+      )
+    """
+
+
+# --------------------------------------------------------------------------
+# sim mirror-pages fixture: 12 hosts' (host, digest) fetch log.  m00/m01/m02
+# are full mirrors (plus two m01-only pages — containment, not equality),
+# m03 is a 60% partial clone of the same site (below the 90% bar), m04-m11
+# serve unique content, and EVERY host shares one 'blank' boilerplate digest
+# (df 12 — the doc-frequency cap must drop it or everything links).
+# --------------------------------------------------------------------------
+
+SIM_MIRROR_N = 12 * 53
+
+
+def gen_sim_mirror_pages(spark: SparkSession, n: int = SIM_MIRROR_N) -> DataFrame:
+    sid = F.col("id")
+    k = F.floor(sid / 53)
+    j = sid % 53
+    key = (
+        F.when(j == 52, F.lit("blank"))
+        .when(k.isin(0, 1, 2) & (j < 50), F.format_string("doc%d", j))
+        .when((k == 1) & (j >= 50) & (j < 52), F.format_string("own1-%d", j))
+        .when((k == 3) & (j < 30), F.format_string("doc%d", j))
+        .when((k == 3) & (j >= 30) & (j < 50), F.format_string("own3-%d", j))
+        .when((k >= 4) & (j < 40), F.format_string("u%d-%d", k, j))
+    )
+    return (
+        spark.range(n)
+        .select(
+            F.format_string("m%02d", k).alias("host"),
+            F.md5(key).alias("digest"),
+        )
+        .filter(F.col("digest").isNotNull())
+    )
+
+
+def _sim_mirror_sql(n: int = SIM_MIRROR_N) -> str:
+    return f"""
+      sim_mirror AS (
+        SELECT printf('m%02d', k) AS host, md5(key) AS digest
+        FROM (
+          SELECT k, j,
+                 CASE WHEN j = 52 THEN 'blank'
+                      WHEN k IN (0, 1, 2) AND j < 50 THEN printf('doc%d', j)
+                      WHEN k = 1 AND j >= 50 AND j < 52
+                        THEN printf('own1-%d', j)
+                      WHEN k = 3 AND j < 30 THEN printf('doc%d', j)
+                      WHEN k = 3 AND j >= 30 AND j < 50
+                        THEN printf('own3-%d', j)
+                      WHEN k >= 4 AND j < 40 THEN printf('u%d-%d', k, j)
+                 END AS key
+          FROM (SELECT range // 53 AS k, range % 53 AS j FROM range({n}))
+        ) WHERE key IS NOT NULL
+      )
+    """
+
+
+# Mirror-pair replay as a reusable CTE suffix over ``src`` (host, digest):
+# distinct sets → df cap → digest self-join → containment verdict.
+def _mirror_pairs_sql(
+    src: str,
+    min_shared: int = 10,
+    min_containment_pct: int = 90,
+    max_hosts_per_digest: int = 8,
+) -> str:
+    return f"""
+      {src}_hd AS (SELECT DISTINCT host, digest FROM {src}),
+      {src}_ok AS (
+        SELECT digest FROM {src}_hd
+        GROUP BY digest HAVING count(*) <= {max_hosts_per_digest}
+      ),
+      {src}_capped AS (
+        SELECT h.* FROM {src}_hd h JOIN {src}_ok USING (digest)
+      ),
+      {src}_sizes AS (
+        SELECT host, count(*) AS n FROM {src}_capped GROUP BY host
+      ),
+      {src}_shared AS (
+        SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+        FROM {src}_capped a
+        JOIN {src}_capped b ON a.digest = b.digest AND a.host < b.host
+        GROUP BY a.host, b.host
+      ),
+      {src}_pairs AS (
+        SELECT host_a, host_b,
+               CAST(shared AS BIGINT) AS shared,
+               CAST(sa.n AS BIGINT) AS n_a,
+               CAST(sb.n AS BIGINT) AS n_b,
+               (shared >= {min_shared}
+                AND shared * 100 >= {min_containment_pct} * least(sa.n, sb.n))
+                 AS is_mirror
+        FROM {src}_shared p
+        JOIN {src}_sizes sa ON p.host_a = sa.host
+        JOIN {src}_sizes sb ON p.host_b = sb.host
       )
     """
 
@@ -3076,6 +3168,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dust_url_collapse"] = dust_url_collapse
+
+    def mirror_host_pairs(spark, sf):
+        """Mirror-host detection (operators/mirrors.py): digest-set
+        containment between hosts from the fetch log — distinct sets,
+        boilerplate-digest doc-frequency cap (the stop-shingle twin),
+        digest-keyed self-join bounded by cap², integer
+        cross-multiplied containment verdict."""
+        from cex_crawler_spark.operators import mirrors
+
+        pages = gen_sim_mirror_pages(spark)
+        return mirrors.mirror_host_pairs(
+            pages, min_shared=10, min_containment_pct=90,
+            max_hosts_per_digest=8,
+        ).orderBy("host_a", "host_b")
+
+    q["mirror_host_pairs"] = mirror_host_pairs
+
+    def mirror_host_clusters(spark, sf):
+        """Mirror groups → canonical host (operators/mirrors.py): mirror
+        pairs feed the engine's path-halving connected components over
+        host strings; the lexicographic component min is the
+        deterministic canonical host the scheduler keeps at full
+        priority while demoting the aliases."""
+        from cex_crawler_spark.operators import mirrors
+
+        pages = gen_sim_mirror_pages(spark)
+        pairs = mirrors.mirror_host_pairs(
+            pages, min_shared=10, min_containment_pct=90,
+            max_hosts_per_digest=8,
+        )
+        return mirrors.mirror_clusters(pairs).orderBy("host")
+
+    q["mirror_host_clusters"] = mirror_host_clusters
 
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
@@ -5700,6 +5825,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT canonical_url) AS BIGINT)
                  AS n_canonical_urls
         FROM rewritten GROUP BY host ORDER BY host
+    """
+
+    # mirror_host_pairs: the containment fold replayed relationally.
+    o["mirror_host_pairs"] = f"""
+        WITH {_sim_mirror_sql()},
+        {_mirror_pairs_sql("sim_mirror")}
+        SELECT host_a, host_b, shared, n_a, n_b, is_mirror
+        FROM sim_mirror_pairs ORDER BY host_a, host_b
+    """
+
+    # mirror_host_clusters: transitive closure over mirror edges —
+    # component = min reachable host string (UNION dedups, so the walk
+    # terminates despite the undirected cycle).
+    o["mirror_host_clusters"] = f"""
+        WITH RECURSIVE {_sim_mirror_sql()},
+        {_mirror_pairs_sql("sim_mirror")},
+        edges AS (
+          SELECT host_a AS src, host_b AS dst FROM sim_mirror_pairs
+          WHERE is_mirror
+          UNION ALL
+          SELECT host_b, host_a FROM sim_mirror_pairs WHERE is_mirror
+        ),
+        reach(root, node) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT root AS host, min(node) AS canonical_host
+        FROM reach GROUP BY root ORDER BY host
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label
