@@ -3202,6 +3202,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mirror_host_clusters"] = mirror_host_clusters
 
+    def crawl_byte_budget_take(spark, sf):
+        """Bandwidth-aware round sizing (operators/allocation.py
+        take_byte_budget): maximal priority-ordered prefix under a
+        global byte budget — chunked running sum (no global window),
+        contiguous-prefix semantics so priority order is never traded
+        for knapsack fill."""
+        from cex_crawler_spark.operators.allocation import take_byte_budget
+
+        sid = F.col("id")
+        cand = spark.range(4000).select(
+            sid.alias("url_id"),
+            ((sid * 2654435761) % 3).alias("priority"),
+            (500 + (sid * 48271) % 5000).alias("est_bytes"),
+        ).withColumn(
+            "okey", F.col("priority") * 100000 + F.col("url_id")
+        )
+        return (
+            take_byte_budget(
+                cand, "okey", "est_bytes", budget=2_500_000, chunk_width=256
+            )
+            .select("url_id", "priority", "est_bytes", "cum_bytes", "taken")
+            .orderBy("priority", "url_id")
+        )
+
+    q["crawl_byte_budget_take"] = crawl_byte_budget_take
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -5854,6 +5880,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT root AS host, min(node) AS canonical_host
         FROM reach GROUP BY root ORDER BY host
+    """
+
+    # crawl_byte_budget_take: the chunked cumsum replayed as the plain
+    # global window (integer bytes — sums exact; DuckDB sum() → HUGEINT,
+    # cast back to BIGINT).
+    o["crawl_byte_budget_take"] = """
+        WITH cand AS (
+          SELECT sid AS url_id,
+                 (sid * 2654435761) % 3 AS priority,
+                 500 + (sid * 48271) % 5000 AS est_bytes
+          FROM (SELECT range AS sid FROM range(4000))
+        )
+        SELECT url_id, priority, est_bytes,
+               CAST(sum(est_bytes) OVER w AS BIGINT) AS cum_bytes,
+               (sum(est_bytes) OVER w) <= 2500000 AS taken
+        FROM cand
+        WINDOW w AS (ORDER BY priority, url_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY priority, url_id
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

@@ -196,3 +196,42 @@ def take_stratified(
         .filter(F.col("__rn") <= F.col("target_capped"))
         .drop("__key", "__rn", "target_capped")
     )
+
+
+def take_byte_budget(
+    candidates: DataFrame,
+    order_col: str,
+    bytes_col: str,
+    budget: int,
+    chunk_width: int = 8192,
+) -> DataFrame:
+    """Bandwidth-aware round sizing: annotate the maximal PREFIX of the
+    candidate list, in ``order_col`` order, whose cumulative expected
+    bytes fit the round's download budget.
+
+    URL-count budgets (politeness.py budget_per_round) treat a 2 KB
+    robots probe and a 40 MB image page as equal spend; a crawler
+    provisioned in bytes/round takes the priority-ordered prefix whose
+    byte total fits instead.  The cut is a CONTIGUOUS prefix — priority
+    order is sacred, so a cheap low-priority URL never jumps a costly
+    high-priority one (this is deliberately not a knapsack).
+
+    ``order_col``: unique numeric ordering key (e.g. priority composed
+    with url_id).  ``bytes_col``: non-negative expected size — per-host
+    mean content length from the fetch log, with a global-mean fallback
+    for unseen hosts.  Cumulative sums use the chunked decomposition
+    (packing.chunked_running_sum): no global window, parallelism =
+    candidates/chunk_width.
+
+    Returns ``candidates`` + ``cum_bytes`` (running total INCLUDING the
+    row) + ``taken`` (cum_bytes ≤ budget).  For non-negative sizes the
+    taken set is a prefix by monotonicity; the first row that would
+    cross the budget — and everything after it — stays queued for the
+    next round.
+    """
+    from cex_crawler_spark.operators.packing import chunked_running_sum
+
+    summed = chunked_running_sum(
+        candidates, order_col, bytes_col, chunk_width, out_col="cum_bytes"
+    )
+    return summed.withColumn("taken", F.col("cum_bytes") <= F.lit(budget))

@@ -30,6 +30,56 @@ from pyspark.sql.window import Window
 _CHUNK_WIDTH = 8192
 
 
+def chunked_running_sum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    chunk_width: int = _CHUNK_WIDTH,
+    partition_by: list[str] | None = None,
+    out_col: str = "__csum",
+) -> DataFrame:
+    """``df`` + ``out_col`` = running sum of ``val_col`` in ``order_col``
+    order — WITHOUT the global single-task window ``sum() OVER (ORDER BY
+    order_col)`` would cost.
+
+    ``order_col`` must be a unique numeric ordering key; chunks are
+    keyed ``order_col div chunk_width`` (order-aligned by construction —
+    the key need not be dense, empty chunks simply don't exist as
+    groups).  Local cumsum within chunks (parallelism = rows/chunk
+    width) + broadcast per-chunk prefix offsets; the only unpartitioned
+    window runs over the tiny chunk-totals table.  This is the shared
+    spine of sequence packing (below) and the bandwidth-budget prefix
+    take (operators/allocation.py).
+    """
+    part = list(partition_by or [])
+    d = df.withColumn("__chunk", F.floor(F.col(order_col) / F.lit(chunk_width)))
+    local = d.withColumn(
+        out_col,
+        F.sum(val_col).over(
+            Window.partitionBy(*part, "__chunk")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # per-chunk totals derive from the PRE-window frame: hanging them off
+    # `local` duplicates the window subtree in the physical plan
+    # (Catalyst doesn't prune the unused Window).
+    counts = d.groupBy(*part, "__chunk").agg(F.sum(val_col).alias("__cnt"))
+    w_off = (
+        Window.partitionBy(*part).orderBy("__chunk")
+        if part
+        else Window.orderBy("__chunk")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    ).select(*part, "__chunk", "__off")
+    return (
+        local.join(F.broadcast(offsets), [*part, "__chunk"])
+        .withColumn(out_col, F.col(out_col) + F.col("__off"))
+        .drop("__chunk", "__off")
+    )
+
+
 def pack_documents(
     df: DataFrame,
     order_col: str,
@@ -53,44 +103,14 @@ def pack_documents(
     table of groups × corpus/chunk_width rows.
     """
     part = list(partition_by or [])
-    d = df.withColumn("n_tokens", length_col).withColumn(
-        "__chunk", F.floor(F.col(order_col) / F.lit(chunk_width))
+    d = df.withColumn("n_tokens", length_col)
+    summed = chunked_running_sum(
+        d, order_col, "n_tokens", chunk_width, part, out_col="__csum"
     )
-    local = d.withColumn(
-        "__lsum",
-        F.sum("n_tokens").over(
-            Window.partitionBy(*part, "__chunk")
-            .orderBy(order_col)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    # per-chunk totals are corpus/chunk_width rows — the offset window
-    # over them is tiny (same pattern as the per-host rank offsets).
-    # Derived from the PRE-window frame: totals don't need the cumsum,
-    # and hanging them off `local` duplicates the window subtree in the
-    # physical plan (Catalyst doesn't prune the unused Window).
-    counts = d.groupBy(*part, "__chunk").agg(
-        F.sum("n_tokens").alias("__cnt")
-    )
-    w_off = (
-        Window.partitionBy(*part).orderBy("__chunk")
-        if part
-        else Window.orderBy("__chunk")
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
-    ).select(*part, "__chunk", "__off")
-    return (
-        local.join(F.broadcast(offsets), [*part, "__chunk"])
-        .withColumn(
-            "pack_id",
-            F.floor(
-                (F.col("__lsum") + F.col("__off") - F.col("n_tokens"))
-                / F.lit(budget)
-            ),
-        )
-        .drop("__chunk", "__lsum", "__off")
-    )
+    return summed.withColumn(
+        "pack_id",
+        F.floor((F.col("__csum") - F.col("n_tokens")) / F.lit(budget)),
+    ).drop("__csum")
 
 
 def pack_stats(packed: DataFrame) -> DataFrame:

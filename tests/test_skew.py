@@ -265,3 +265,60 @@ class TestTemperatureMix:
 
         with pytest.raises(ValueError):
             temperature_mix(self._corpus(spark), "source", alpha=0.0, total=10)
+
+
+class TestByteBudget:
+    def _cand(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, b) for i, b in enumerate(rows)], "okey long, est_bytes long"
+        )
+
+    def test_matches_naive_global_window(self, spark):
+        """Chunked cumsum prefix == the single-task global-window prefix,
+        across chunk boundaries."""
+        from pyspark.sql.window import Window
+
+        from cex_crawler_spark.operators.allocation import take_byte_budget
+
+        cand = spark.range(500).select(
+            F.col("id").alias("okey"),
+            (100 + (F.col("id") * 48271) % 900).alias("est_bytes"),
+        )
+        got = take_byte_budget(cand, "okey", "est_bytes", 120_000, chunk_width=64)
+        naive = cand.withColumn(
+            "cum_bytes",
+            F.sum("est_bytes").over(
+                Window.orderBy("okey").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).withColumn("taken", F.col("cum_bytes") <= 120_000)
+        assert sorted(map(tuple, got.select("okey", "cum_bytes", "taken").collect())) == sorted(
+            map(tuple, naive.select("okey", "cum_bytes", "taken").collect())
+        )
+        taken = got.filter("taken").count()
+        assert 0 < taken < 500
+
+    def test_prefix_contiguous_and_boundary_excluded(self, spark):
+        """The row that would cross the budget is excluded, along with
+        everything after it — even zero-byte rows (the cumsum already
+        contains the boundary row's bytes)."""
+        from cex_crawler_spark.operators.allocation import take_byte_budget
+
+        cand = self._cand(spark, [400, 400, 300, 0, 10])
+        got = {
+            r["okey"]: r["taken"]
+            for r in take_byte_budget(cand, "okey", "est_bytes", 1000, chunk_width=2).collect()
+        }
+        assert got == {0: True, 1: True, 2: False, 3: False, 4: False}
+
+    def test_degenerate_budgets(self, spark):
+        from cex_crawler_spark.operators.allocation import take_byte_budget
+
+        cand = self._cand(spark, [400, 400, 300])
+        assert (
+            take_byte_budget(cand, "okey", "est_bytes", 1_000_000).filter("taken").count()
+            == 3
+        )
+        assert (
+            take_byte_budget(cand, "okey", "est_bytes", 399).filter("taken").count()
+            == 0
+        )
