@@ -610,6 +610,60 @@ def _sim_mirror_sql(n: int = SIM_MIRROR_N) -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# sim alias fixture for the collapse capstone: two mirror hosts serve the
+# same 40 pages (digest shared), a third serves 50 unique pages; EVERY url
+# carries a session-id param, so each page appears under ~25 raw aliases.
+# The true fetch set is 40 + 50 URLs hiding in 3000 raw frontier rows.
+# --------------------------------------------------------------------------
+
+SIM_ALIAS_N = 3000
+
+
+def gen_sim_alias_log(spark: SparkSession, n: int = SIM_ALIAS_N) -> DataFrame:
+    sid = F.col("id")
+    hostid = sid % 3
+    host = F.element_at(
+        F.array(
+            F.lit("w0.site.com"), F.lit("w1.site.com"), F.lit("unique.org")
+        ),
+        (hostid + 1).cast("int"),
+    )
+    pid = F.when(hostid < 2, F.floor(sid / 3) % 40).otherwise(
+        F.floor(sid / 3) % 50
+    )
+    url = F.format_string(
+        "https://%s/p/%d?sid=%d", host, pid, (sid * 48271) % 997
+    )
+    digest = F.when(hostid < 2, F.md5(F.format_string("page%d", pid))).otherwise(
+        F.md5(F.format_string("u%d", pid))
+    )
+    return spark.range(n).select(
+        host.alias("host"), url.alias("url"), digest.alias("digest")
+    )
+
+
+def _sim_alias_sql(n: int = SIM_ALIAS_N) -> str:
+    return f"""
+      sim_alias AS (
+        SELECT host,
+               printf('https://%s/p/%d?sid=%d', host, pid,
+                      (sid * 48271) % 997) AS url,
+               CASE WHEN hostid < 2 THEN md5(printf('page%d', pid))
+                    ELSE md5(printf('u%d', pid)) END AS digest
+        FROM (
+          SELECT sid, hostid,
+                 CASE hostid WHEN 0 THEN 'w0.site.com'
+                             WHEN 1 THEN 'w1.site.com'
+                             ELSE 'unique.org' END AS host,
+                 CASE WHEN hostid < 2 THEN (sid // 3) % 40
+                      ELSE (sid // 3) % 50 END AS pid
+          FROM (SELECT range AS sid, range % 3 AS hostid FROM range({n}))
+        )
+      )
+    """
+
+
 # Mirror-pair replay as a reusable CTE suffix over ``src`` (host, digest):
 # distinct sets → df cap → digest self-join → containment verdict.
 def _mirror_pairs_sql(
@@ -3227,6 +3281,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["crawl_byte_budget_take"] = crawl_byte_budget_take
+
+    def frontier_alias_collapse(spark, sf):
+        """Alias-collapse capstone: learned DUST param rules strip the
+        session-id noise, mirror detection over the de-noised (host,
+        digest) log folds the clone hosts, and the frontier rewrites to
+        (canonical host × canonical URL) — 3000 raw frontier rows
+        collapse to the 90 truly distinct pages.  Every stage is the
+        audited scale path (broadcast rules, df-capped digest join,
+        path-halving CC)."""
+        from cex_crawler_spark.operators import mirrors
+        from cex_crawler_spark.operators.dust import (
+            param_significance,
+            strip_learned_params,
+        )
+
+        log = gen_sim_alias_log(spark)
+        rules = param_significance(log, min_groups=3)
+        stripped = strip_learned_params(log, rules)
+        pairs = mirrors.mirror_host_pairs(
+            stripped, min_shared=10, min_containment_pct=90,
+            max_hosts_per_digest=8,
+        )
+        clusters = mirrors.mirror_clusters(pairs).withColumnRenamed(
+            "host", "__chost"
+        )
+        final = (
+            stripped.join(
+                F.broadcast(clusters),
+                stripped["host"] == F.col("__chost"),
+                "left",
+            )
+            .withColumn(
+                "final_host", F.coalesce(F.col("canonical_host"), F.col("host"))
+            )
+            .withColumn(
+                "final_url",
+                F.concat(
+                    F.lit("https://"),
+                    F.col("final_host"),
+                    F.regexp_replace(
+                        F.col("canonical_url"), "^https://[^/]*", ""
+                    ),
+                ),
+            )
+        )
+        return (
+            final.groupBy("final_host")
+            .agg(
+                F.countDistinct("url").alias("n_raw_urls"),
+                F.countDistinct("final_url").alias("n_final_urls"),
+            )
+            .orderBy("final_host")
+        )
+
+    q["frontier_alias_collapse"] = frontier_alias_collapse
 
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
@@ -5899,6 +6008,61 @@ def oracle_sql() -> dict[str, str]:
         WINDOW w AS (ORDER BY priority, url_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY priority, url_id
+    """
+
+    # frontier_alias_collapse: the full composition — DUST rule learning
+    # + strip, mirror containment + transitive closure, host rewrite —
+    # in one recursive statement over the same building-block CTEs.
+    o["frontier_alias_collapse"] = f"""
+        WITH RECURSIVE {_sim_alias_sql()},
+        {_dust_rules_sql("sim_alias")},
+        strip_rules AS (
+          SELECT host, list(param) AS drop_params
+          FROM sim_alias_rules WHERE irrelevant GROUP BY host
+        ),
+        rewritten AS (
+          SELECT p.host, p.digest, p.url,
+                 CASE WHEN len(kept) = 0 THEN p.base
+                      ELSE p.base || '?' || array_to_string(kept, '&') END
+                   AS canonical_url
+          FROM (
+            SELECT p.*,
+                   coalesce(list_sort(list_filter(p.params,
+                     x -> NOT list_contains(
+                       coalesce(r.drop_params, CAST([] AS VARCHAR[])),
+                       string_split(x, '=')[1]))),
+                     CAST([] AS VARCHAR[])) AS kept
+            FROM sim_alias_parts p
+            LEFT JOIN strip_rules r ON p.host = r.host
+          ) p
+        ),
+        mir AS (SELECT host, digest FROM rewritten),
+        {_mirror_pairs_sql("mir")},
+        edges AS (
+          SELECT host_a AS src, host_b AS dst FROM mir_pairs WHERE is_mirror
+          UNION ALL
+          SELECT host_b, host_a FROM mir_pairs WHERE is_mirror
+        ),
+        reach(root, node) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT root AS host, min(node) AS canonical_host
+          FROM reach GROUP BY root
+        ),
+        final AS (
+          SELECT coalesce(c.canonical_host, w.host) AS final_host, w.url,
+                 'https://' || coalesce(c.canonical_host, w.host)
+                   || regexp_replace(w.canonical_url, '^https://[^/]*', '')
+                   AS final_url
+          FROM rewritten w LEFT JOIN comp c ON w.host = c.host
+        )
+        SELECT final_host,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_raw_urls,
+               CAST(count(DISTINCT final_url) AS BIGINT) AS n_final_urls
+        FROM final GROUP BY final_host ORDER BY final_host
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label
