@@ -3337,6 +3337,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_alias_collapse"] = frontier_alias_collapse
 
+    def frontier_frontcode(spark, sf):
+        """Front-coded seen-set storage (operators/frontcode.py): SURT
+        keys blocked by fixed key prefix, every key stored as
+        (lcp-vs-block-header, suffix) — header-relative so decode is
+        scan-side with no intra-block recurrence; per-block exact
+        integer storage accounting."""
+        from cex_crawler_spark.operators.frontcode import (
+            frontcode_stats,
+            frontcode_urls,
+        )
+
+        f = gen_sim_trap_frontier(spark)
+        coded, headers = frontcode_urls(f, block_prefix_len=12)
+        return frontcode_stats(coded, headers).orderBy("block")
+
+    q["frontier_frontcode"] = frontier_frontcode
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -6063,6 +6080,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT url) AS BIGINT) AS n_raw_urls,
                CAST(count(DISTINCT final_url) AS BIGINT) AS n_final_urls
         FROM final GROUP BY final_host ORDER BY final_host
+    """
+
+    # frontier_frontcode: LCP replayed relationally (position explode →
+    # first mismatch), SURT key replay as in warc_cdx_index; raw bytes
+    # derive from the ORIGINAL key so the identity lcp+len(suffix)==
+    # len(key) is checked by construction, not assumed.
+    o["frontier_frontcode"] = f"""
+        WITH {_sim_traps_sql()},
+        keys AS (
+          SELECT DISTINCT array_to_string(list_reverse(string_split(
+                   regexp_extract(url, '^[a-z]+://([^/]+)', 1), '.')), ',')
+                 || ')' || regexp_extract(url, '^[a-z]+://[^/]*(/.*)$', 1)
+                   AS urlkey
+          FROM sim_traps
+        ),
+        blocks AS (SELECT substr(urlkey, 1, 12) AS block, urlkey FROM keys),
+        headers AS (
+          SELECT block, min(urlkey) AS header FROM blocks GROUP BY block
+        ),
+        j AS (
+          SELECT b.block, b.urlkey, h.header,
+                 least(length(b.urlkey), length(h.header)) AS n
+          FROM blocks b JOIN headers h USING (block)
+        ),
+        pos AS (
+          SELECT block, urlkey, header,
+                 unnest(range(1, n + 1)) AS i
+          FROM j
+        ),
+        mism AS (
+          SELECT block, urlkey, min(i) - 1 AS fm
+          FROM pos
+          WHERE substr(urlkey, CAST(i AS INTEGER), 1)
+                  <> substr(header, CAST(i AS INTEGER), 1)
+          GROUP BY block, urlkey
+        ),
+        lcp AS (
+          SELECT j.block, j.urlkey, j.header, coalesce(m.fm, j.n) AS lcp
+          FROM j LEFT JOIN mism m
+            ON j.block = m.block AND j.urlkey = m.urlkey
+        )
+        SELECT block,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(sum(length(urlkey)) AS BIGINT) AS raw_bytes,
+               CAST(sum(length(urlkey) - lcp + 2) + min(length(header))
+                    AS BIGINT) AS coded_bytes
+        FROM lcp GROUP BY block ORDER BY block
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label
