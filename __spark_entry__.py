@@ -3354,6 +3354,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_frontcode"] = frontier_frontcode
 
+    def recrawl_round_plan(spark, sf):
+        """Freshness-round capstone: Cho–Garcia-Molina change-rate
+        priorities (operators/recrawl.py) → starvation-free priority
+        aging (operators/politeness.py age_priorities) → bandwidth-
+        budget prefix take (operators/allocation.py) — the round plan a
+        freshness-aware, byte-provisioned recrawler actually executes;
+        every stage scan-side or chunked, no global window."""
+        from cex_crawler_spark.operators.allocation import take_byte_budget
+        from cex_crawler_spark.operators.politeness import age_priorities
+        from cex_crawler_spark.operators.recrawl import change_rate_priorities
+
+        hist = gen_sim_fetch_history(spark)
+        scored = change_rate_priorities(hist).withColumn(
+            "__sid", F.substring("url_id", 4, 8).cast("long")
+        )
+        d = scored.withColumn(
+            "priority", F.col("recrawl_priority")
+        ).withColumn("enqueued_round", (F.col("__sid") * 40503) % 7)
+        aged = age_priorities(d, current_round=6, age_every=2)
+        cand = aged.withColumn(
+            "est_bytes", 500 + (F.col("__sid") * 48271) % 4000
+        ).withColumn("okey", F.col("priority") * 100000 + F.col("__sid"))
+        return (
+            take_byte_budget(
+                cand, "okey", "est_bytes", budget=1_500_000, chunk_width=256
+            )
+            .select(
+                "url_id",
+                (F.round("p_stale", 4) + 0.0).alias("p_stale"),
+                "recrawl_priority",
+                "priority",
+                "est_bytes",
+                "cum_bytes",
+                "taken",
+            )
+            .orderBy("priority", "url_id")
+        )
+
+    q["recrawl_round_plan"] = recrawl_round_plan
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -6127,6 +6167,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(length(urlkey) - lcp + 2) + min(length(header))
                     AS BIGINT) AS coded_bytes
         FROM lcp GROUP BY block ORDER BY block
+    """
+
+    # recrawl_round_plan: CGM staleness + integer aging + window cumsum
+    # — the raw-float ladder compares (p_stale > 0.8/0.4) already proved
+    # cross-engine stable in recrawl_schedule; aging and bytes are all
+    # integer arithmetic.
+    o["recrawl_round_plan"] = f"""
+        WITH {_sim_history_sql()},
+        scored AS (
+          SELECT url_id,
+                 CAST(substr(url_id, 4, 8) AS BIGINT) AS sid,
+                 1 - exp(-(-ln((n_visits - n_changed + 0.5)
+                              / (n_visits + 0.5)) / interval_days)
+                         * age_days) AS p_stale
+          FROM sim_history
+        ),
+        ladder AS (
+          SELECT url_id, sid, p_stale,
+                 CAST(CASE WHEN p_stale > 0.8 THEN 0
+                           WHEN p_stale > 0.4 THEN 1
+                           ELSE 2 END AS BIGINT) AS recrawl_priority
+          FROM scored
+        ),
+        aged AS (
+          SELECT *,
+                 greatest(0, recrawl_priority
+                   - (greatest(0, 6 - (sid * 40503) % 7) // 2))
+                   AS priority,
+                 500 + (sid * 48271) % 4000 AS est_bytes
+          FROM ladder
+        ),
+        summed AS (
+          SELECT url_id, p_stale, recrawl_priority, priority, est_bytes,
+                 sum(est_bytes) OVER (
+                   ORDER BY priority * 100000 + sid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_bytes
+          FROM aged
+        )
+        SELECT url_id,
+               round(p_stale, 4) + 0.0 AS p_stale,
+               recrawl_priority,
+               CAST(priority AS BIGINT) AS priority,
+               CAST(est_bytes AS BIGINT) AS est_bytes,
+               CAST(cum_bytes AS BIGINT) AS cum_bytes,
+               cum_bytes <= 1500000 AS taken
+        FROM summed ORDER BY priority, url_id
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label
