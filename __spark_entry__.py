@@ -611,6 +611,84 @@ def _sim_mirror_sql(n: int = SIM_MIRROR_N) -> str:
 
 
 # --------------------------------------------------------------------------
+# sim novelty fixture: 4-round fetch log over 6 hosts — fresh (unique
+# digests every fetch), stale (30 digests re-served forever), mixed (half
+# new / half boilerplate), a SYNDICATOR republishing fresh's previous-round
+# digests (per-host dedup is blind to it; global first-seen is not), a
+# 5-fetch small host under min_docs, and a slow-cycle medium host.
+# --------------------------------------------------------------------------
+
+SIM_NOVELTY_N = 2400
+
+
+def gen_sim_novelty_log(spark: SparkSession, n: int = SIM_NOVELTY_N) -> DataFrame:
+    sid = F.col("id")
+    k = sid % 6
+    i = F.floor(sid / 6)
+    host = F.element_at(
+        F.array(
+            F.lit("fresh.com"), F.lit("stale.com"), F.lit("mixed.com"),
+            F.lit("syndicator.com"), F.lit("small.com"), F.lit("medium.com"),
+        ),
+        (k + 1).cast("int"),
+    )
+    key = (
+        F.when(k == 0, F.format_string("f%d", i))
+        .when(k == 1, F.format_string("s%d", i % 30))
+        .when(
+            k == 2,
+            F.when(i % 2 == 0, F.format_string("mx%d", i)).otherwise(
+                F.format_string("mr%d", i % 10)
+            ),
+        )
+        .when(
+            k == 3,
+            F.when(i < 100, F.format_string("y%d", i)).otherwise(
+                F.format_string("f%d", i - 100)
+            ),
+        )
+        .when((k == 4) & (i < 5), F.format_string("v%d", i))
+        .when(k == 5, F.format_string("k%d", i % 350))
+    )
+    return (
+        spark.range(n)
+        .select(
+            host.alias("host"),
+            F.md5(key).alias("digest"),
+            F.floor(i / 100).cast("long").alias("round"),
+        )
+        .filter(F.col("digest").isNotNull())
+    )
+
+
+def _sim_novelty_sql(n: int = SIM_NOVELTY_N) -> str:
+    return f"""
+      sim_novelty AS (
+        SELECT CASE k WHEN 0 THEN 'fresh.com' WHEN 1 THEN 'stale.com'
+                      WHEN 2 THEN 'mixed.com' WHEN 3 THEN 'syndicator.com'
+                      WHEN 4 THEN 'small.com' ELSE 'medium.com' END AS host,
+               md5(key) AS digest,
+               i // 100 AS round
+        FROM (
+          SELECT k, i,
+                 CASE WHEN k = 0 THEN printf('f%d', i)
+                      WHEN k = 1 THEN printf('s%d', i % 30)
+                      WHEN k = 2 THEN CASE WHEN i % 2 = 0
+                                           THEN printf('mx%d', i)
+                                           ELSE printf('mr%d', i % 10) END
+                      WHEN k = 3 THEN CASE WHEN i < 100
+                                           THEN printf('y%d', i)
+                                           ELSE printf('f%d', i - 100) END
+                      WHEN k = 4 AND i < 5 THEN printf('v%d', i)
+                      WHEN k = 5 THEN printf('k%d', i % 350)
+                 END AS key
+          FROM (SELECT range % 6 AS k, range // 6 AS i FROM range({n}))
+        ) WHERE key IS NOT NULL
+      )
+    """
+
+
+# --------------------------------------------------------------------------
 # sim alias fixture for the collapse capstone: two mirror hosts serve the
 # same 40 pages (digest shared), a third serves 50 unique pages; EVERY url
 # carries a session-id param, so each page appears under ~25 raw aliases.
@@ -3393,6 +3471,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["recrawl_round_plan"] = recrawl_round_plan
+
+    def host_novelty_steering(spark, sf):
+        """Novelty-yield steering (operators/politeness.py
+        novelty_yield): per-host share of fetches whose digest is
+        GLOBALLY first-seen that round — catches stale hosts AND
+        syndicators (per-host dedup can't); digest-keyed min + hash
+        join, map-combinable rollups, integer-permille verdict."""
+        from cex_crawler_spark.operators.politeness import novelty_yield
+
+        log = gen_sim_novelty_log(spark)
+        return novelty_yield(
+            log, min_docs=20, min_permille=200
+        ).orderBy("host")
+
+    q["host_novelty_steering"] = host_novelty_steering
 
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
@@ -6214,6 +6307,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(cum_bytes AS BIGINT) AS cum_bytes,
                cum_bytes <= 1500000 AS taken
         FROM summed ORDER BY priority, url_id
+    """
+
+    # host_novelty_steering: global first-seen + latest-round rollup
+    # replayed relationally; all-integer permille.
+    o["host_novelty_steering"] = f"""
+        WITH {_sim_novelty_sql()},
+        first AS (
+          SELECT digest, min(round) AS first_round
+          FROM sim_novelty GROUP BY digest
+        ),
+        per AS (
+          SELECT host, round,
+                 count(*) AS n_fetched,
+                 sum(CASE WHEN round = first_round THEN 1 ELSE 0 END)
+                   AS n_novel
+          FROM sim_novelty JOIN first USING (digest)
+          GROUP BY host, round
+        ),
+        latest AS (
+          SELECT host, max(round) AS latest_round FROM per GROUP BY host
+        )
+        SELECT p.host,
+               CAST(l.latest_round AS BIGINT) AS latest_round,
+               CAST(n_fetched AS BIGINT) AS n_fetched,
+               CAST(n_novel AS BIGINT) AS n_novel,
+               CAST((1000 * n_novel) // n_fetched AS BIGINT)
+                 AS novel_permille,
+               (n_fetched >= 20 AND (1000 * n_novel) // n_fetched < 200)
+                 AS demote
+        FROM per p JOIN latest l
+          ON p.host = l.host AND p.round = l.latest_round
+        ORDER BY p.host
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

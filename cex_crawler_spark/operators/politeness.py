@@ -432,3 +432,63 @@ def ip_queue_policy(
         F.max(delay_col).alias("queue_min_delay_ms"),
     )
     return mapped.join(groups, "queue_key").drop("ip")
+
+
+def novelty_yield(
+    log: DataFrame,
+    host_col: str = "host",
+    digest_col: str = "digest",
+    round_col: str = "round",
+    min_docs: int = 20,
+    min_permille: int = 200,
+) -> DataFrame:
+    """Per-host novelty-yield steering from the multi-round fetch log —
+    the third content signal beside quality (quality_verdicts) and
+    structure (traps.trap_hosts): a host whose fetches stopped producing
+    GLOBALLY new content is burning budget, whether it's a stale site
+    re-serving the same pages or a syndicator re-publishing what another
+    host already delivered (per-host dedup can't see the latter — the
+    digest's first appearance was elsewhere).
+
+    A fetch row is *novel* iff its round equals the digest's global
+    first-seen round (cross-host ties in the same round all get credit —
+    deterministic, and at worst over-credits one round).  The verdict
+    reads each host's LATEST round: ``demote`` when it fetched at least
+    ``min_docs`` and its novel share fell below ``min_permille``
+    (integer permille — ``1000·novel div fetched`` — so the threshold
+    compare is bit-identical across engines).
+
+    Scale shape: digest first-seen is one map-combinable min; attribution
+    is a digest-keyed hash join (dedup_exact's shape); both rollups are
+    map-combinable on (host, round) / host.  Feed ``demote`` rows to the
+    scheduler via the same broadcast join as ``traps.demote_trapped``.
+    """
+    first = log.groupBy(digest_col).agg(
+        F.min(round_col).alias("__first_round")
+    )
+    attributed = log.join(first, digest_col)
+    per_round = attributed.groupBy(host_col, round_col).agg(
+        F.count("*").alias("n_fetched"),
+        F.sum(
+            (F.col(round_col) == F.col("__first_round")).cast("long")
+        ).alias("n_novel"),
+    )
+    # rename the rollup's key: `latest` derives from per_round, and a
+    # same-name equi-join on shared lineage trips the ambiguity check
+    latest = (
+        per_round.groupBy(host_col)
+        .agg(F.max(round_col).alias("latest_round"))
+        .withColumnRenamed(host_col, "__lhost")
+    )
+    cur = per_round.join(
+        F.broadcast(latest),
+        (per_round[host_col] == F.col("__lhost"))
+        & (per_round[round_col] == F.col("latest_round")),
+    ).select(host_col, "latest_round", "n_fetched", "n_novel")
+    return cur.withColumn(
+        "novel_permille", F.expr("(1000 * n_novel) div n_fetched")
+    ).withColumn(
+        "demote",
+        (F.col("n_fetched") >= F.lit(min_docs))
+        & (F.col("novel_permille") < F.lit(min_permille)),
+    )

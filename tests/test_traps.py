@@ -229,3 +229,62 @@ class TestBlocklistScreen:
         # broadcast map join, no shuffle of the frontier side
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestNoveltyYield:
+    def _log(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "host string, digest string, round long"
+        )
+
+    def test_syndicator_detected_globally(self, spark):
+        """A host republishing digests another host delivered in an
+        earlier round yields ZERO novelty — per-host dedup would score
+        it 100% new."""
+        from cex_crawler_spark.operators.politeness import novelty_yield
+
+        rows = [("origin.com", f"d{i}", 0) for i in range(30)]
+        rows += [("copycat.com", f"d{i}", 1) for i in range(30)]
+        rows += [("origin.com", f"e{i}", 1) for i in range(30)]
+        got = {
+            r["host"]: r.asDict()
+            for r in novelty_yield(
+                self._log(spark, rows), min_docs=20, min_permille=200
+            ).collect()
+        }
+        assert got["copycat.com"]["novel_permille"] == 0
+        assert got["copycat.com"]["demote"]
+        assert got["origin.com"]["novel_permille"] == 1000
+        assert not got["origin.com"]["demote"]
+
+    def test_same_round_tie_credits_both(self, spark):
+        from cex_crawler_spark.operators.politeness import novelty_yield
+
+        rows = [("a.com", f"d{i}", 2) for i in range(25)]
+        rows += [("b.com", f"d{i}", 2) for i in range(25)]
+        got = {
+            r["host"]: r["novel_permille"]
+            for r in novelty_yield(self._log(spark, rows)).collect()
+        }
+        assert got == {"a.com": 1000, "b.com": 1000}
+
+    def test_min_docs_guard_and_latest_round_only(self, spark):
+        """Verdicts read the LATEST round only; tiny hosts are never
+        judged (the quality_verdicts discipline)."""
+        from cex_crawler_spark.operators.politeness import novelty_yield
+
+        # great round 0, terrible round 1 → judged on round 1
+        rows = [("h.com", f"n{i}", 0) for i in range(30)]
+        rows += [("h.com", "n0", 1)] * 25
+        # tiny host, zero novelty, but only 3 fetches
+        rows += [("tiny.com", "n1", 1)] * 3
+        got = {
+            r["host"]: r.asDict()
+            for r in novelty_yield(
+                self._log(spark, rows), min_docs=20, min_permille=200
+            ).collect()
+        }
+        assert got["h.com"]["latest_round"] == 1
+        assert got["h.com"]["demote"]
+        assert got["tiny.com"]["novel_permille"] == 0
+        assert not got["tiny.com"]["demote"]
