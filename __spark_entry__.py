@@ -3487,6 +3487,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_novelty_steering"] = host_novelty_steering
 
+    def crawl_dispatch_timeline(spark, sf):
+        """Politeness as a timeline (operators/politeness.py
+        dispatch_timeline): each scheduled URL's earliest-start offset
+        = (rank_in_host − 1) × host_delay — per-host rank via the
+        chunked running sum (skew-safe), delay dim broadcast; sorted by
+        dispatch_ms this is the executor's dispatch plan and its max is
+        the round makespan."""
+        from cex_crawler_spark.operators.politeness import dispatch_timeline
+
+        sid = F.col("id")
+        cand = spark.range(3000).select(
+            sid.alias("okey"), F.format_string("h%d", sid % 5).alias("host")
+        )
+        policy = spark.range(5).select(
+            F.format_string("h%d", F.col("id")).alias("host"),
+            ((F.col("id") + 1) * 100).alias("min_delay_ms"),
+        )
+        return (
+            dispatch_timeline(cand, policy, order_col="okey")
+            .select("okey", "host", "host_rank", "dispatch_ms")
+            .orderBy("okey")
+        )
+
+    q["crawl_dispatch_timeline"] = crawl_dispatch_timeline
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -6339,6 +6364,29 @@ def oracle_sql() -> dict[str, str]:
         FROM per p JOIN latest l
           ON p.host = l.host AND p.round = l.latest_round
         ORDER BY p.host
+    """
+
+    # crawl_dispatch_timeline: chunked rank replayed as a plain per-host
+    # row_number window; all-integer offsets.
+    o["crawl_dispatch_timeline"] = """
+        WITH cand AS (
+          SELECT sid AS okey, printf('h%d', sid % 5) AS host
+          FROM (SELECT range AS sid FROM range(3000))
+        ),
+        pol AS (
+          SELECT printf('h%d', h) AS host, (h + 1) * 100 AS min_delay_ms
+          FROM (SELECT range AS h FROM range(5))
+        ),
+        r AS (
+          SELECT c.okey, c.host, p.min_delay_ms,
+                 row_number() OVER (PARTITION BY c.host ORDER BY c.okey)
+                   AS rk
+          FROM cand c JOIN pol p USING (host)
+        )
+        SELECT okey, host,
+               CAST(rk AS BIGINT) AS host_rank,
+               CAST((rk - 1) * min_delay_ms AS BIGINT) AS dispatch_ms
+        FROM r ORDER BY okey
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

@@ -45,6 +45,7 @@ HEADLINE = [
     # r5 additions (appended — earlier entries keep their warm-up order)
     "doc_line_scrub",
     "image_curation_packed",
+    "frontier_alias_collapse",
 ]
 
 

@@ -492,3 +492,52 @@ def novelty_yield(
         (F.col("n_fetched") >= F.lit(min_docs))
         & (F.col("novel_permille") < F.lit(min_permille)),
     )
+
+
+def dispatch_timeline(
+    scheduled: DataFrame,
+    policy: DataFrame,
+    host_col: str = "host",
+    order_col: str = "okey",
+    delay_col: str = "min_delay_ms",
+) -> DataFrame:
+    """Turn a scheduled batch into the executable dispatch plan: each
+    URL's earliest-start offset inside the round, ``(rank_in_host − 1) ×
+    host_delay`` — politeness as a TIMELINE instead of a bare ordering.
+    This is what a fetch executor actually consumes (sort by
+    ``dispatch_ms`` and the per-host gaps are exactly the crawl-delay),
+    and max(dispatch_ms) per host is the round's makespan estimate —
+    the feedback the budget allocator needs to keep rounds wall-clock
+    bounded instead of URL-count bounded.
+
+    Scale shape: per-host rank = chunked running sum of ones
+    (packing.chunked_running_sum, partitioned by host, chunks keyed by
+    the order column itself) — a 50%-skew host ranks in n/W parallel
+    tasks, the offsets table stays broadcast-sized; the delay dim rides
+    a broadcast map join.  Pure integer arithmetic throughout.
+    """
+    from cex_crawler_spark.operators.packing import chunked_running_sum
+
+    d = scheduled.join(
+        F.broadcast(policy.select(host_col, delay_col)), host_col
+    ).withColumn("__one", F.lit(1).cast("long"))
+    ranked = chunked_running_sum(
+        d, order_col, "__one", partition_by=[host_col], out_col="__rank"
+    )
+    return (
+        ranked.withColumn(
+            "dispatch_ms", (F.col("__rank") - 1) * F.col(delay_col)
+        )
+        .withColumn("host_rank", F.col("__rank"))
+        .drop("__one", "__rank")
+    )
+
+
+def round_makespan(timeline: DataFrame, host_col: str = "host") -> DataFrame:
+    """Per-host finish-time rollup over a dispatch timeline — the max is
+    the round's politeness-bound makespan; hosts finishing early are the
+    slack the allocator can reassign.  Map-combinable aggregate."""
+    return timeline.groupBy(host_col).agg(
+        F.count("*").alias("n_urls"),
+        F.max("dispatch_ms").alias("host_finish_ms"),
+    )

@@ -288,3 +288,54 @@ class TestNoveltyYield:
         assert got["h.com"]["demote"]
         assert got["tiny.com"]["novel_permille"] == 0
         assert not got["tiny.com"]["demote"]
+
+
+class TestDispatchTimeline:
+    def test_gaps_equal_delay_and_makespan(self, spark):
+        """Per-host consecutive dispatch offsets differ by exactly the
+        host's delay; round_makespan reports the politeness-bound finish
+        time per host."""
+        from cex_crawler_spark.operators.politeness import (
+            dispatch_timeline,
+            round_makespan,
+        )
+
+        cand = spark.createDataFrame(
+            [(i, f"h{i % 2}") for i in range(20)], "okey long, host string"
+        )
+        policy = spark.createDataFrame(
+            [("h0", 200), ("h1", 500)], "host string, min_delay_ms long"
+        )
+        tl = dispatch_timeline(cand, policy, order_col="okey")
+        rows = sorted(
+            (r["host"], r["host_rank"], r["dispatch_ms"]) for r in tl.collect()
+        )
+        for host, delay in [("h0", 200), ("h1", 500)]:
+            offs = [d for h, _, d in rows if h == host]
+            assert offs == [k * delay for k in range(10)]
+        ms = {r["host"]: r["host_finish_ms"] for r in round_makespan(tl).collect()}
+        assert ms == {"h0": 9 * 200, "h1": 9 * 500}
+
+    def test_chunked_rank_crosses_chunk_boundaries(self, spark):
+        """Ranks stay dense across the chunk width (the broadcast-offset
+        leg actually fires)."""
+        from cex_crawler_spark.operators.packing import chunked_running_sum
+        from cex_crawler_spark.operators.politeness import dispatch_timeline
+
+        cand = spark.createDataFrame(
+            [(i, "h") for i in range(50)], "okey long, host string"
+        )
+        policy = spark.createDataFrame(
+            [("h", 100)], "host string, min_delay_ms long"
+        )
+        # chunk width default 8192 ≫ 50 — force tiny chunks instead
+        from cex_crawler_spark.operators import politeness as pol
+        d = cand.join(F.broadcast(policy), "host").withColumn(
+            "__one", F.lit(1).cast("long")
+        )
+        ranked = chunked_running_sum(
+            d, "okey", "__one", chunk_width=7, partition_by=["host"],
+            out_col="__rank",
+        )
+        got = sorted(r["__rank"] for r in ranked.collect())
+        assert got == list(range(1, 51))
