@@ -3512,6 +3512,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_dispatch_timeline"] = crawl_dispatch_timeline
 
+    def crawl_politeness_audit(spark, sf):
+        """Politeness compliance audit (operators/validate.py
+        politeness_audit): verify an executed round kept its promises —
+        per-host consecutive-gap vs min_delay_ms, fetched paths vs
+        robots disallow prefixes; lag window over the round-bounded log,
+        policy broadcast, all-integer verdicts."""
+        from cex_crawler_spark.operators.validate import politeness_audit
+
+        sid = F.col("id")
+        k = sid % 4
+        i = F.floor(sid / 4)
+        host = F.format_string("h%d", k)
+        ts = (
+            F.when(k == 0, i * 200)
+            .when(
+                k == 1,
+                i * 300
+                - F.when((i % 10 == 0) & (i > 0), F.lit(150)).otherwise(0),
+            )
+            .when(k == 2, i * 100)
+            .otherwise(i * 1000)
+        )
+        url = F.when(
+            (k == 2) & (i % 20 == 0),
+            F.format_string("https://h2/private/%d", i),
+        ).otherwise(F.format_string("https://h%d/p/%d", k, i))
+        log = (
+            spark.range(2000)
+            .select(
+                host.alias("host"),
+                url.alias("url"),
+                ts.cast("long").alias("fetch_ts_ms"),
+                k.alias("__k"),
+                i.alias("__i"),
+            )
+            .filter((F.col("__k") != 3) | (F.col("__i") == 0))
+            .drop("__k", "__i")
+        )
+        policy = spark.createDataFrame(
+            [
+                ("h0", 200, ["/admin/"]),
+                ("h1", 300, ["/admin/"]),
+                ("h2", 100, ["/private/"]),
+                ("h3", 1000, []),
+            ],
+            "host string, min_delay_ms long, robots_disallow array<string>",
+        )
+        return politeness_audit(log, policy).orderBy("host")
+
+    q["crawl_politeness_audit"] = crawl_politeness_audit
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -6387,6 +6438,60 @@ def oracle_sql() -> dict[str, str]:
                CAST(rk AS BIGINT) AS host_rank,
                CAST((rk - 1) * min_delay_ms AS BIGINT) AS dispatch_ms
         FROM r ORDER BY okey
+    """
+
+    # crawl_politeness_audit: lag replay + prefix match; h1's every-10th
+    # early fetch yields exactly 49 gap violations (the following gap
+    # widens back — only the early one is a violation), h2 plants 25
+    # /private/ fetches, single-fetch h3 audits NULL min_gap.
+    o["crawl_politeness_audit"] = """
+        WITH log AS (
+          SELECT printf('h%d', k) AS host,
+                 CASE WHEN k = 2 AND i % 20 = 0
+                      THEN printf('https://h2/private/%d', i)
+                      ELSE printf('https://h%d/p/%d', k, i) END AS url,
+                 CASE k WHEN 0 THEN i * 200
+                        WHEN 1 THEN i * 300
+                          - CASE WHEN i % 10 = 0 AND i > 0
+                                 THEN 150 ELSE 0 END
+                        WHEN 2 THEN i * 100
+                        ELSE i * 1000 END AS fetch_ts_ms
+          FROM (SELECT range % 4 AS k, range // 4 AS i FROM range(2000))
+          WHERE k <> 3 OR i = 0
+        ),
+        pol AS (
+          SELECT * FROM (VALUES
+            ('h0', 200, ['/admin/']),
+            ('h1', 300, ['/admin/']),
+            ('h2', 100, ['/private/']),
+            ('h3', 1000, CAST([] AS VARCHAR[]))
+          ) AS t(host, min_delay_ms, robots_disallow)
+        ),
+        g AS (
+          SELECT l.host, l.url, l.fetch_ts_ms, p.min_delay_ms,
+                 p.robots_disallow,
+                 fetch_ts_ms - lag(fetch_ts_ms) OVER (
+                   PARTITION BY l.host ORDER BY fetch_ts_ms, url) AS gap,
+                 regexp_extract(l.url,
+                   '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+          FROM log l JOIN pol p ON l.host = p.host
+        )
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_fetches,
+               CAST(sum(CASE WHEN gap IS NOT NULL AND gap < min_delay_ms
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_gap_violations,
+               CAST(min(gap) AS BIGINT) AS min_gap_ms,
+               CAST(sum(CASE WHEN len(list_filter(robots_disallow,
+                              pr -> starts_with(path, pr))) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_robots_violations,
+               (sum(CASE WHEN gap IS NOT NULL AND gap < min_delay_ms
+                         THEN 1 ELSE 0 END) = 0
+                AND sum(CASE WHEN len(list_filter(robots_disallow,
+                              pr -> starts_with(path, pr))) > 0
+                             THEN 1 ELSE 0 END) = 0) AS compliant
+        FROM g GROUP BY host ORDER BY host
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

@@ -66,3 +66,74 @@ def validate_payloads(fetched: DataFrame) -> DataFrame:
         .withColumn("valid", F.col("pixels_ok") & F.col("caption_ok"))
         .drop("__v")
     )
+
+
+def politeness_audit(
+    fetch_log: DataFrame,
+    policy: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    ts_col: str = "fetch_ts_ms",
+) -> DataFrame:
+    """Compliance audit over an EXECUTED round's fetch log — the
+    verification side of politeness (the scheduler promises delays and
+    robots compliance; this proves the executor kept them, the check a
+    crawl operator runs before pointing fingers at a blocked IP).
+
+    Per host: ``n_gap_violations`` counts consecutive-fetch gaps below
+    the host's ``min_delay_ms`` (gaps order by timestamp with the URL as
+    a deterministic tiebreak), ``n_robots_violations`` counts fetched
+    URLs whose path matches a ``robots_disallow`` prefix (the same
+    scan-side ``exists`` the scheduler uses — one rule evaluation per
+    row), ``min_gap_ms`` is NULL for single-fetch hosts, and
+    ``compliant`` requires both counts at zero.
+
+    The lag window partitions by host — an audit log is one ROUND's
+    fetches (budget-bounded per host), not the corpus; for auditing a
+    whole crawl's history at once, run per round or swap in the chunked
+    rank.  All integer arithmetic; policy rides a broadcast join.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(host_col).orderBy(ts_col, url_col)
+    d = (
+        fetch_log.join(F.broadcast(policy), host_col, "left")
+        .withColumn("__gap", F.col(ts_col) - F.lag(ts_col).over(w))
+        .withColumn(
+            "__path",
+            F.regexp_extract(
+                F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+            ),
+        )
+        .withColumn(
+            "__robots_bad",
+            F.coalesce(
+                F.exists(
+                    F.col("robots_disallow"),
+                    lambda p: F.startswith(F.col("__path"), p),
+                ),
+                F.lit(False),
+            ),
+        )
+    )
+    return (
+        d.groupBy(host_col)
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum(
+                (
+                    F.col("__gap").isNotNull()
+                    & (F.col("__gap") < F.col("min_delay_ms"))
+                ).cast("long")
+            ).alias("n_gap_violations"),
+            F.min("__gap").alias("min_gap_ms"),
+            F.sum(F.col("__robots_bad").cast("long")).alias(
+                "n_robots_violations"
+            ),
+        )
+        .withColumn(
+            "compliant",
+            (F.col("n_gap_violations") == 0)
+            & (F.col("n_robots_violations") == 0),
+        )
+    )

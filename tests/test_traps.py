@@ -339,3 +339,31 @@ class TestDispatchTimeline:
         )
         got = sorted(r["__rank"] for r in ranked.collect())
         assert got == list(range(1, 51))
+
+
+class TestPolitenessAudit:
+    def test_unpoliced_host_and_tie_order(self, spark):
+        """A host with NO policy row audits as compliant (NULL delay
+        compares to nothing, NULL disallow coalesces false); equal
+        timestamps order by URL so the gap chain is deterministic."""
+        from cex_crawler_spark.operators.validate import politeness_audit
+
+        log = spark.createDataFrame(
+            [
+                ("x.com", "https://x.com/a", 0),
+                ("x.com", "https://x.com/b", 0),
+                ("x.com", "https://x.com/c", 50),
+            ],
+            "host string, url string, fetch_ts_ms long",
+        )
+        policy = spark.createDataFrame(
+            [("other.com", 100, ["/admin/"])],
+            "host string, min_delay_ms long, robots_disallow array<string>",
+        )
+        got = politeness_audit(log, policy).collect()
+        assert len(got) == 1
+        r = got[0].asDict()
+        assert r["n_fetches"] == 3
+        assert r["n_gap_violations"] == 0
+        assert r["min_gap_ms"] == 0  # the tie gap, ordered a→b
+        assert r["compliant"]
