@@ -3563,6 +3563,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_politeness_audit"] = crawl_politeness_audit
 
+    def image_curriculum_phases(spark, sf):
+        """Curriculum export ordering (operators/packing.py
+        curriculum_order): exact global easy→hard rank by (caption
+        token count, md5 shuffle within equal difficulty) + equal-size
+        integer phase split — chunked rank decomposition, corpus total
+        via one-row broadcast cross join, no global window over data."""
+        from cex_crawler_spark.operators.packing import curriculum_order
+
+        imgs = gen_sim_images(spark)
+        d = imgs.withColumn(
+            "difficulty", F.size(F.split("caption", " ")).cast("long")
+        )
+        return (
+            curriculum_order(d, "image_id", "difficulty", n_phases=3)
+            .select("image_id", "difficulty", "curriculum_rank", "phase")
+            .orderBy("curriculum_rank")
+        )
+
+    q["image_curriculum_phases"] = image_curriculum_phases
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -6492,6 +6512,30 @@ def oracle_sql() -> dict[str, str]:
                               pr -> starts_with(path, pr))) > 0
                              THEN 1 ELSE 0 END) = 0) AS compliant
         FROM g GROUP BY host ORDER BY host
+    """
+
+    # image_curriculum_phases: the chunked rank replayed as one global
+    # row_number over (difficulty, md5, id); all-integer phase split.
+    o["image_curriculum_phases"] = f"""
+        WITH {_sim_images_sql()},
+        d AS (
+          SELECT image_id,
+                 len(string_split(caption, ' ')) AS difficulty,
+                 md5('42:' || image_id) AS key
+          FROM sim_images
+        ),
+        r AS (
+          SELECT image_id, difficulty,
+                 row_number() OVER (ORDER BY difficulty, key, image_id) - 1
+                   AS rk,
+                 count(*) OVER () AS total
+          FROM d
+        )
+        SELECT image_id,
+               CAST(difficulty AS BIGINT) AS difficulty,
+               CAST(rk AS BIGINT) AS curriculum_rank,
+               CAST((rk * 3) // total AS BIGINT) AS phase
+        FROM r ORDER BY curriculum_rank
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

@@ -229,3 +229,69 @@ def assign_shards(
         )
         .drop("__key", "__chunk", "__rn", "__off", "__rank")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    difficulty_col: str,
+    n_phases: int,
+    seed: int = 42,
+    prefix_hex: int = 2,
+) -> DataFrame:
+    """Curriculum export ordering: exact global rank by (difficulty ASC,
+    deterministic shuffle) plus equal-size phase assignment — the
+    easy→hard sample stream a curriculum-trained run consumes (Bengio et
+    al., ICML'09), with samples of EQUAL difficulty shuffled (md5(seed:
+    id)) so no source/id ordering leaks into a phase.
+
+    ``difficulty_col`` must be an integer GRID (token count, quality
+    permille, resolution tier …) — the rank decomposition chunks on
+    (difficulty, md5 prefix), and the broadcast offsets table is
+    |grid| × 16^prefix_hex rows, so bucket real-valued scores first.
+
+    Scale shape: same as assign_shards — local row_number per
+    order-aligned chunk + broadcast count offsets; the only
+    unpartitioned window runs over the counts table, and the corpus
+    total arrives via a one-row broadcast cross join (no driver
+    action).  ``phase = (rank · n_phases) div total`` — all-integer, so
+    phases differ in size by at most one.
+    """
+    if n_phases < 1:
+        raise ValueError(f"n_phases must be ≥ 1, got {n_phases}")
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    d = df.withColumn("__key", key).withColumn(
+        "__chunk", F.substring("__key", 1, prefix_hex)
+    )
+    local = d.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(difficulty_col, "__chunk").orderBy(
+                "__key", id_col
+            )
+        ),
+    )
+    counts = d.groupBy(difficulty_col, "__chunk").agg(
+        F.count("*").alias("__cnt")
+    )
+    offsets = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__cnt").over(
+                Window.orderBy(difficulty_col, "__chunk").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select(difficulty_col, "__chunk", "__off")
+    total = counts.agg(F.sum("__cnt").alias("__total"))
+    ranked = (
+        local.join(F.broadcast(offsets), [difficulty_col, "__chunk"])
+        .crossJoin(F.broadcast(total))
+        .withColumn("curriculum_rank", F.col("__rn") + F.col("__off") - 1)
+    )
+    return ranked.withColumn(
+        "phase",
+        F.expr(f"(curriculum_rank * {int(n_phases)}) div __total"),
+    ).drop("__key", "__chunk", "__rn", "__off", "__total")

@@ -92,3 +92,60 @@ def test_adversarial_block_contents(spark):
         for r in f.select(surt_urlkey(F.col("url")).alias("k")).distinct().collect()
     )
     assert decoded == expect
+
+
+class TestCurriculumOrder:
+    def test_matches_naive_global_window_and_phase_sizes(self, spark):
+        """Chunked curriculum rank == the single-task global window;
+        phases are difficulty-monotone and equal-sized ±1."""
+        from pyspark.sql.window import Window
+
+        from cex_crawler_spark.operators.packing import curriculum_order
+
+        df = spark.range(700).select(
+            F.format_string("s%04d", F.col("id")).alias("sid"),
+            (F.col("id") % 9).alias("difficulty"),
+        )
+        got = curriculum_order(df, "sid", "difficulty", n_phases=4)
+        key = F.md5(F.concat(F.lit("42:"), F.col("sid")))
+        naive = df.withColumn(
+            "r",
+            F.row_number().over(Window.orderBy("difficulty", key, "sid")) - 1,
+        )
+        assert sorted(
+            (r["sid"], r["curriculum_rank"]) for r in got.collect()
+        ) == sorted((r["sid"], r["r"]) for r in naive.collect())
+        sizes = {
+            r["phase"]: r["n"]
+            for r in got.groupBy("phase").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(sizes) == {0, 1, 2, 3}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # difficulty never decreases along the rank
+        rows = sorted(
+            (r["curriculum_rank"], r["difficulty"]) for r in got.collect()
+        )
+        assert all(a[1] <= b[1] for a, b in zip(rows, rows[1:]))
+
+    def test_equal_difficulty_is_shuffled_not_id_ordered(self, spark):
+        from cex_crawler_spark.operators.packing import curriculum_order
+
+        df = spark.range(200).select(
+            F.format_string("s%04d", F.col("id")).alias("sid"),
+            F.lit(1).alias("difficulty"),
+        )
+        got = [
+            r["sid"]
+            for r in curriculum_order(df, "sid", "difficulty", n_phases=2)
+            .orderBy("curriculum_rank")
+            .collect()
+        ]
+        assert got != sorted(got)  # md5 shuffle broke id order
+        # but deterministically: same seed, same order
+        again = [
+            r["sid"]
+            for r in curriculum_order(df, "sid", "difficulty", n_phases=2)
+            .orderBy("curriculum_rank")
+            .collect()
+        ]
+        assert got == again
