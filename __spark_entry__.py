@@ -3583,6 +3583,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_curriculum_phases"] = image_curriculum_phases
 
+    def crawl_domain_queues(spark, sf):
+        """Registrable-domain politeness collapse (operators/
+        politeness.py domain_queue_policy): a wildcard-subdomain farm
+        minting hostnames collapses onto ONE shared queue (budget = min
+        member, delay = max member) once its eTLD+1 fan-out passes the
+        threshold; normal www/cdn/apex spreads keep per-host queues —
+        dim-sized broadcast work, scheduler key-agnostic."""
+        from cex_crawler_spark.operators.politeness import domain_queue_policy
+
+        sid = F.col("id")
+        host = (
+            F.when(sid < 20, F.format_string("s%d.spamfarm.com", sid))
+            .when(
+                sid < 23,
+                F.element_at(
+                    F.array(
+                        F.lit("www.shop.co.uk"),
+                        F.lit("cdn.shop.co.uk"),
+                        F.lit("shop.co.uk"),
+                    ),
+                    (sid - 19).cast("int"),
+                ),
+            )
+            .otherwise(F.format_string("solo%d.org", sid))
+        )
+        policy = spark.range(30).select(
+            host.alias("host"),
+            (100 + sid * 10).alias("budget_per_round"),
+            (200 + sid * 7).alias("min_delay_ms"),
+        )
+        return (
+            domain_queue_policy(policy, max_hosts_per_domain=8)
+            .select(
+                "host", "queue_key", "n_hosts_on_domain", "n_hosts_on_queue",
+                "queue_budget_per_round", "queue_min_delay_ms",
+            )
+            .orderBy("host")
+        )
+
+    q["crawl_domain_queues"] = crawl_domain_queues
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -6562,6 +6603,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT domain, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
                count(*) AS n_urls
         FROM dom GROUP BY domain ORDER BY domain
+    """
+
+    # crawl_domain_queues: eTLD+1 collapse replayed with the same label
+    # CASE; conservative group rollup (min budget / max delay).
+    o["crawl_domain_queues"] = f"""
+        WITH pol AS (
+          SELECT CASE WHEN sid < 20 THEN printf('s%d.spamfarm.com', sid)
+                      WHEN sid < 23 THEN ['www.shop.co.uk',
+                                          'cdn.shop.co.uk',
+                                          'shop.co.uk'][CAST(sid - 19 AS INTEGER)]
+                      ELSE printf('solo%d.org', sid) END AS host,
+                 100 + sid * 10 AS budget_per_round,
+                 200 + sid * 7 AS min_delay_ms
+          FROM (SELECT range AS sid FROM range(30))
+        ),
+        lab AS (
+          SELECT *, string_split(lower(host), '.') AS labels FROM pol
+        ),
+        dom AS (
+          SELECT *,
+                 CASE WHEN len(labels) >= 3
+                           AND list_contains([{_sfx}],
+                                             labels[-2] || '.' || labels[-1])
+                      THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                      WHEN len(labels) >= 2
+                      THEN labels[-2] || '.' || labels[-1]
+                      ELSE lower(host) END AS domain
+          FROM lab
+        ),
+        fan AS (
+          SELECT domain, count(*) AS n_hosts_on_domain
+          FROM dom GROUP BY domain
+        ),
+        mapped AS (
+          SELECT d.host, d.budget_per_round, d.min_delay_ms,
+                 f.n_hosts_on_domain,
+                 CASE WHEN f.n_hosts_on_domain > 8 THEN d.domain
+                      ELSE d.host END AS queue_key
+          FROM dom d JOIN fan f ON d.domain = f.domain
+        ),
+        grp AS (
+          SELECT queue_key,
+                 count(*) AS n_hosts_on_queue,
+                 min(budget_per_round) AS queue_budget_per_round,
+                 max(min_delay_ms) AS queue_min_delay_ms
+          FROM mapped GROUP BY queue_key
+        )
+        SELECT m.host, m.queue_key,
+               CAST(m.n_hosts_on_domain AS BIGINT) AS n_hosts_on_domain,
+               CAST(g.n_hosts_on_queue AS BIGINT) AS n_hosts_on_queue,
+               CAST(g.queue_budget_per_round AS BIGINT)
+                 AS queue_budget_per_round,
+               CAST(g.queue_min_delay_ms AS BIGINT) AS queue_min_delay_ms
+        FROM mapped m JOIN grp g ON m.queue_key = g.queue_key
+        ORDER BY m.host
     """
 
     # image_dedup_clusters: brute-force Hamming pairs + recursive-CTE

@@ -541,3 +541,49 @@ def round_makespan(timeline: DataFrame, host_col: str = "host") -> DataFrame:
         F.count("*").alias("n_urls"),
         F.max("dispatch_ms").alias("host_finish_ms"),
     )
+
+
+def domain_queue_policy(
+    host_policy: DataFrame,
+    max_hosts_per_domain: int = 8,
+    budget_col: str = "budget_per_round",
+    delay_col: str = "min_delay_ms",
+) -> DataFrame:
+    """Registrable-domain politeness collapse — the wildcard-subdomain
+    guard: a site minting unbounded subdomains (``*.blogspot.com``-style
+    wildcard DNS, or an adversarial spam farm) gets a fresh per-host
+    budget for every invented hostname, multiplying its share of the
+    round without limit.  When a registrable domain (eTLD+1,
+    functions/urlnorm.registrable_domain) holds MORE than
+    ``max_hosts_per_domain`` hostnames, all of them collapse onto one
+    shared queue keyed by the domain; smaller domains keep per-host
+    queues (www + apex + cdn is normal, not abuse).
+
+    Group policy rolls conservatively exactly as the IP queues do
+    (budget = min member, delay = max member).  Dim×dim broadcast-class
+    work; the scheduler consumes ``queue_key`` unchanged.  This is the
+    politeness-side twin of the blocklist gate's observation
+    (traps.blocklist_screen): subdomain hopping must not evade
+    host-keyed controls.
+    """
+    from cex_crawler_spark.functions.urlnorm import registrable_domain
+
+    d = host_policy.withColumn(
+        "__domain", registrable_domain(F.col("host"))
+    )
+    fanout = d.groupBy("__domain").agg(
+        F.count("*").alias("n_hosts_on_domain")
+    )
+    mapped = d.join(F.broadcast(fanout), "__domain").withColumn(
+        "queue_key",
+        F.when(
+            F.col("n_hosts_on_domain") > F.lit(max_hosts_per_domain),
+            F.col("__domain"),
+        ).otherwise(F.col("host")),
+    )
+    groups = mapped.groupBy("queue_key").agg(
+        F.count("*").alias("n_hosts_on_queue"),
+        F.min(budget_col).alias("queue_budget_per_round"),
+        F.max(delay_col).alias("queue_min_delay_ms"),
+    )
+    return mapped.join(groups, "queue_key").drop("__domain")

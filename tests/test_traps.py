@@ -367,3 +367,30 @@ class TestPolitenessAudit:
         assert r["n_gap_violations"] == 0
         assert r["min_gap_ms"] == 0  # the tie gap, ordered a→b
         assert r["compliant"]
+
+
+class TestDomainQueues:
+    def test_farm_collapses_normal_spread_does_not(self, spark):
+        from cex_crawler_spark.operators.politeness import domain_queue_policy
+
+        rows = [(f"s{i}.farm.com", 100 + i, 200 + i) for i in range(10)]
+        rows += [("www.ok.com", 50, 500), ("cdn.ok.com", 60, 400)]
+        policy = spark.createDataFrame(
+            rows, "host string, budget_per_round long, min_delay_ms long"
+        )
+        got = {
+            r["host"]: r.asDict()
+            for r in domain_queue_policy(policy, max_hosts_per_domain=8).collect()
+        }
+        # 10 farm hosts > 8 → one shared queue, conservative rollup
+        farm = got["s0.farm.com"]
+        assert farm["queue_key"] == "farm.com"
+        assert farm["n_hosts_on_queue"] == 10
+        assert farm["queue_budget_per_round"] == 100  # min member
+        assert farm["queue_min_delay_ms"] == 209      # max member
+        # 2 ok.com hosts ≤ 8 → per-host queues, own policy preserved
+        ok = got["www.ok.com"]
+        assert ok["queue_key"] == "www.ok.com"
+        assert ok["n_hosts_on_domain"] == 2
+        assert ok["n_hosts_on_queue"] == 1
+        assert ok["queue_budget_per_round"] == 50
