@@ -3624,6 +3624,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_domain_queues"] = crawl_domain_queues
 
+    def sitemap_coverage_gap(spark, sf):
+        """Sitemap-vs-discovery reconciliation (sources/sitemap.py
+        sitemap_coverage_gap): declared-only = content link-following
+        misses (seed it directly), discovered-only = orphan/param pages
+        (DUST suspects) — one full-outer join on (host, url) + a
+        map-combinable rollup."""
+        from cex_crawler_spark.sources.sitemap import sitemap_coverage_gap
+
+        sid = F.col("id")
+        # host h{sid%4}: declared inventory u0..u59, discovery finds
+        # u(20+k)..u(79+k) of it (k = hostid) — per-host gap sizes vary
+        declared = spark.range(240).select(
+            F.format_string("h%d", sid % 4).alias("host"),
+            F.format_string("u%d", F.floor(sid / 4)).alias("url"),
+        )
+        discovered = spark.range(240).select(
+            F.format_string("h%d", sid % 4).alias("host"),
+            F.format_string("u%d", F.floor(sid / 4) + 20 + sid % 4).alias(
+                "url"
+            ),
+        )
+        return sitemap_coverage_gap(declared, discovered).orderBy("host")
+
+    q["sitemap_coverage_gap"] = sitemap_coverage_gap
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -6577,6 +6602,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(rk AS BIGINT) AS curriculum_rank,
                CAST((rk * 3) // total AS BIGINT) AS phase
         FROM r ORDER BY curriculum_rank
+    """
+
+    # sitemap_coverage_gap: the same full-outer reconciliation.
+    o["sitemap_coverage_gap"] = """
+        WITH dec AS (
+          SELECT DISTINCT printf('h%d', sid % 4) AS host,
+                          printf('u%d', sid // 4) AS url
+          FROM (SELECT range AS sid FROM range(240))
+        ),
+        dis AS (
+          SELECT DISTINCT printf('h%d', sid % 4) AS host,
+                          printf('u%d', sid // 4 + 20 + sid % 4) AS url
+          FROM (SELECT range AS sid FROM range(240))
+        ),
+        j AS (
+          SELECT coalesce(d1.host, d2.host) AS host,
+                 d1.url AS du, d2.url AS su
+          FROM dec d1 FULL OUTER JOIN dis d2
+            ON d1.host = d2.host AND d1.url = d2.url
+        )
+        SELECT host,
+               CAST(sum(CASE WHEN du IS NOT NULL AND su IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS declared_only,
+               CAST(sum(CASE WHEN du IS NULL AND su IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS discovered_only,
+               CAST(sum(CASE WHEN du IS NOT NULL AND su IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS both
+        FROM j GROUP BY host ORDER BY host
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

@@ -118,3 +118,49 @@ def expand_sitemap_index(
             F.to_timestamp("e.lastmod").alias("lastmod"),
         )
     )
+
+
+def sitemap_coverage_gap(
+    declared: DataFrame,
+    discovered: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host reconciliation of the site's ADVERTISED inventory
+    (sitemap URLs) against what link discovery actually found — the two
+    gaps mean different operational things:
+
+    - ``declared_only`` (in the sitemap, never discovered): content the
+      crawl is missing — pages unreachable by links (deep archives,
+      JS-only navigation).  These should seed directly from the sitemap
+      (parse_sitemaps → frontier), and a large count says link-following
+      alone under-covers this host.
+    - ``discovered_only`` (found by links, not advertised): orphan or
+      parameter pages the site doesn't consider canonical — prime DUST/
+      trap suspects, and the first rows to drop under budget pressure.
+
+    One full-outer join on (host, url) of two DISTINCT projections +
+    one map-combinable rollup; at 10^10 URLs both sides shuffle once on
+    the same key.  Reference analog: none — the reference's inventory
+    IS its hand-written URL templates.
+    """
+    d1 = declared.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("url")
+    ).distinct().withColumn("__dec", F.lit(1))
+    d2 = discovered.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("url")
+    ).distinct().withColumn("__dis", F.lit(1))
+    j = d1.join(d2, ["host", "url"], "full_outer")
+    return j.groupBy("host").agg(
+        F.sum(
+            (F.col("__dec").isNotNull() & F.col("__dis").isNull()).cast("long")
+        ).alias("declared_only"),
+        F.sum(
+            (F.col("__dec").isNull() & F.col("__dis").isNotNull()).cast("long")
+        ).alias("discovered_only"),
+        F.sum(
+            (F.col("__dec").isNotNull() & F.col("__dis").isNotNull()).cast(
+                "long"
+            )
+        ).alias("both"),
+    )
