@@ -3649,6 +3649,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_coverage_gap"] = sitemap_coverage_gap
 
+    def doc_block_density(spark, sf):
+        """Block-level boilerplate removal (functions/text.py
+        block_density_extract, the jusText/Arc90 shallow-feature
+        family): split on block tags, keep blocks with ≥25 chars of
+        visible text and ≤30% link-anchor share — nav/footer chrome
+        drops, content paragraphs (even those containing links)
+        survive; scan-side split/transform/filter, RE2-safe regexes."""
+        from cex_crawler_spark.functions.text import block_density_extract
+
+        sid = F.col("id")
+        html = F.concat(
+            F.lit('<div><a href="/h">Home</a> <a href="/n">News</a></div>'),
+            F.lit("<p>"),
+            F.expr(
+                "repeat('alpha beta gamma delta epsilon zeta eta theta. ',"
+                " CAST(2 + id % 3 AS INT))"
+            ),
+            F.lit("</p>"),
+            F.format_string(
+                '<p>Read the full analysis at <a href="/x">this page</a>'
+                " for details on topic %d and the surrounding market"
+                " context</p>",
+                sid % 50,
+            ),
+            F.when(sid % 4 == 0, F.lit("<p>ok</p>")).otherwise(F.lit("")),
+            F.lit('<div><a href="/p">Privacy</a> <a href="/t">Terms</a></div>'),
+        )
+        d = spark.range(300).select(sid.alias("doc_id"), html.alias("html"))
+        s = block_density_extract(F.col("html"))
+        return d.select(
+            "doc_id",
+            s["content"].alias("content"),
+            s["n_blocks"].alias("n_blocks"),
+            s["n_kept"].alias("n_kept"),
+        ).orderBy("doc_id")
+
+    q["doc_block_density"] = doc_block_density
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -6630,6 +6668,61 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN du IS NOT NULL AND su IS NOT NULL
                              THEN 1 ELSE 0 END) AS BIGINT) AS both
         FROM j GROUP BY host ORDER BY host
+    """
+
+    # doc_block_density: the full regexp chain replayed with DuckDB list
+    # lambdas (regexp_replace needs the explicit 'g' flag there — Spark
+    # replaces globally by default).
+    o["doc_block_density"] = r"""
+        WITH docs AS (
+          SELECT sid AS doc_id,
+            '<div><a href="/h">Home</a> <a href="/n">News</a></div>'
+            || '<p>'
+            || repeat('alpha beta gamma delta epsilon zeta eta theta. ',
+                      CAST(2 + sid % 3 AS INTEGER))
+            || '</p>'
+            || printf('<p>Read the full analysis at <a href="/x">this page'
+                      || '</a> for details on topic %d and the surrounding'
+                      || ' market context</p>', sid % 50)
+            || CASE WHEN sid % 4 = 0 THEN '<p>ok</p>' ELSE '' END
+            || '<div><a href="/p">Privacy</a> <a href="/t">Terms</a></div>'
+              AS html
+          FROM (SELECT range AS sid FROM range(300))
+        ),
+        blocks AS (
+          SELECT doc_id, string_split_regex(
+            regexp_replace(regexp_replace(html,
+              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|br|section|'
+            || 'article|nav|header|footer)[^>]*>') AS bs
+          FROM docs
+        ),
+        scored AS (
+          SELECT doc_id, list_transform(bs, b -> struct_pack(
+            t := trim(regexp_replace(regexp_replace(b,
+                   '(?s)<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')),
+            ll := len(trim(regexp_replace(regexp_replace(
+                    coalesce(array_to_string(regexp_extract_all(b,
+                      '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),
+                    '(?s)<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')))
+          )) AS sc
+          FROM blocks
+        ),
+        k AS (
+          SELECT doc_id,
+                 list_filter(sc, s -> len(struct_extract(s, 't')) > 0) AS ne,
+                 list_filter(sc, s -> len(struct_extract(s, 't')) >= 25
+                   AND struct_extract(s, 'll') * 100
+                       <= len(struct_extract(s, 't')) * 30) AS kept
+          FROM scored
+        )
+        SELECT doc_id,
+               coalesce(array_to_string(list_transform(kept,
+                 s -> struct_extract(s, 't')), ' '), '') AS content,
+               CAST(len(ne) AS BIGINT) AS n_blocks,
+               CAST(len(kept) AS BIGINT) AS n_kept
+        FROM k ORDER BY doc_id
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

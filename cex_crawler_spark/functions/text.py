@@ -348,3 +348,69 @@ def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 5):
         )
     )
     return salted_topk(scored, ["id"], ["score", "token"], k)
+
+
+# Block-level boilerplate removal (jusText / Arc90-readability family:
+# Kohlschütter et al. WSDM'10 showed shallow text features — block length
+# and link density — separate content from chrome almost as well as DOM
+# features).  Split on block-level tags, score each block's visible text
+# length and link-text share, keep the dense blocks.  All RE2-safe
+# regexps so the DuckDB oracle replays the chain verbatim.
+_BLOCK_SPLIT = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|br|section|article|"
+    r"nav|header|footer)[^>]*>"
+)
+
+
+def block_density_extract(
+    html: Column, min_text_chars: int = 25, max_link_pct: int = 30
+) -> Column:
+    """struct(content, n_blocks, n_kept): the document's main text after
+    dropping link-dense / short blocks (nav bars, footers, related-link
+    boxes) — the block-level rung ABOVE the corpus-level line scrub
+    (operators/dedup.scrub_duplicated_lines): density needs no corpus
+    statistics, the line scrub catches what density can't (long
+    boilerplate), and a curation pipeline runs both.
+
+    A block survives iff its visible text has ≥ ``min_text_chars`` chars
+    AND link-anchor text is ≤ ``max_link_pct`` percent of it (integer
+    cross-multiplication — engine-exact).  ``n_blocks`` counts non-empty
+    blocks only, so engines' differing empty-split semantics can't leak
+    into the result.  Anchors cut by a block boundary simply don't count
+    as link text — the shallow-feature trade, not a bug.  Scan-side
+    Catalyst throughout (split / transform / filter), fan-out = blocks
+    per document.
+    """
+
+    def _collapse(c: Column) -> Column:
+        return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+    def _vis(b: Column) -> Column:
+        return _collapse(F.regexp_replace(b, r"(?s)<[^>]+>", " "))
+
+    def _link_len(b: Column) -> Column:
+        joined = F.array_join(
+            F.regexp_extract_all(b, F.lit(r"(?is)<a[^>]*>(.*?)</a>"), 1), " "
+        )
+        return F.length(_collapse(F.regexp_replace(joined, r"(?s)<[^>]+>", " ")))
+
+    cleaned = F.regexp_replace(
+        F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " "),
+        r"(?is)<style[^>]*>.*?</style>",
+        " ",
+    )
+    scored = F.transform(
+        F.split(cleaned, _BLOCK_SPLIT),
+        lambda b: F.struct(_vis(b).alias("t"), _link_len(b).alias("ll")),
+    )
+    nonempty = F.filter(scored, lambda s: F.length(s["t"]) > 0)
+    kept = F.filter(
+        nonempty,
+        lambda s: (F.length(s["t"]) >= F.lit(min_text_chars))
+        & (s["ll"] * 100 <= F.length(s["t"]) * F.lit(max_link_pct)),
+    )
+    return F.struct(
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("content"),
+        F.size(nonempty).cast("long").alias("n_blocks"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )

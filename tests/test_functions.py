@@ -933,3 +933,47 @@ class TestRobotsTtl:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestBlockDensity:
+    def test_chrome_drops_content_survives(self, spark):
+        from cex_crawler_spark.functions.text import block_density_extract
+
+        html = (
+            '<div><a href="/a">Home</a> <a href="/b">News</a> '
+            '<a href="/c">About</a></div>'
+            "<p>This paragraph carries the actual substance of the page "
+            "and easily clears the minimum length bar.</p>"
+            '<p>See <a href="/d">the report</a> for the quarterly numbers '
+            "discussed at length in this section of the article.</p>"
+            "<p>stub9</p>"
+            '<div><a href="/p">Privacy</a> <a href="/t">Terms</a></div>'
+            "<script>var x = 'this script text must never count';</script>"
+        )
+        df = spark.createDataFrame([(html,)], "html string")
+        s = block_density_extract(F.col("html"))
+        r = df.select(
+            s["content"].alias("c"), s["n_blocks"].alias("nb"),
+            s["n_kept"].alias("nk"),
+        ).first()
+        assert "actual substance" in r["c"]
+        assert "the report" in r["c"]  # in-content links survive
+        assert "Home" not in r["c"] and "Privacy" not in r["c"]
+        assert "script text" not in r["c"]
+        assert "stub9" not in r["c"]  # short block dropped
+        assert r["nk"] == 2
+        assert r["nb"] >= 4
+
+    def test_link_density_boundary(self, spark):
+        """A long block that is MOSTLY links still drops (related-links
+        boxes); the 30% bar uses integer cross-multiplication."""
+        from cex_crawler_spark.functions.text import block_density_extract
+
+        linkbox = "<p>" + " ".join(
+            f'<a href="/{i}">related article number {i} goes here</a>'
+            for i in range(6)
+        ) + "</p>"
+        df = spark.createDataFrame([(linkbox,)], "html string")
+        s = block_density_extract(F.col("html"))
+        r = df.select(s["n_kept"].alias("nk"), s["n_blocks"].alias("nb")).first()
+        assert r["nb"] == 1 and r["nk"] == 0
