@@ -3687,6 +3687,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_block_density"] = doc_block_density
 
+    def robots_policy_delta(spark, sf):
+        """Robots verdict delta after a rules refetch (functions/
+        robots.py robots_policy_delta): newly_blocked URLs stop being
+        scheduled, newly_allowed ones requeue — two broadcast dim joins
+        + the scheduler's scan-side prefix exists, no data shuffle."""
+        from cex_crawler_spark.functions.robots import robots_policy_delta
+
+        sid = F.col("id")
+        frontier = spark.range(1200).select(
+            F.format_string("h%d", sid % 3).alias("host"),
+            F.when(
+                sid % 5 == 0,
+                F.format_string("https://h%d/private/%d", sid % 3, sid),
+            )
+            .when(
+                sid % 5 == 1,
+                F.format_string("https://h%d/beta/%d", sid % 3, sid),
+            )
+            .otherwise(F.format_string("https://h%d/p/%d", sid % 3, sid))
+            .alias("url"),
+        )
+        old = spark.createDataFrame(
+            [("h0", ["/private/"]), ("h1", ["/private/", "/beta/"]),
+             ("h2", [])],
+            "host string, robots_disallow array<string>",
+        )
+        new = spark.createDataFrame(
+            [("h0", ["/private/", "/beta/"]), ("h1", ["/private/"]),
+             ("h2", [])],
+            "host string, robots_disallow array<string>",
+        )
+        return (
+            robots_policy_delta(frontier, old, new)
+            .select("host", "url", "old_blocked", "new_blocked", "delta")
+            .orderBy("host", "url")
+        )
+
+    q["robots_policy_delta"] = robots_policy_delta
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -6723,6 +6762,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(ne) AS BIGINT) AS n_blocks,
                CAST(len(kept) AS BIGINT) AS n_kept
         FROM k ORDER BY doc_id
+    """
+
+    # robots_policy_delta: both verdict evaluations replayed with list
+    # lambdas over VALUES policy dims.
+    o["robots_policy_delta"] = """
+        WITH fr AS (
+          SELECT printf('h%d', sid % 3) AS host,
+                 CASE WHEN sid % 5 = 0
+                        THEN printf('https://h%d/private/%d', sid % 3, sid)
+                      WHEN sid % 5 = 1
+                        THEN printf('https://h%d/beta/%d', sid % 3, sid)
+                      ELSE printf('https://h%d/p/%d', sid % 3, sid)
+                 END AS url
+          FROM (SELECT range AS sid FROM range(1200))
+        ),
+        oldp AS (
+          SELECT * FROM (VALUES
+            ('h0', ['/private/']), ('h1', ['/private/', '/beta/']),
+            ('h2', CAST([] AS VARCHAR[]))) AS t(host, dis)
+        ),
+        newp AS (
+          SELECT * FROM (VALUES
+            ('h0', ['/private/', '/beta/']), ('h1', ['/private/']),
+            ('h2', CAST([] AS VARCHAR[]))) AS t(host, dis)
+        ),
+        ev AS (
+          SELECT f.host, f.url,
+                 regexp_extract(f.url,
+                   '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                 o.dis AS od, n.dis AS nd
+          FROM fr f
+          LEFT JOIN oldp o ON f.host = o.host
+          LEFT JOIN newp n ON f.host = n.host
+        ),
+        v AS (
+          SELECT host, url,
+                 coalesce(len(list_filter(od,
+                   p -> starts_with(path, p))) > 0, FALSE) AS old_blocked,
+                 coalesce(len(list_filter(nd,
+                   p -> starts_with(path, p))) > 0, FALSE) AS new_blocked
+          FROM ev
+        )
+        SELECT host, url, old_blocked, new_blocked,
+               CASE WHEN NOT old_blocked AND new_blocked
+                      THEN 'newly_blocked'
+                    WHEN old_blocked AND NOT new_blocked
+                      THEN 'newly_allowed' END AS delta
+        FROM v ORDER BY host, url
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

@@ -341,3 +341,72 @@ def robots_refetch_due(
         age.alias("age_s"),
         (age >= ttl).alias("refetch_due"),
     )
+
+
+def robots_policy_delta(
+    frontier,
+    old_policy,
+    new_policy,
+    host_col: str = "host",
+    url_col: str = "url",
+):
+    """Verdict delta after a robots refetch — the action side of the
+    cache-TTL screen (robots_refetch_due): when a host's rules change,
+    the standing frontier's verdicts are stale in BOTH directions.
+    ``newly_blocked`` URLs must stop being scheduled (their robots pass
+    was granted under the old rules); ``newly_allowed`` URLs were
+    prefix-blocked at enqueue time and deserve a requeue (the
+    plans/driver.requeue un-see path is the committing twin of this
+    projection).
+
+    Both policies are (host, robots_disallow array) dims riding ONE
+    broadcast join each; the verdicts are the scheduler's own scan-side
+    prefix ``exists`` — per-row work is two bounded array scans, no
+    shuffle beyond the broadcasts.  Returns the frontier annotated with
+    (old_blocked, new_blocked, delta) where delta ∈ {'newly_blocked',
+    'newly_allowed', NULL}.
+    """
+    from pyspark.sql import functions as F
+
+    def _blocked(policy, flag):
+        return policy.select(
+            F.col(host_col).alias(f"__h_{flag}"),
+            F.col("robots_disallow").alias(f"__dis_{flag}"),
+        )
+
+    path = F.regexp_extract(
+        F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    d = (
+        frontier.join(
+            F.broadcast(_blocked(old_policy, "old")),
+            frontier[host_col] == F.col("__h_old"),
+            "left",
+        )
+        .join(
+            F.broadcast(_blocked(new_policy, "new")),
+            frontier[host_col] == F.col("__h_new"),
+            "left",
+        )
+        .withColumn("__path", path)
+    )
+    def _hit(col):
+        return F.coalesce(
+            F.exists(F.col(col), lambda p: F.startswith(F.col("__path"), p)),
+            F.lit(False),
+        )
+    return (
+        d.withColumn("old_blocked", _hit("__dis_old"))
+        .withColumn("new_blocked", _hit("__dis_new"))
+        .withColumn(
+            "delta",
+            F.when(
+                ~F.col("old_blocked") & F.col("new_blocked"),
+                F.lit("newly_blocked"),
+            ).when(
+                F.col("old_blocked") & ~F.col("new_blocked"),
+                F.lit("newly_allowed"),
+            ),
+        )
+        .drop("__h_old", "__h_new", "__dis_old", "__dis_new", "__path")
+    )

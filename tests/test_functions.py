@@ -977,3 +977,33 @@ class TestBlockDensity:
         s = block_density_extract(F.col("html"))
         r = df.select(s["n_kept"].alias("nk"), s["n_blocks"].alias("nb")).first()
         assert r["nb"] == 1 and r["nk"] == 0
+
+
+class TestRobotsPolicyDelta:
+    def test_both_directions_and_unpoliced(self, spark):
+        from cex_crawler_spark.functions.robots import robots_policy_delta
+
+        frontier = spark.createDataFrame(
+            [
+                ("h", "https://h/private/1"),
+                ("h", "https://h/beta/2"),
+                ("h", "https://h/open/3"),
+                ("x", "https://x/anything"),
+            ],
+            "host string, url string",
+        )
+        old = spark.createDataFrame(
+            [("h", ["/private/"])], "host string, robots_disallow array<string>"
+        )
+        new = spark.createDataFrame(
+            [("h", ["/beta/"])], "host string, robots_disallow array<string>"
+        )
+        got = {
+            r["url"]: (r["old_blocked"], r["new_blocked"], r["delta"])
+            for r in robots_policy_delta(frontier, old, new).collect()
+        }
+        assert got["https://h/private/1"] == (True, False, "newly_allowed")
+        assert got["https://h/beta/2"] == (False, True, "newly_blocked")
+        assert got["https://h/open/3"] == (False, False, None)
+        # host absent from BOTH policy dims: never blocked, no delta
+        assert got["https://x/anything"] == (False, False, None)
