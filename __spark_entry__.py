@@ -3726,6 +3726,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_policy_delta"] = robots_policy_delta
 
+    def canonical_link_collapse(spark, sf):
+        """rel=canonical alias collapse (operators/linkgraph.py
+        canonical_hints + collapse_by_canonical): the site's own alias
+        verdict (RFC 6596) — both attribute orders extracted RE2-safely,
+        root-relative hrefs resolved, families collapsed by one
+        min-struct aggregate (canonical row preferred as kept)."""
+        from cex_crawler_spark.operators.linkgraph import (
+            canonical_hints,
+            collapse_by_canonical,
+        )
+
+        sid = F.col("id")
+        g = sid % 40
+        v = F.floor(sid / 40)
+        url = (
+            F.when(v == 0, F.format_string("https://c.com/art/%d", g))
+            .when(
+                v % 3 != 0,
+                F.format_string("https://c.com/art/%d?ref=%d", g, v),
+            )
+            .otherwise(F.format_string("https://c.com/alone/%d-%d", g, v))
+        )
+        html = (
+            F.when(
+                v == 0,
+                F.format_string(
+                    '<html><link rel="canonical" href="/art/%d">body</html>',
+                    g,
+                ),
+            )
+            .when(
+                (v % 3 == 1),
+                F.format_string(
+                    '<html><link rel="canonical" href="/art/%d">alias</html>',
+                    g,
+                ),
+            )
+            .when(
+                (v % 3 == 2),
+                F.format_string(
+                    '<html><link href="https://c.com/art/%d"'
+                    ' rel="canonical">alias</html>',
+                    g,
+                ),
+            )
+            .otherwise(F.lit("<html>standalone page, no hint</html>"))
+        )
+        pages = spark.range(600).select(
+            url.alias("url"), html.alias("html")
+        )
+        return collapse_by_canonical(canonical_hints(pages)).orderBy(
+            "canonical_target"
+        )
+
+    q["canonical_link_collapse"] = canonical_link_collapse
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -6810,6 +6866,59 @@ def oracle_sql() -> dict[str, str]:
                     WHEN old_blocked AND NOT new_blocked
                       THEN 'newly_allowed' END AS delta
         FROM v ORDER BY host, url
+    """
+
+    # canonical_link_collapse: both attribute-order regexps + resolve +
+    # argmin replay (row_number over (not-self, url)).
+    o["canonical_link_collapse"] = """
+        WITH pages AS (
+          SELECT CASE WHEN v = 0 THEN printf('https://c.com/art/%d', g)
+                      WHEN v % 3 <> 0
+                        THEN printf('https://c.com/art/%d?ref=%d', g, v)
+                      ELSE printf('https://c.com/alone/%d-%d', g, v)
+                 END AS url,
+                 CASE WHEN v = 0 THEN printf(
+                        '<html><link rel="canonical" href="/art/%d">body</html>', g)
+                      WHEN v % 3 = 1 THEN printf(
+                        '<html><link rel="canonical" href="/art/%d">alias</html>', g)
+                      WHEN v % 3 = 2 THEN printf(
+                        '<html><link href="https://c.com/art/%d" rel="canonical">alias</html>', g)
+                      ELSE '<html>standalone page, no hint</html>'
+                 END AS html
+          FROM (SELECT range % 40 AS g, range // 40 AS v FROM range(600))
+        ),
+        h AS (
+          SELECT url,
+                 coalesce(
+                   nullif(regexp_extract(html,
+                     '(?is)<link[^>]*rel\\s*=\\s*["'']canonical["''][^>]*href\\s*=\\s*["'']([^"'']+)["'']', 1), ''),
+                   nullif(regexp_extract(html,
+                     '(?is)<link[^>]*href\\s*=\\s*["'']([^"'']+)["''][^>]*rel\\s*=\\s*["'']canonical["'']', 1), '')
+                 ) AS hint,
+                 regexp_extract(url, '^([a-z][a-z0-9+.-]*://[^/?#]*)', 1)
+                   AS origin
+          FROM pages
+        ),
+        t AS (
+          SELECT url,
+                 CASE WHEN hint IS NULL THEN url
+                      WHEN starts_with(hint, '/') THEN origin || hint
+                      ELSE hint END AS canonical_target
+          FROM h
+        ),
+        r AS (
+          SELECT canonical_target, url,
+                 count(*) OVER (PARTITION BY canonical_target) AS n_aliases,
+                 row_number() OVER (
+                   PARTITION BY canonical_target
+                   ORDER BY CASE WHEN url = canonical_target
+                                 THEN 0 ELSE 1 END, url) AS rk
+          FROM t
+        )
+        SELECT canonical_target,
+               CAST(n_aliases AS BIGINT) AS n_aliases,
+               url AS kept_url
+        FROM r WHERE rk = 1 ORDER BY canonical_target
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

@@ -420,3 +420,68 @@ def resolve_redirects(
     )
     e.unpersist()
     return out
+
+
+# rel=canonical extraction: attribute order varies in the wild and RE2
+# (the oracle engine) has no lookahead, so the two orderings are two
+# alternations coalesced — misses pathological multi-line attribute
+# soup, the shallow-feature trade.
+_CANON_REL_HREF = (
+    r"""(?is)<link[^>]*rel\s*=\s*["']canonical["'][^>]*"""
+    r"""href\s*=\s*["']([^"']+)["']"""
+)
+_CANON_HREF_REL = (
+    r"""(?is)<link[^>]*href\s*=\s*["']([^"']+)["'][^>]*"""
+    r"""rel\s*=\s*["']canonical["']"""
+)
+
+
+def canonical_hints(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Annotate fetched pages with the site's OWN alias verdict — the
+    ``<link rel="canonical">`` hint (RFC 6596): the third
+    canonicalization signal beside learned DUST rules (statistical) and
+    redirect resolution (protocol-level).  A page declaring a canonical
+    different from its fetch URL is the site saying "this URL is an
+    alias" — the frontier should count the page against the canonical
+    and stop re-fetching the alias family.
+
+    ``canonical_hint``: the raw href (NULL when absent); ``canonical_
+    target``: resolved — root-relative hrefs resolve against the fetch
+    URL's scheme+host, absolute pass through, NULL falls back to the
+    fetch URL itself.  Pure scan-side regexps, RE2-safe (no lookahead:
+    both attribute orders are explicit alternatives).
+    """
+    html, url = F.col(html_col), F.col(url_col)
+    hint = F.coalesce(
+        F.nullif(F.regexp_extract(html, _CANON_REL_HREF, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html, _CANON_HREF_REL, 1), F.lit("")),
+    )
+    origin = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
+    resolved = F.when(
+        hint.isNull(), url
+    ).when(
+        F.startswith(hint, F.lit("/")), F.concat(origin, hint)
+    ).otherwise(hint)
+    return pages.withColumn("canonical_hint", hint).withColumn(
+        "canonical_target", resolved
+    )
+
+
+def collapse_by_canonical(hinted: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per canonical target: alias-family size and the kept row (the
+    canonical itself when fetched, else the smallest alias URL — a
+    deterministic stand-in until the canonical is crawled).  One
+    map-combinable min-struct aggregate on the target key."""
+    return hinted.groupBy("canonical_target").agg(
+        F.count("*").alias("n_aliases"),
+        F.min(
+            F.struct(
+                (F.col(url_col) != F.col("canonical_target")).cast("int").alias(
+                    "not_self"
+                ),
+                F.col(url_col).alias("u"),
+            )
+        )["u"].alias("kept_url"),
+    )

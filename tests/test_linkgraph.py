@@ -265,3 +265,43 @@ def test_demote_trapped_defaults_missing_priority(spark):
     traps = spark.createDataFrame([("t.com",)], ["host"])
     out = {r["url"]: r["priority"] for r in demote_trapped(frontier, traps, penalty=7).collect()}
     assert out == {"u1": 7, "u2": 0}
+
+
+class TestCanonicalHints:
+    def test_orders_resolution_and_kept_preference(self, spark):
+        from cex_crawler_spark.operators.linkgraph import (
+            canonical_hints,
+            collapse_by_canonical,
+        )
+
+        pages = spark.createDataFrame(
+            [
+                # canonical page, self-declared (relative href)
+                ("https://s.com/a", '<link rel="canonical" href="/a">x'),
+                # alias, rel-then-href
+                ("https://s.com/a?sid=1", '<link rel="canonical" href="/a">'),
+                # alias, href-then-rel, absolute
+                ("https://s.com/a?sid=2",
+                 '<link href="https://s.com/a" rel="canonical">'),
+                # no hint at all
+                ("https://s.com/b", "<html>plain</html>"),
+                # alias family whose canonical was NEVER fetched
+                ("https://s.com/c?x=2", '<link rel="canonical" href="/c">'),
+                ("https://s.com/c?x=1", '<link rel="canonical" href="/c">'),
+            ],
+            "url string, html string",
+        )
+        hinted = canonical_hints(pages)
+        tgt = {r["url"]: r["canonical_target"] for r in hinted.collect()}
+        assert tgt["https://s.com/a?sid=1"] == "https://s.com/a"
+        assert tgt["https://s.com/a?sid=2"] == "https://s.com/a"
+        assert tgt["https://s.com/b"] == "https://s.com/b"
+        got = {
+            r["canonical_target"]: (r["n_aliases"], r["kept_url"])
+            for r in collapse_by_canonical(hinted).collect()
+        }
+        # fetched canonical preferred as kept even though aliases sort lower
+        assert got["https://s.com/a"] == (3, "https://s.com/a")
+        assert got["https://s.com/b"] == (1, "https://s.com/b")
+        # unfetched canonical: smallest alias stands in
+        assert got["https://s.com/c"] == (2, "https://s.com/c?x=1")
