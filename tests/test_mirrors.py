@@ -75,3 +75,52 @@ def test_demote_mirrors_sinks_aliases_only(spark):
     bare = frontier.drop("priority")
     got0 = {r["host"]: r["priority"] for r in demote_mirrors(bare, clusters).collect()}
     assert got0 == {"m00": 0, "m01": 100, "m09": 0}
+
+
+def test_composition_full_alias_stack(spark):
+    """End-to-end composition: DUST strip collapses param aliases,
+    mirror clusters fold clone hosts, demote_mirrors sinks the alias
+    hosts' remaining URLs behind every healthy priority level — the
+    frontier a scheduler then consumes has (a) canonical URLs, (b)
+    canonical hosts first."""
+    import __spark_entry__ as e
+    from cex_crawler_spark.operators.dust import (
+        param_significance,
+        strip_learned_params,
+    )
+    from cex_crawler_spark.operators.mirrors import (
+        demote_mirrors,
+        mirror_clusters,
+        mirror_host_pairs,
+    )
+
+    log = e.gen_sim_alias_log(spark)
+    rules = param_significance(log, min_groups=3)
+    stripped = strip_learned_params(log, rules)
+    clusters = mirror_clusters(
+        mirror_host_pairs(
+            stripped, min_shared=10, min_containment_pct=90,
+            max_hosts_per_digest=8,
+        )
+    )
+    frontier = stripped.select(
+        "host", F.col("canonical_url").alias("url")
+    ).distinct()
+    out = demote_mirrors(frontier, clusters, penalty=100)
+    by_host = {
+        r["host"]: r["priority"]
+        for r in out.groupBy("host").agg(
+            F.max("priority").alias("priority")
+        ).collect()
+    }
+    # canonical mirror member + the unmirrored host stay at level 0;
+    # the clone host sinks
+    assert by_host["w0.site.com"] == 0
+    assert by_host["unique.org"] == 0
+    assert by_host["w1.site.com"] == 100
+    # and the stripped frontier is already collapsed to true pages/host
+    counts = {
+        r["host"]: r["n"]
+        for r in frontier.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"w0.site.com": 40, "w1.site.com": 40, "unique.org": 50}
