@@ -3782,6 +3782,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["canonical_link_collapse"] = canonical_link_collapse
 
+    def crawl_conditional_plan(spark, sf):
+        """HTTP conditional-request planning (operators/recrawl.py
+        conditional_fetch_plan): validator-bearing URLs expect header +
+        P(changed)×body bytes (CGM staleness model), validator-less
+        re-fetches pay the full body, unseen URLs a default — the
+        revalidation tier that lets one byte budget cover several× more
+        URLs; one url-keyed hash join, floats only at the permille
+        grid."""
+        from cex_crawler_spark.operators.recrawl import conditional_fetch_plan
+
+        sid = F.col("id")
+        hist = gen_sim_fetch_history(spark)
+        prior = hist.withColumn(
+            "__sid", F.substring("url_id", 4, 8).cast("long")
+        ).select(
+            "url_id", "n_visits", "n_changed", "interval_days", "age_days",
+            (F.col("__sid") % 3 != 0).alias("has_validators"),
+            (2000 + (F.col("__sid") * 48271) % 30000).alias("content_bytes"),
+        )
+        cand = spark.range(3500).select(
+            F.format_string("url%08d", sid).alias("url_id")
+        )
+        return (
+            conditional_fetch_plan(cand, prior)
+            .select("url_id", "kind", "p_permille", "est_bytes")
+            .orderBy("url_id")
+        )
+
+    q["crawl_conditional_plan"] = crawl_conditional_plan
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -6919,6 +6949,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_aliases AS BIGINT) AS n_aliases,
                url AS kept_url
         FROM r WHERE rk = 1 ORDER BY canonical_target
+    """
+
+    # crawl_conditional_plan: CGM p_stale to the permille grid, then
+    # all-integer byte expectations.
+    o["crawl_conditional_plan"] = f"""
+        WITH {_sim_history_sql()},
+        prior AS (
+          SELECT url_id, n_visits, n_changed, interval_days, age_days,
+                 CAST(substr(url_id, 4, 8) AS BIGINT) % 3 <> 0
+                   AS has_validators,
+                 2000 + (CAST(substr(url_id, 4, 8) AS BIGINT) * 48271)
+                   % 30000 AS content_bytes
+          FROM sim_history
+        ),
+        cand AS (
+          SELECT printf('url%08d', sid) AS url_id
+          FROM (SELECT range AS sid FROM range(3500))
+        ),
+        j AS (
+          SELECT c.url_id, p.url_id AS purl, p.has_validators,
+                 p.content_bytes,
+                 CASE WHEN p.url_id IS NOT NULL AND p.has_validators THEN
+                   CAST(round((1 - exp(-(-ln((p.n_visits - p.n_changed + 0.5)
+                     / (p.n_visits + 0.5)) / p.interval_days)
+                     * p.age_days)) * 1000) AS BIGINT)
+                 END AS p_permille
+          FROM cand c LEFT JOIN prior p ON c.url_id = p.url_id
+        )
+        SELECT url_id,
+               CASE WHEN purl IS NULL THEN 'full_unseen'
+                    WHEN has_validators THEN 'conditional'
+                    ELSE 'full_refetch' END AS kind,
+               p_permille,
+               CASE WHEN purl IS NULL THEN 4096
+                    WHEN has_validators
+                      THEN 300 + (p_permille * content_bytes) // 1000
+                    ELSE content_bytes END AS est_bytes
+        FROM j ORDER BY url_id
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

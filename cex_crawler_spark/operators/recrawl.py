@@ -226,3 +226,75 @@ def apply_adaptive_delay(
             F.coalesce(F.col("delay_ms"), F.lit(0).cast("long")),
         ),
     ).drop("delay_ms")
+
+
+def conditional_fetch_plan(
+    candidates: DataFrame,
+    prior: DataFrame,
+    url_col: str = "url_id",
+    header_bytes: int = 300,
+    default_bytes: int = 4096,
+) -> DataFrame:
+    """Expected-bytes plan under HTTP conditional requests — the
+    revalidation tier of bandwidth budgeting: a URL whose prior fetch
+    carried validators (ETag / Last-Modified) re-fetches with
+    If-None-Match / If-Modified-Since and downloads a body ONLY if it
+    changed, so its expected cost is ``header + P(changed) × body``
+    with P(changed) from the crawl's own revisit history (the CGM
+    staleness model, :func:`change_rate_priorities`) — not the full
+    body every round.  Feeding these into
+    :func:`~cex_crawler_spark.operators.allocation.take_byte_budget`
+    is what lets one byte budget cover several× more URLs on a
+    validator-friendly corpus.
+
+    ``prior`` rows: (url, has_validators boolean, content_bytes long,
+    n_visits, n_changed, interval_days, age_days).  Kinds emitted:
+    ``conditional`` (validators present — expected-cost formula),
+    ``full_refetch`` (seen, no validators — full body again),
+    ``full_unseen`` (no history — ``default_bytes``).
+
+    The float appears ONLY as ``p_permille = round(p_stale·1000)``; the
+    byte expectation is then integer arithmetic (``header + permille·
+    body div 1000``), so verdicts replay bit-identically given the
+    engines agree on p_stale to 1e-3 — the same tolerance class the
+    recrawl oracle already proved.  One url-keyed hash join; everything
+    else scan-side.
+    """
+    p = prior.select(
+        F.col(url_col).alias("__purl"),
+        "has_validators",
+        "content_bytes",
+        "n_visits",
+        "n_changed",
+        "interval_days",
+        "age_days",
+    )
+    d = candidates.join(p, candidates[url_col] == F.col("__purl"), "left")
+    lam = change_rate(
+        F.col("n_visits"), F.col("n_changed"), F.col("interval_days")
+    )
+    p_stale = staleness_probability(lam, F.col("age_days"))
+    permille = F.round(p_stale * 1000).cast("long")
+    kind = (
+        F.when(F.col("__purl").isNull(), F.lit("full_unseen"))
+        .when(F.col("has_validators"), F.lit("conditional"))
+        .otherwise(F.lit("full_refetch"))
+    )
+    est = (
+        F.when(F.col("__purl").isNull(), F.lit(default_bytes).cast("long"))
+        .when(
+            F.col("has_validators"),
+            F.lit(header_bytes)
+            + F.expr(f"(p_permille * content_bytes) div 1000"),
+        )
+        .otherwise(F.col("content_bytes"))
+    )
+    return (
+        d.withColumn("p_permille", F.when(F.col("has_validators"), permille))
+        .withColumn("kind", kind)
+        .withColumn("est_bytes", est)
+        .drop(
+            "__purl", "has_validators", "content_bytes", "n_visits",
+            "n_changed", "interval_days", "age_days",
+        )
+    )

@@ -252,3 +252,41 @@ def test_apply_adaptive_delay_only_slows_never_speeds(spark):
     # the dim keeps its full shape: other policy columns ride through
     assert got["b"]["max_concurrency"] == 5
     assert set(out.columns) == {"host", "min_delay_ms", "max_concurrency"}
+
+
+class TestConditionalPlan:
+    def test_kinds_and_byte_expectations(self, spark):
+        from cex_crawler_spark.operators.recrawl import conditional_fetch_plan
+
+        prior = spark.createDataFrame(
+            [
+                # never changed in 9 visits → p_stale ≈ 0 → ~header only
+                ("u_cold", True, 10000, 9, 0, 1, 1),
+                # changed every visit → p_stale ≈ 1 → header + body
+                ("u_hot", True, 10000, 9, 9, 1, 30),
+                # seen but no validators → full body
+                ("u_noval", False, 7777, 5, 2, 2, 3),
+            ],
+            "url_id string, has_validators boolean, content_bytes long,"
+            " n_visits long, n_changed long, interval_days long,"
+            " age_days long",
+        )
+        cand = spark.createDataFrame(
+            [("u_cold",), ("u_hot",), ("u_noval",), ("u_new",)],
+            "url_id string",
+        )
+        got = {
+            r["url_id"]: r.asDict()
+            for r in conditional_fetch_plan(cand, prior).collect()
+        }
+        assert got["u_new"]["kind"] == "full_unseen"
+        assert got["u_new"]["est_bytes"] == 4096
+        assert got["u_noval"]["kind"] == "full_refetch"
+        assert got["u_noval"]["est_bytes"] == 7777
+        cold, hot = got["u_cold"], got["u_hot"]
+        assert cold["kind"] == hot["kind"] == "conditional"
+        # cold page: expected cost ≈ the header
+        assert cold["est_bytes"] < 300 + 1000
+        # hot page: expected cost ≈ header + whole body
+        assert hot["est_bytes"] > 300 + 9900
+        assert 0 <= cold["p_permille"] < 100 < 990 <= hot["p_permille"] <= 1000
