@@ -3812,6 +3812,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_conditional_plan"] = crawl_conditional_plan
 
+    def sitemap_changefreq_trust(spark, sf):
+        """Changefreq honesty screen (sources/sitemap.py
+        sitemap_changefreq_trust): observed inter-change interval from
+        the revisit history vs the sitemap's declaration, slack-banded
+        integer verdicts — lastmod-based pruning is only safe on
+        'consistent' hosts."""
+        from cex_crawler_spark.sources.sitemap import sitemap_changefreq_trust
+
+        sid = F.col("id")
+        k = sid % 5
+        hist = spark.range(500).select(
+            F.format_string("h%d", k).alias("host"),
+            F.lit(10).cast("long").alias("n_visits"),
+            F.when(k == 0, 10)
+            .when(k == 1, F.when(sid % 50 == k, 1).otherwise(0))
+            .when(k == 2, 10)
+            .when(k == 3, 0)
+            .otherwise(10)
+            .cast("long")
+            .alias("n_changed"),
+            F.lit(1).cast("long").alias("interval_days"),
+        )
+        declared = spark.createDataFrame(
+            [("h0", "daily"), ("h1", "hourly"), ("h2", "monthly"),
+             ("h3", "daily"), ("h4", "always")],
+            "host string, changefreq string",
+        )
+        return sitemap_changefreq_trust(hist, declared).orderBy("host")
+
+    q["sitemap_changefreq_trust"] = sitemap_changefreq_trust
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -6987,6 +7018,53 @@ def oracle_sql() -> dict[str, str]:
                       THEN 300 + (p_permille * content_bytes) // 1000
                     ELSE content_bytes END AS est_bytes
         FROM j ORDER BY url_id
+    """
+
+    # sitemap_changefreq_trust: integer rollup + slack-band verdicts.
+    o["sitemap_changefreq_trust"] = """
+        WITH hist AS (
+          SELECT printf('h%d', k) AS host,
+                 10 AS n_visits,
+                 CASE k WHEN 0 THEN 10
+                        WHEN 1 THEN CASE WHEN sid % 50 = k THEN 1 ELSE 0 END
+                        WHEN 2 THEN 10
+                        WHEN 3 THEN 0
+                        ELSE 10 END AS n_changed,
+                 1 AS interval_days
+          FROM (SELECT range AS sid, range % 5 AS k FROM range(500))
+        ),
+        dec AS (
+          SELECT * FROM (VALUES
+            ('h0', 24000), ('h1', 1000), ('h2', 720000),
+            ('h3', 24000), ('h4', 0)) AS t(host, declared_hours_permille)
+        ),
+        roll AS (
+          SELECT host,
+                 CAST(sum(n_visits) AS BIGINT) AS n_visits,
+                 CAST(sum(n_changed) AS BIGINT) AS n_changes,
+                 sum(interval_days * n_visits) AS obs_days
+          FROM hist GROUP BY host
+        ),
+        j AS (
+          SELECT r.*, d.declared_hours_permille,
+                 CASE WHEN n_changes > 0
+                      THEN (1000 * 24 * obs_days) // n_changes
+                 END AS observed_hours_permille
+          FROM roll r JOIN dec d ON r.host = d.host
+        )
+        SELECT host, n_visits, n_changes,
+               CAST(observed_hours_permille AS BIGINT)
+                 AS observed_hours_permille,
+               CAST(declared_hours_permille AS BIGINT)
+                 AS declared_hours_permille,
+               CASE WHEN n_visits < 50 THEN 'unjudged'
+                    WHEN n_changes = 0 THEN 'overstated'
+                    WHEN observed_hours_permille
+                         > 4 * declared_hours_permille THEN 'overstated'
+                    WHEN 4 * observed_hours_permille
+                         < declared_hours_permille THEN 'understated'
+                    ELSE 'consistent' END AS verdict
+        FROM j ORDER BY host
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

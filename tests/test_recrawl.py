@@ -290,3 +290,37 @@ class TestConditionalPlan:
         # hot page: expected cost ≈ header + whole body
         assert hot["est_bytes"] > 300 + 9900
         assert 0 <= cold["p_permille"] < 100 < 990 <= hot["p_permille"] <= 1000
+
+
+class TestChangefreqTrust:
+    def test_verdicts_and_unjudged_guard(self, spark):
+        from cex_crawler_spark.sources.sitemap import sitemap_changefreq_trust
+
+        hist = spark.createDataFrame(
+            [
+                # honest daily host: 100 visits at 1-day spacing, ~all changed
+                ("honest", 100, 100, 1),
+                # liar: claims hourly, changed once in 100 days
+                ("liar", 100, 1, 1),
+                # shy: claims yearly, changes daily
+                ("shy", 100, 100, 1),
+                # tiny host: 3 visits — never judged
+                ("tiny", 3, 0, 1),
+            ],
+            "host string, n_visits long, n_changed long, interval_days long",
+        )
+        declared = spark.createDataFrame(
+            [("honest", "daily"), ("liar", "hourly"), ("shy", "yearly"),
+             ("tiny", "daily")],
+            "host string, changefreq string",
+        )
+        got = {
+            r["host"]: r["verdict"]
+            for r in sitemap_changefreq_trust(hist, declared).collect()
+        }
+        assert got == {
+            "honest": "consistent",
+            "liar": "overstated",
+            "shy": "understated",
+            "tiny": "unjudged",
+        }
