@@ -3843,6 +3843,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_changefreq_trust"] = sitemap_changefreq_trust
 
+    def crawl_soft404_screen(spark, sf):
+        """Soft-404 / error-template screen (operators/traps.py
+        soft404_suspects): one digest carried by many DISTINCT URLs on
+        ONE host = a 200-status error template poisoning the corpus —
+        the within-host axis beside mirrors (cross-host) and dup spans
+        (substrings); dedup_exact's aggregate shape."""
+        from cex_crawler_spark.operators.traps import soft404_suspects
+
+        sid = F.col("id")
+        k = sid % 4
+        i = F.floor(sid / 4)
+        # h0: healthy (unique digests); h1: 150 dead URLs → ONE template
+        # digest + some real pages; h2: popular page under 5 aliases
+        # (below the bar); h3: healthy
+        digest = (
+            F.when(k == 1, F.when(i < 150, F.lit("tmpl")).otherwise(
+                F.format_string("real1-%d", i)))
+            .when((k == 2) & (i < 5), F.lit("popular"))
+            .otherwise(F.format_string("ok%d-%d", k, i))
+        )
+        pages = spark.range(1200).select(
+            F.format_string("h%d", k).alias("host"),
+            F.format_string("https://h%d/u/%d", k, i).alias("url"),
+            F.md5(digest).alias("digest"),
+        )
+        return soft404_suspects(pages, min_urls=20).orderBy(
+            "host", "digest"
+        )
+
+    q["crawl_soft404_screen"] = crawl_soft404_screen
+
+    def webdataset_manifest(spark, sf):
+        """Shard integrity manifest (operators/packing.py
+        shard_manifest): per-shard sample count, byte total, and the md5
+        of the idx-ordered id list — the loader-side receipt that a
+        re-derived export is provably the shipped one; bounded
+        collect_list (never corpus-sized), no window."""
+        from cex_crawler_spark.operators.packing import (
+            assign_shards,
+            shard_manifest,
+        )
+
+        imgs = gen_sim_images(spark).withColumn(
+            "cap_bytes", F.length("caption").cast("long")
+        )
+        sharded = assign_shards(imgs, "image_id", samples_per_shard=256)
+        return shard_manifest(
+            sharded, "image_id", bytes_col="cap_bytes"
+        ).orderBy("shard_id")
+
+    q["webdataset_manifest"] = webdataset_manifest
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -7065,6 +7117,49 @@ def oracle_sql() -> dict[str, str]:
                          < declared_hours_permille THEN 'understated'
                     ELSE 'consistent' END AS verdict
         FROM j ORDER BY host
+    """
+
+    # crawl_soft404_screen: direct replay of the (host, digest) rollup.
+    o["crawl_soft404_screen"] = """
+        WITH pages AS (
+          SELECT printf('h%d', k) AS host,
+                 printf('https://h%d/u/%d', k, i) AS url,
+                 md5(CASE WHEN k = 1 THEN
+                        CASE WHEN i < 150 THEN 'tmpl'
+                             ELSE printf('real1-%d', i) END
+                      WHEN k = 2 AND i < 5 THEN 'popular'
+                      ELSE printf('ok%d-%d', k, i) END) AS digest
+          FROM (SELECT range % 4 AS k, range // 4 AS i FROM range(1200))
+        )
+        SELECT host, digest,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+               count(DISTINCT url) >= 20 AS suspect
+        FROM (SELECT DISTINCT host, digest, url FROM pages)
+        GROUP BY host, digest ORDER BY host, digest
+    """
+
+    # webdataset_manifest: shard layout re-derived (the md5 global
+    # order), manifest digest via ordered string_agg.
+    o["webdataset_manifest"] = f"""
+        WITH {_sim_images_sql()},
+        ranked AS (
+          SELECT image_id, length(caption) AS cap_bytes,
+                 row_number() OVER (
+                   ORDER BY md5('42:' || image_id), image_id
+                 ) - 1 AS rnk
+          FROM sim_images
+        ),
+        s AS (
+          SELECT image_id, cap_bytes,
+                 rnk // 256 AS shard_id, rnk % 256 AS idx_in_shard
+          FROM ranked
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(cap_bytes) AS BIGINT) AS total_bytes,
+               md5(string_agg(image_id, chr(10) ORDER BY idx_in_shard))
+                 AS manifest_md5
+        FROM s GROUP BY shard_id ORDER BY shard_id
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

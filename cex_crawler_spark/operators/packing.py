@@ -295,3 +295,41 @@ def curriculum_order(
         "phase",
         F.expr(f"(curriculum_rank * {int(n_phases)}) div __total"),
     ).drop("__key", "__chunk", "__rn", "__off", "__total")
+
+
+def shard_manifest(
+    sharded: DataFrame,
+    id_col: str,
+    bytes_col: str | None = None,
+) -> DataFrame:
+    """Per-shard integrity manifest over :func:`assign_shards` output:
+    (shard_id, n_samples, total_bytes, manifest_md5) where
+    ``manifest_md5`` digests the newline-joined sample ids in
+    ``idx_in_shard`` order — the receipt a trainer-side loader verifies
+    before consuming a shard, and the audit row that makes a re-derived
+    export provably identical to the shipped one (the same property the
+    WARC/CDX tier gives archives).
+
+    The per-shard collect is BOUNDED by ``samples_per_shard`` (that is
+    what makes a collect_list acceptable here — it is never
+    corpus-sized); ordering rides an array_sort over (idx, id) structs,
+    so no window at all.  ``bytes_col`` optional (0 when absent).
+    """
+    size = F.col(bytes_col) if bytes_col else F.lit(0)
+    g = sharded.groupBy("shard_id").agg(
+        F.count("*").alias("n_samples"),
+        F.sum(size).cast("long").alias("total_bytes"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("idx_in_shard").alias("i"), F.col(id_col).alias("v"))
+            )
+        ).alias("__entries"),
+    )
+    return g.withColumn(
+        "manifest_md5",
+        F.md5(
+            F.array_join(
+                F.transform(F.col("__entries"), lambda s: s["v"]), "\n"
+            )
+        ),
+    ).drop("__entries")

@@ -161,3 +161,36 @@ def blocklist_screen(
         .withColumn("blocked", F.col("__bl_domain").isNotNull())
         .drop("__bl_domain")
     )
+
+
+def soft404_suspects(
+    pages: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    digest_col: str = "digest",
+    min_urls: int = 20,
+) -> DataFrame:
+    """Within-host error-template detection — the soft-404 problem: a
+    host that answers every dead URL with HTTP 200 and the same "not
+    found" page poisons the corpus with thousands of identical
+    non-documents AND defeats URL-seen dedup (every dead URL is a new
+    URL).  The signature is one digest carried by MANY DISTINCT URLs on
+    ONE host; cross-host sharing is the mirror detector's job
+    (operators/mirrors.py), content substrings the span screen's — this
+    is the third axis.
+
+    Returns (host, digest, n_urls, suspect); join suspects back (an
+    anti-join on (host, digest)) to drop the template rows and mark the
+    URLs dead.  One map-combinable distinct + count on (host, digest) —
+    dedup_exact's shape; a million-URL error template is ONE aggregate
+    key.  Legitimately repeated content (a popular page under a few
+    aliases) stays under ``min_urls`` once canonicalization has run —
+    screen AFTER the alias collapse, not before.
+    """
+    return (
+        pages.select(host_col, digest_col, url_col)
+        .distinct()
+        .groupBy(host_col, digest_col)
+        .agg(F.count("*").alias("n_urls"))
+        .withColumn("suspect", F.col("n_urls") >= F.lit(min_urls))
+    )

@@ -1007,3 +1007,36 @@ class TestRobotsPolicyDelta:
         assert got["https://h/open/3"] == (False, False, None)
         # host absent from BOTH policy dims: never blocked, no delta
         assert got["https://x/anything"] == (False, False, None)
+
+
+class TestShardManifest:
+    def test_manifest_detects_any_layout_drift(self, spark):
+        """Same layout → same digests; moving ONE sample between shards
+        flips both affected manifests and nothing else."""
+        from cex_crawler_spark.operators.packing import (
+            assign_shards,
+            shard_manifest,
+        )
+
+        df = spark.range(100).select(
+            F.format_string("s%03d", F.col("id")).alias("sid"),
+            F.lit(4).cast("long").alias("b"),
+        )
+        sh = assign_shards(df, "sid", samples_per_shard=16)
+        m1 = {r["shard_id"]: r["manifest_md5"]
+              for r in shard_manifest(sh, "sid", bytes_col="b").collect()}
+        m2 = {r["shard_id"]: r["manifest_md5"]
+              for r in shard_manifest(sh, "sid", bytes_col="b").collect()}
+        assert m1 == m2  # deterministic
+        # perturb: swap one sample's shard assignment
+        moved = sh.withColumn(
+            "shard_id",
+            F.when(F.col("sid") == "s000",
+                   (F.col("shard_id") + 1) % 7).otherwise(F.col("shard_id")),
+        )
+        m3 = {r["shard_id"]: r["manifest_md5"]
+              for r in shard_manifest(moved, "sid", bytes_col="b").collect()}
+        src = sh.filter(F.col("sid") == "s000").first()["shard_id"]
+        dst = (src + 1) % 7
+        changed = {k for k in m1 if m1[k] != m3.get(k)}
+        assert changed == {src, dst}

@@ -394,3 +394,22 @@ class TestDomainQueues:
         assert ok["n_hosts_on_domain"] == 2
         assert ok["n_hosts_on_queue"] == 1
         assert ok["queue_budget_per_round"] == 50
+
+
+class TestSoft404:
+    def test_template_flagged_aliases_spared(self, spark):
+        from cex_crawler_spark.operators.traps import soft404_suspects
+
+        rows = [("h", f"https://h/dead/{i}", "d-tmpl") for i in range(30)]
+        rows += [("h", f"https://h/page/{i}", f"d{i}") for i in range(10)]
+        rows += [("h", f"https://h/alias/{i}", "d-pop") for i in range(5)]
+        # refetches of one URL never inflate the count
+        rows += [("h", "https://h/dead/0", "d-tmpl")] * 10
+        pages = spark.createDataFrame(rows, "host string, url string, digest string")
+        got = {
+            r["digest"]: (r["n_urls"], r["suspect"])
+            for r in soft404_suspects(pages, min_urls=20).collect()
+        }
+        assert got["d-tmpl"] == (30, True)
+        assert got["d-pop"] == (5, False)
+        assert got["d0"] == (1, False)
