@@ -3895,6 +3895,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["webdataset_manifest"] = webdataset_manifest
 
+    def dedup_incremental_clusters(spark, sf):
+        """Incremental connected components (operators/dedup.py
+        incremental_components): day-2 pairs fold into day-1 labels via
+        the label-star + new-edges closure — work O(labeled nodes + new
+        pairs), NOT O(pair history); oracle recomputes the closure over
+        ALL pairs, so hash-equality IS the incremental-equals-from-
+        scratch invariant."""
+        from cex_crawler_spark.operators.dedup import (
+            connected_components,
+            incremental_components,
+        )
+
+        i = F.col("id")
+        batch1 = spark.range(800).select(
+            ((i % 100) * 10 + (F.floor(i / 100) % 10)).alias("id_a"),
+            (
+                (i % 100) * 10
+                + (F.floor(i / 100) + 1 + (i % 100) % 3) % 10
+            ).alias("id_b"),
+        )
+        j = F.col("id")
+        batch2 = spark.range(80).select(
+            F.when(j < 60, j * 10).otherwise(1000 + j).alias("id_a"),
+            F.when(j < 60, (j + 40) * 10).otherwise(1100 + j).alias("id_b"),
+        )
+        labels1 = connected_components(batch1)
+        return incremental_components(labels1, batch2).orderBy("id")
+
+    q["dedup_incremental_clusters"] = dedup_incremental_clusters
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -7160,6 +7190,37 @@ def oracle_sql() -> dict[str, str]:
                md5(string_agg(image_id, chr(10) ORDER BY idx_in_shard))
                  AS manifest_md5
         FROM s GROUP BY shard_id ORDER BY shard_id
+    """
+
+    # dedup_incremental_clusters: closure over ALL pairs (batch1 ∪
+    # batch2) — equality proves incremental == from-scratch.
+    o["dedup_incremental_clusters"] = """
+        WITH RECURSIVE b1 AS (
+          SELECT (sid % 100) * 10 + (sid // 100) % 10 AS id_a,
+                 (sid % 100) * 10
+                   + ((sid // 100) + 1 + (sid % 100) % 3) % 10 AS id_b
+          FROM (SELECT range AS sid FROM range(800))
+        ),
+        b2 AS (
+          SELECT CASE WHEN sid < 60 THEN sid * 10
+                      ELSE 1000 + sid END AS id_a,
+                 CASE WHEN sid < 60 THEN (sid + 40) * 10
+                      ELSE 1100 + sid END AS id_b
+          FROM (SELECT range AS sid FROM range(80))
+        ),
+        allp AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM allp
+          UNION ALL
+          SELECT id_b, id_a FROM allp
+        ),
+        reach(root, node) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT root AS id, CAST(min(node) AS BIGINT) AS component
+        FROM reach GROUP BY root ORDER BY id
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

@@ -991,3 +991,38 @@ class TestKmeansLattice:
         far = [10**6, 10**6]
         _, cents = kmeans_lattice(df, [[0, 0], [2, 2], far], iters=2)
         assert cents[2] == far
+
+
+class TestIncrementalComponents:
+    def test_merge_untouched_and_new_nodes(self, spark):
+        """Day-2 pairs merge two standing clusters (smaller min wins),
+        untouched clusters keep their labels, brand-new nodes cluster
+        fresh — and the result equals CC from scratch over all pairs."""
+        from cex_crawler_spark.operators.dedup import (
+            connected_components,
+            incremental_components,
+        )
+
+        b1 = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+        )
+        b2 = spark.createDataFrame(
+            [(3, 10), (100, 101)], "id_a long, id_b long"
+        )
+        inc = {
+            r["id"]: r["component"]
+            for r in incremental_components(
+                connected_components(b1), b2
+            ).collect()
+        }
+        full = {
+            r["id"]: r["component"]
+            for r in connected_components(b1.unionByName(b2)).collect()
+        }
+        assert inc == full
+        # merged cluster took the global min
+        assert inc[11] == 1 and inc[3] == 1
+        # untouched cluster kept its day-1 label
+        assert inc[21] == 20
+        # new nodes clustered fresh
+        assert inc[101] == 100
