@@ -3925,6 +3925,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_incremental_clusters"] = dedup_incremental_clusters
 
+    def source_overlap_matrix(spark, sf):
+        """Cross-source syndication matrix: winnowing fingerprints
+        (operators/dedup.py) keyed by SOURCE instead of doc, then the
+        mirror containment operator verbatim (operators/mirrors.py —
+        one operator, two applications: hosts×digests and
+        sources×fingerprints) — which sources republish each other's
+        content, the input a corpus-mixing plan needs before weighting
+        sources independently."""
+        from cex_crawler_spark.operators.dedup import winnow_fingerprints
+        from cex_crawler_spark.operators.mirrors import mirror_host_pairs
+
+        d = _t(spark, sf, "documents")
+        fps = (
+            winnow_fingerprints(d, "text", "doc_id")
+            .withColumnRenamed("id", "doc_id")
+            .join(d.select("doc_id", "source"), "doc_id")
+        )
+        return (
+            mirror_host_pairs(
+                fps, host_col="source", digest_col="fp",
+                min_shared=5, min_containment_pct=50,
+                max_hosts_per_digest=10,
+            )
+            .withColumnRenamed("host_a", "source_a")
+            .withColumnRenamed("host_b", "source_b")
+            .withColumnRenamed("is_mirror", "syndication_suspect")
+            .orderBy("source_a", "source_b")
+        )
+
+    q["source_overlap_matrix"] = source_overlap_matrix
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -7221,6 +7252,38 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT root AS id, CAST(min(node) AS BIGINT) AS component
         FROM reach GROUP BY root ORDER BY id
+    """
+
+    # source_overlap_matrix: winnow replay joined to source, then the
+    # mirror containment fold (df cap 10, min_shared 5, pct 50).
+    o["source_overlap_matrix"] = f"""
+        WITH n AS (
+          SELECT doc_id, {_NORM} AS t FROM documents
+          WHERE length({_NORM}) >= 11
+        ),
+        p AS (
+          SELECT doc_id, pos, md5(substr(t, pos::INT, 8)) AS fp,
+                 length(t) - 7 AS npos
+          FROM (
+            SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS pos FROM n
+          )
+        ),
+        wmin AS (
+          SELECT doc_id, pos, npos,
+                 min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS wfp
+          FROM p
+        ),
+        fps AS (
+          SELECT DISTINCT d.source AS host, w.wfp AS digest
+          FROM wmin w JOIN documents d ON w.doc_id = d.doc_id
+          WHERE w.pos <= w.npos - 3
+        ),
+        {_mirror_pairs_sql("fps", min_shared=5, min_containment_pct=50, max_hosts_per_digest=10)}
+        SELECT host_a AS source_a, host_b AS source_b, shared, n_a, n_b,
+               is_mirror AS syndication_suspect
+        FROM fps_pairs ORDER BY source_a, source_b
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label
