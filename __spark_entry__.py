@@ -3956,6 +3956,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_overlap_matrix"] = source_overlap_matrix
 
+    def frontier_admission(spark, sf):
+        """Bounded-frontier admission control (operators/politeness.py
+        admit_frontier): per-host cap then global cap over host-cap
+        survivors, both via chunked ranks (no global window); rejects
+        annotated with the binding cap, never dropped."""
+        from cex_crawler_spark.operators.politeness import admit_frontier
+
+        sid = F.col("id")
+        frontier = spark.range(2000).select(
+            sid.alias("okey"), F.format_string("h%d", sid % 8).alias("host")
+        )
+        return (
+            admit_frontier(frontier, host_cap=200, global_cap=1200)
+            .select("okey", "host", "host_rank", "admitted", "reject_reason")
+            .orderBy("okey")
+        )
+
+    q["frontier_admission"] = frontier_admission
+
+    def image_aug_manifest(spark, sf):
+        """Deterministic augmentation manifest (operators/multimodal.py
+        augmentation_manifest): per-(image, epoch) flip/rotation/crop/
+        brightness parameters derived from md5(seed:epoch:id) — the
+        reproducibility contract that lets a training run resume or be
+        audited with augmentations held fixed; scan-side epoch explode,
+        integers only, no RNG state anywhere."""
+        from cex_crawler_spark.operators.multimodal import (
+            augmentation_manifest,
+        )
+
+        imgs = gen_sim_images(spark)
+        return augmentation_manifest(imgs, n_epochs=3).orderBy(
+            "image_id", "epoch"
+        )
+
+    q["image_aug_manifest"] = image_aug_manifest
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -7284,6 +7321,57 @@ def oracle_sql() -> dict[str, str]:
         SELECT host_a AS source_a, host_b AS source_b, shared, n_a, n_b,
                is_mirror AS syndication_suspect
         FROM fps_pairs ORDER BY source_a, source_b
+    """
+
+    # frontier_admission: the two chunked ranks as plain windows.
+    o["frontier_admission"] = """
+        WITH f AS (
+          SELECT sid AS okey, printf('h%d', sid % 8) AS host
+          FROM (SELECT range AS sid FROM range(2000))
+        ),
+        r AS (
+          SELECT okey, host,
+                 row_number() OVER (PARTITION BY host ORDER BY okey)
+                   AS hrank
+          FROM f
+        ),
+        g AS (
+          SELECT *,
+                 hrank <= 200 AS under_host,
+                 sum(CASE WHEN hrank <= 200 THEN 1 ELSE 0 END) OVER (
+                   ORDER BY okey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS grank
+          FROM r
+        )
+        SELECT okey, host, CAST(hrank AS BIGINT) AS host_rank,
+               (under_host AND grank <= 1200) AS admitted,
+               CASE WHEN NOT under_host THEN 'host_cap'
+                    WHEN grank > 1200 THEN 'global_cap' END AS reject_reason
+        FROM g ORDER BY okey
+    """
+
+    # image_aug_manifest: md5-byte parameter derivation replayed (hex
+    # byte k → ('0x'||substr)::INT — the corpus_split_assign trick).
+    o["image_aug_manifest"] = f"""
+        WITH {_sim_images_sql()},
+        m AS (
+          SELECT image_id, epoch,
+                 md5('42:' || epoch || ':' || image_id) AS h
+          FROM sim_images, (SELECT unnest(range(0, 3)) AS epoch)
+        )
+        SELECT image_id, CAST(epoch AS BIGINT) AS epoch,
+               CAST(('0x' || substr(h, 1, 2))::BIGINT % 2 AS BIGINT)
+                 AS flip,
+               CAST(('0x' || substr(h, 3, 2))::BIGINT % 4 AS BIGINT)
+                 AS rot90,
+               CAST(800 + (('0x' || substr(h, 5, 2))::BIGINT * 256
+                           + ('0x' || substr(h, 7, 2))::BIGINT) % 200
+                    AS BIGINT) AS crop_permille,
+               CAST(900 + (('0x' || substr(h, 9, 2))::BIGINT * 256
+                           + ('0x' || substr(h, 11, 2))::BIGINT) % 200
+                    AS BIGINT) AS brightness_permille
+        FROM m ORDER BY image_id, epoch
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

@@ -18,7 +18,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -411,4 +411,57 @@ def caption_screen(
         keyed.join(winners, id_col, "inner")
         .withColumn("caption_deduped", F.col("n_caption_images") > 1)
         .drop("_ckey")
+    )
+
+
+def augmentation_manifest(
+    images: DataFrame,
+    id_col: str = "image_id",
+    n_epochs: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-(image, epoch) augmentation parameters — the
+    reproducibility contract for a vision-training export: every
+    augmentation decision derives from ``md5(seed:epoch:id)``, so a
+    re-derived manifest is bit-identical (resume mid-epoch, audit a
+    training run, or A/B a data change with augmentations held fixed)
+    and NO RNG state ever ships with the data (SURVEY §2.10
+    determinism — the same reason crawl delays became budgets).
+
+    Emitted grid (integers only): ``flip`` (horizontal, 1-in-2),
+    ``rot90`` (0-3 quarter turns), ``crop_permille`` (800-999 of the
+    short side), ``brightness_permille`` (900-1099).  Byte k of the hex
+    digest feeds parameter k, so parameters are independent across both
+    epochs and images.  Scan-side expression over an epoch explode —
+    fan-out = n_epochs, no shuffle, no UDF; the actual pixel work stays
+    in the decode stage (functions/imaging.py), this is the PLAN.
+    """
+    if n_epochs < 1:
+        raise ValueError(f"n_epochs must be ≥ 1, got {n_epochs}")
+    d = images.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_epochs) - 1))
+        ).alias("epoch"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    def _byte(k: int) -> Column:
+        return F.conv(F.substring(h, 1 + 2 * k, 2), 16, 10).cast("long")
+
+    return d.select(
+        id_col,
+        F.col("epoch").cast("long").alias("epoch"),
+        (_byte(0) % 2).alias("flip"),
+        (_byte(1) % 4).alias("rot90"),
+        (800 + (_byte(2) * 256 + _byte(3)) % 200).alias("crop_permille"),
+        (900 + (_byte(4) * 256 + _byte(5)) % 200).alias(
+            "brightness_permille"
+        ),
     )

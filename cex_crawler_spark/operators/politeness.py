@@ -587,3 +587,59 @@ def domain_queue_policy(
         F.max(delay_col).alias("queue_min_delay_ms"),
     )
     return mapped.join(groups, "queue_key").drop("__domain")
+
+
+def admit_frontier(
+    frontier: DataFrame,
+    host_cap: int,
+    global_cap: int,
+    host_col: str = "host",
+    order_col: str = "okey",
+) -> DataFrame:
+    """Admission control for a BOUNDED frontier — the gate that keeps a
+    10^10-URL discovery feed from growing the queue without limit: each
+    host may hold at most ``host_cap`` queued URLs (one pathological
+    host can't own the frontier), and the frontier overall at most
+    ``global_cap`` (memory/storage provisioning is a hard number).
+    Rejected rows are ANNOTATED, not dropped — (admitted, reject_reason
+    ∈ {'host_cap', 'global_cap', NULL}) — so the caller can spill them
+    to a cold tier and re-admit later (drop-never-lose, the demotion
+    discipline).
+
+    Order matters twice and both ranks are chunked decompositions
+    (packing.chunked_running_sum — no global window): the per-host rank
+    decides WHICH of a host's URLs make its cap (best priority first,
+    via ``order_col``), then the global rank runs over host-cap
+    SURVIVORS only, so a capped host's overflow can't push another
+    host's URLs past the global cap.
+    """
+    from cex_crawler_spark.operators.packing import chunked_running_sum
+
+    d = frontier.withColumn("__one", F.lit(1).cast("long"))
+    ranked = chunked_running_sum(
+        d, order_col, "__one", partition_by=[host_col], out_col="__hrank"
+    )
+    under_host = ranked.withColumn(
+        "__under_host", F.col("__hrank") <= F.lit(host_cap)
+    )
+    survivors = under_host.withColumn(
+        "__gone",
+        F.when(F.col("__under_host"), F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    granked = chunked_running_sum(
+        survivors, order_col, "__gone", out_col="__grank"
+    )
+    return (
+        granked.withColumn(
+            "admitted",
+            F.col("__under_host") & (F.col("__grank") <= F.lit(global_cap)),
+        )
+        .withColumn(
+            "reject_reason",
+            F.when(~F.col("__under_host"), F.lit("host_cap")).when(
+                F.col("__grank") > F.lit(global_cap), F.lit("global_cap")
+            ),
+        )
+        .withColumn("host_rank", F.col("__hrank"))
+        .drop("__one", "__hrank", "__under_host", "__gone", "__grank")
+    )

@@ -249,3 +249,35 @@ class TestCaptionScreen:
         # 7 < 8 → NOT spam: canonical survives
         assert "i0" in got and got["i0"]["n_caption_images"] == 7
         assert set(got) == {"i0", "j"}
+
+
+class TestAugManifest:
+    def test_deterministic_independent_and_bounded(self, spark):
+        from cex_crawler_spark.operators.multimodal import (
+            augmentation_manifest,
+        )
+
+        imgs = spark.range(200).select(
+            F.format_string("im%04d", F.col("id")).alias("image_id")
+        )
+        a = augmentation_manifest(imgs, n_epochs=2).collect()
+        b = augmentation_manifest(imgs, n_epochs=2).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        rows = {(r["image_id"], r["epoch"]): r.asDict() for r in a}
+        assert len(rows) == 400
+        for r in rows.values():
+            assert r["flip"] in (0, 1)
+            assert 0 <= r["rot90"] <= 3
+            assert 800 <= r["crop_permille"] <= 999
+            assert 900 <= r["brightness_permille"] <= 1099
+        # epochs differ for (almost) every image — params are per-epoch
+        diff = sum(
+            1
+            for i in range(200)
+            if rows[(f"im{i:04d}", 0)]["crop_permille"]
+            != rows[(f"im{i:04d}", 1)]["crop_permille"]
+        )
+        assert diff > 150
+        # seed changes the whole manifest
+        c = augmentation_manifest(imgs, n_epochs=2, seed=7).collect()
+        assert sorted(map(tuple, a)) != sorted(map(tuple, c))
