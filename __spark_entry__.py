@@ -3993,6 +3993,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_aug_manifest"] = image_aug_manifest
 
+    def crawl_health_windows(spark, sf):
+        """Windowed host-health rollup (streaming/health.py — batch form
+        of the shared builder): per (window, host) attempt/error counts,
+        integer mean latency, and the clamped adaptive delay (mean-based
+        — the mergeable streaming variant of the batch p95 tier);
+        stream==batch equality is pinned by the suite."""
+        from cex_crawler_spark.streaming.health import host_health_windows
+
+        sid = F.col("id")
+        k = sid % 6
+        attempts = spark.range(3000).select(
+            F.format_string("h%d", k).alias("host"),
+            F.to_timestamp(F.from_unixtime(F.lit(1756400000) + sid * 7)).alias(
+                "ts"
+            ),
+            (
+                50
+                + (sid * 48271) % 400
+                + F.when(k == 3, 2500).otherwise(0)
+            ).cast("long").alias("latency_ms"),
+            (~((k == 5) & (sid % 3 == 0))).alias("ok"),
+        )
+        return host_health_windows(attempts, "10 minutes").orderBy(
+            "window_start", "host"
+        )
+
+    q["crawl_health_windows"] = crawl_health_windows
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -7372,6 +7400,35 @@ def oracle_sql() -> dict[str, str]:
                            + ('0x' || substr(h, 11, 2))::BIGINT) % 200
                     AS BIGINT) AS brightness_permille
         FROM m ORDER BY image_id, epoch
+    """
+
+    # crawl_health_windows: time_bucket + the same integer delay fold.
+    o["crawl_health_windows"] = """
+        WITH att AS (
+          SELECT printf('h%d', k) AS host,
+                 CAST(to_timestamp(1756400000 + sid * 7) AS TIMESTAMP) AS ts,
+                 50 + (sid * 48271) % 400
+                    + CASE WHEN k = 3 THEN 2500 ELSE 0 END AS latency_ms,
+                 NOT (k = 5 AND sid % 3 = 0) AS ok
+          FROM (SELECT range AS sid, range % 6 AS k FROM range(3000))
+        ),
+        g AS (
+          SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+                 host,
+                 CAST(count(*) AS BIGINT) AS n_attempts,
+                 CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_errors,
+                 CAST(sum(latency_ms) // count(*) AS BIGINT)
+                   AS mean_latency_ms
+          FROM att GROUP BY 1, 2
+        )
+        SELECT window_start, host, n_attempts, n_errors, mean_latency_ms,
+               CAST(least(60000,
+                 CASE WHEN n_errors * 10 > n_attempts * 3
+                      THEN least(60000, greatest(200, 3 * mean_latency_ms)) * 2
+                      ELSE least(60000, greatest(200, 3 * mean_latency_ms))
+                 END) AS BIGINT) AS delay_ms
+        FROM g ORDER BY window_start, host
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

@@ -3,6 +3,7 @@ batch plan's result when drained with availableNow (same builder, SURVEY
 §2.12)."""
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from cex_crawler_spark.streaming.events import (
     stream_windowed_event_counts,
@@ -159,3 +160,51 @@ def test_stream_catalog_sink_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
     assert cat.read(spark, "events_sink").count() == events.num_rows
     assert cat.manifest()["stream_batches"]["events_sink"] > mark1
+
+
+def test_health_stream_equals_batch(spark, tmp_path):
+    """Host-health windows: the streaming plan over a parquet source
+    produces exactly the batch builder's rows (shared-builder
+    discipline), including the integer delay fold."""
+    from cex_crawler_spark.streaming.health import (
+        host_health_windows,
+        stream_host_health,
+    )
+
+    sid = F.col("id")
+    attempts = spark.range(600).select(
+        F.format_string("h%d", sid % 3).alias("host"),
+        F.to_timestamp(F.from_unixtime(F.lit(1756400000) + sid * 11)).alias("ts"),
+        (60 + (sid * 48271) % 300).cast("long").alias("latency_ms"),
+        (sid % 7 != 0).alias("ok"),
+    )
+    src = tmp_path / "att"
+    attempts.coalesce(1).write.parquet(str(src))
+    batch = (
+        host_health_windows(attempts, "10 minutes")
+        .orderBy("window_start", "host")
+        .toPandas()
+    )
+    stream = stream_host_health(
+        spark, str(src), attempts.schema, "10 minutes", "30 minutes"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("health_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from health_win")
+        .orderBy("window_start", "host")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), batch.reset_index(drop=True)
+    )
+    # the doubled-delay branch fires somewhere (h-hosts with sid%7 errors
+    # cross 0.3 only in sparse windows) — assert the clamp bounds instead
+    assert (got["delay_ms"] >= 200).all() and (got["delay_ms"] <= 60000).all()
