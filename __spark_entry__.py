@@ -4021,6 +4021,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_health_windows"] = crawl_health_windows
 
+    def frontier_url_hygiene(spark, sf):
+        """Structural URL hygiene gate (operators/traps.py
+        url_hygiene_screen): scheme/userinfo/length/depth/params checks
+        as scan-side expressions, reasons '+'-joined alphabetically —
+        the pre-admission screen that costs nothing and drops the
+        crawler-hostile tail before politeness budget is spent."""
+        from cex_crawler_spark.operators.traps import url_hygiene_screen
+
+        sid = F.col("id")
+        k = sid % 6
+        url = (
+            F.when(k == 0, F.format_string("https://ok.com/a/%d", sid))
+            .when(k == 1, F.format_string("mailto:user%d@x.com", sid))
+            .when(k == 2, F.format_string("https://u%d@evil.com/p", sid))
+            .when(
+                k == 3,
+                F.concat(
+                    F.lit("https://deep.com"),
+                    F.repeat(F.lit("/s"), 30),
+                    sid.cast("string"),
+                ),
+            )
+            .when(
+                k == 4,
+                F.concat(
+                    F.lit("https://long.com/p?x="),
+                    F.repeat(F.lit("a"), 2100),
+                    sid.cast("string"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("https://params.com/p?"),
+                    F.lit("&".join(f"k{i}=1" for i in range(20))),
+                    F.lit("&z="),
+                    sid.cast("string"),
+                )
+            )
+        )
+        frontier = spark.range(600).select(url.alias("url"))
+        return (
+            url_hygiene_screen(frontier)
+            .select("url", "reasons", "blocked")
+            .orderBy("url")
+        )
+
+    q["frontier_url_hygiene"] = frontier_url_hygiene
+
+    def crawl_round_report(spark, sf):
+        """Scheduler-tier capstone: admission caps (bounded frontier) →
+        bandwidth-budget prefix take → dispatch timeline, rolled up to
+        the per-host round report (frontier mass in, admitted, taken,
+        bytes, politeness-bound finish time) — every stage a chunked
+        rank or cumsum, no global window over data anywhere."""
+        from cex_crawler_spark.operators.allocation import take_byte_budget
+        from cex_crawler_spark.operators.politeness import (
+            admit_frontier,
+            dispatch_timeline,
+        )
+
+        sid = F.col("id")
+        frontier = spark.range(3000).select(
+            F.format_string("h%d", sid % 6).alias("host"),
+            (
+                ((sid * 2654435761) % 3) * 100000 + sid
+            ).alias("okey"),
+            (400 + (sid * 48271) % 4000).alias("est_bytes"),
+        )
+        admitted = admit_frontier(
+            frontier, host_cap=300, global_cap=1500
+        ).filter("admitted")
+        taken = take_byte_budget(
+            admitted, "okey", "est_bytes", budget=2_000_000, chunk_width=256
+        ).filter("taken")
+        policy = spark.range(6).select(
+            F.format_string("h%d", F.col("id")).alias("host"),
+            ((F.col("id") + 1) * 100).alias("min_delay_ms"),
+        )
+        tl = dispatch_timeline(taken, policy, order_col="okey")
+        n_front = frontier.groupBy("host").agg(
+            F.count("*").alias("n_frontier")
+        )
+        n_adm = admitted.groupBy("host").agg(F.count("*").alias("n_admitted"))
+        rep = tl.groupBy("host").agg(
+            F.count("*").alias("n_taken"),
+            F.sum("est_bytes").alias("bytes_taken"),
+            F.max("dispatch_ms").alias("host_finish_ms"),
+        )
+        return (
+            n_front.join(n_adm, "host", "left")
+            .join(rep, "host", "left")
+            .orderBy("host")
+        )
+
+    q["crawl_round_report"] = crawl_round_report
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -7429,6 +7525,117 @@ def oracle_sql() -> dict[str, str]:
                       ELSE least(60000, greatest(200, 3 * mean_latency_ms))
                  END) AS BIGINT) AS delay_ms
         FROM g ORDER BY window_start, host
+    """
+
+    # frontier_url_hygiene: the same structural checks with DuckDB
+    # string/list ops; reasons alphabetical via list_sort.
+    _params20 = "&".join(f"k{i}=1" for i in range(20))
+    o["frontier_url_hygiene"] = f"""
+        WITH f AS (
+          SELECT CASE k
+                   WHEN 0 THEN printf('https://ok.com/a/%d', sid)
+                   WHEN 1 THEN printf('mailto:user%d@x.com', sid)
+                   WHEN 2 THEN printf('https://u%d@evil.com/p', sid)
+                   WHEN 3 THEN 'https://deep.com' || repeat('/s', 30)
+                               || CAST(sid AS VARCHAR)
+                   WHEN 4 THEN 'https://long.com/p?x=' || repeat('a', 2100)
+                               || CAST(sid AS VARCHAR)
+                   ELSE 'https://params.com/p?{_params20}&z='
+                        || CAST(sid AS VARCHAR)
+                 END AS url
+          FROM (SELECT range AS sid, range % 6 AS k FROM range(600))
+        ),
+        c AS (
+          SELECT url,
+                 regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+                 regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                 CASE WHEN regexp_extract(url, '\\?(.*)$', 1) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE string_split(regexp_extract(url, '\\?(.*)$', 1),
+                                        '&') END AS params
+          FROM f
+        ),
+        r AS (
+          SELECT url,
+                 coalesce(list_sort(list_filter([
+                   CASE WHEN scheme NOT IN ('http', 'https')
+                        THEN 'scheme' END,
+                   CASE WHEN regexp_extract(url,
+                          '^[a-z][a-z0-9+.-]*://[^/?#]*@', 0) <> ''
+                        THEN 'userinfo' END,
+                   CASE WHEN length(url) > 2048 THEN 'length' END,
+                   CASE WHEN len(string_split(path, '/')) - 1 > 20
+                        THEN 'depth' END,
+                   CASE WHEN len(params) > 16 THEN 'params' END
+                 ], x -> x IS NOT NULL)), CAST([] AS VARCHAR[])) AS rs
+          FROM c
+        )
+        SELECT url, array_to_string(rs, '+') AS reasons,
+               len(rs) > 0 AS blocked
+        FROM r ORDER BY url
+    """
+
+    # crawl_round_report: the whole scheduler-tier composition as plain
+    # windows (host rank → global survivor rank → byte cumsum → per-host
+    # dispatch rank), then the per-host rollup.
+    o["crawl_round_report"] = """
+        WITH f AS (
+          SELECT printf('h%d', sid % 6) AS host,
+                 ((sid * 2654435761) % 3) * 100000 + sid AS okey,
+                 400 + (sid * 48271) % 4000 AS est_bytes
+          FROM (SELECT range AS sid FROM range(3000))
+        ),
+        r1 AS (
+          SELECT *, row_number() OVER (PARTITION BY host ORDER BY okey)
+                      AS hrank
+          FROM f
+        ),
+        r2 AS (
+          SELECT *,
+                 sum(CASE WHEN hrank <= 300 THEN 1 ELSE 0 END) OVER (
+                   ORDER BY okey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS grank
+          FROM r1
+        ),
+        adm AS (
+          SELECT host, okey, est_bytes FROM r2
+          WHERE hrank <= 300 AND grank <= 1500
+        ),
+        b AS (
+          SELECT *,
+                 sum(est_bytes) OVER (
+                   ORDER BY okey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM adm
+        ),
+        taken AS (SELECT * FROM b WHERE cum <= 2000000),
+        tl AS (
+          SELECT host, est_bytes,
+                 (row_number() OVER (PARTITION BY host ORDER BY okey) - 1)
+                   * (CAST(substr(host, 2, 1) AS BIGINT) + 1) * 100
+                   AS dispatch_ms
+          FROM taken
+        ),
+        nf AS (SELECT host, count(*) AS n_frontier FROM f GROUP BY host),
+        na AS (SELECT host, count(*) AS n_admitted FROM adm GROUP BY host),
+        rep AS (
+          SELECT host, count(*) AS n_taken,
+                 sum(est_bytes) AS bytes_taken,
+                 max(dispatch_ms) AS host_finish_ms
+          FROM tl GROUP BY host
+        )
+        SELECT nf.host,
+               CAST(n_frontier AS BIGINT) AS n_frontier,
+               CAST(n_admitted AS BIGINT) AS n_admitted,
+               CAST(n_taken AS BIGINT) AS n_taken,
+               CAST(bytes_taken AS BIGINT) AS bytes_taken,
+               CAST(host_finish_ms AS BIGINT) AS host_finish_ms
+        FROM nf LEFT JOIN na ON nf.host = na.host
+        LEFT JOIN rep ON nf.host = rep.host
+        ORDER BY nf.host
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

@@ -194,3 +194,56 @@ def soft404_suspects(
         .agg(F.count("*").alias("n_urls"))
         .withColumn("suspect", F.col("n_urls") >= F.lit(min_urls))
     )
+
+
+def url_hygiene_screen(
+    frontier: DataFrame,
+    url_col: str = "url",
+    max_len: int = 2048,
+    max_depth: int = 20,
+    max_params: int = 16,
+) -> DataFrame:
+    """Structural URL hygiene — the cheap pre-admission gate Heritrix
+    ships as decide rules (TooManyPathSegments, scheme accepts): URLs
+    that are structurally crawler-hostile get annotated BEFORE any
+    politeness slot is spent.  Checks (each a scan-side expression):
+
+    - ``scheme``   — only http/https crawl (mailto:, javascript:, ftp:
+      and friends leak in from href scrapes);
+    - ``userinfo`` — ``user@host`` URLs are phishing-shaped and most
+      servers reject them;
+    - ``length``   — > ``max_len`` chars (session-state snowballs);
+    - ``depth``    — > ``max_depth`` path segments (recursive traps
+      that template collapse alone may not fold);
+    - ``params``   — > ``max_params`` query params (parameter
+      explosion).
+
+    Emits (blocked, reasons) with reasons '+'-joined in ALPHABETICAL
+    order (the LAION-gates idiom — deterministic, hash-comparable).
+    Annotate-don't-drop, as every gate in this engine.
+    """
+    from cex_crawler_spark.operators.dust import url_query_params
+
+    url = F.col(url_col)
+    scheme = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*)://", 1)
+    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    depth = F.size(F.split(path, "/")) - 1
+    checks = F.array(
+        F.when(~scheme.isin("http", "https"), F.lit("scheme")),
+        F.when(
+            F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*@", 0) != "",
+            F.lit("userinfo"),
+        ),
+        F.when(F.length(url) > F.lit(max_len), F.lit("length")),
+        F.when(depth > F.lit(max_depth), F.lit("depth")),
+        F.when(
+            F.size(url_query_params(url)) > F.lit(max_params),
+            F.lit("params"),
+        ),
+    )
+    reasons = F.array_sort(
+        F.filter(checks, lambda x: x.isNotNull())
+    )
+    return frontier.withColumn(
+        "reasons", F.array_join(reasons, "+")
+    ).withColumn("blocked", F.size(reasons) > 0)
