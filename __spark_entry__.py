@@ -4117,6 +4117,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_round_report"] = crawl_round_report
 
+    def crawl_fetcher_assignment(spark, sf):
+        """Queue→fetcher pinning with per-worker wall bounds (operators/
+        politeness.py fetcher_assignment): md5-hash affinity (stateless,
+        engine-replayable), service vs politeness lower bounds per
+        worker — the imbalance signal that sizes the fetcher fleet."""
+        from cex_crawler_spark.operators.politeness import fetcher_assignment
+
+        sid = F.col("id")
+        queues = spark.range(200).select(
+            F.format_string("q%03d", sid).alias("queue_key"),
+            (5 + (sid * 48271) % 120).alias("n_urls"),
+            ((5 + (sid * 48271) % 120) * (100 + (sid % 7) * 50)).alias(
+                "host_finish_ms"
+            ),
+        )
+        return fetcher_assignment(queues, n_workers=8).orderBy("worker")
+
+    q["crawl_fetcher_assignment"] = crawl_fetcher_assignment
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -7636,6 +7655,31 @@ def oracle_sql() -> dict[str, str]:
         FROM nf LEFT JOIN na ON nf.host = na.host
         LEFT JOIN rep ON nf.host = rep.host
         ORDER BY nf.host
+    """
+
+    # crawl_fetcher_assignment: the md5-prefix worker hash + rollup.
+    o["crawl_fetcher_assignment"] = """
+        WITH q AS (
+          SELECT printf('q%03d', sid) AS queue_key,
+                 5 + (sid * 48271) % 120 AS n_urls,
+                 (5 + (sid * 48271) % 120) * (100 + (sid % 7) * 50)
+                   AS host_finish_ms
+          FROM (SELECT range AS sid FROM range(200))
+        ),
+        w AS (
+          SELECT *,
+                 ('0x' || substr(md5(queue_key), 1, 4))::BIGINT % 8
+                   AS worker
+          FROM q
+        )
+        SELECT CAST(worker AS BIGINT) AS worker,
+               CAST(count(*) AS BIGINT) AS n_queues,
+               CAST(sum(n_urls) AS BIGINT) AS n_urls,
+               CAST(sum(n_urls) * 50 AS BIGINT) AS svc_bound_ms,
+               CAST(max(host_finish_ms) AS BIGINT) AS politeness_bound_ms,
+               CAST(greatest(sum(n_urls) * 50, max(host_finish_ms))
+                    AS BIGINT) AS wall_lower_bound_ms
+        FROM w GROUP BY worker ORDER BY worker
     """
 
     # domain_rollup: the registrable-domain heuristic replayed on label

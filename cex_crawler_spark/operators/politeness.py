@@ -643,3 +643,54 @@ def admit_frontier(
         .withColumn("host_rank", F.col("__hrank"))
         .drop("__one", "__hrank", "__under_host", "__gone", "__grank")
     )
+
+
+def fetcher_assignment(
+    queues: DataFrame,
+    n_workers: int,
+    queue_col: str = "queue_key",
+    urls_col: str = "n_urls",
+    finish_col: str = "host_finish_ms",
+    per_fetch_ms: int = 50,
+) -> DataFrame:
+    """Deterministic queue→fetcher-worker assignment with per-worker
+    load bounds — the executor-fleet view of the dispatch plan: each
+    politeness queue is pinned to ONE worker (per-host connection reuse
+    and delay bookkeeping need queue affinity — the Heritrix/Nutch
+    model), workers are chosen by a hash of the queue key so assignment
+    is stateless and reproducible in any engine (md5 16-bit prefix mod
+    W, the audit-replayable choice).
+
+    Per worker, two lower bounds on wall-clock: the SERVICE bound
+    (``n_urls × per_fetch_ms`` summed — a worker's CPU/network is
+    serial) and the POLITENESS bound (max queue finish — delay gaps
+    can't compress); ``wall_lower_bound_ms`` is their max.  A skewed
+    assignment shows up as bound imbalance — the signal to raise
+    ``n_workers`` or split hot queues (salting has no place here:
+    affinity is the point).
+
+    Dim-sized scan-side work: one hash per queue + one map-combinable
+    worker rollup.
+    """
+    if n_workers < 1:
+        raise ValueError(f"n_workers must be ≥ 1, got {n_workers}")
+    worker = (
+        F.conv(F.substring(F.md5(F.col(queue_col)), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % F.lit(int(n_workers))
+    )
+    d = queues.withColumn("worker", worker)
+    return (
+        d.groupBy("worker")
+        .agg(
+            F.count("*").alias("n_queues"),
+            F.sum(urls_col).alias("n_urls"),
+            (F.sum(urls_col) * F.lit(per_fetch_ms)).alias("svc_bound_ms"),
+            F.max(finish_col).alias("politeness_bound_ms"),
+        )
+        .withColumn(
+            "wall_lower_bound_ms",
+            F.greatest("svc_bound_ms", "politeness_bound_ms"),
+        )
+    )
