@@ -4136,6 +4136,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_fetcher_assignment"] = crawl_fetcher_assignment
 
+    def image_drift_screen(spark, sf):
+        """Image-distribution drift screen (operators/multimodal.py
+        image_distribution_drift): current round vs standing corpus over
+        (format × resolution-tier) buckets, integer-permille shares and
+        per-bucket |Δ| — the ingest-time dataset-shift monitor; two
+        map-combinable histograms + broadcast totals + a tiny bucket
+        join."""
+        from cex_crawler_spark.operators.multimodal import (
+            image_distribution_drift,
+        )
+
+        ref = gen_sim_images(spark)
+        # a biased "current round": jpeg-heavy, small-image-heavy subset
+        cur = ref.withColumn(
+            "__sid", F.substring("image_id", 4, 10).cast("long")
+        ).filter(
+            ((F.col("__sid") * 7) % 10 < 3)
+            | ((F.col("fmt") == "jpeg") & (F.col("w") <= 320))
+        ).drop("__sid")
+        return image_distribution_drift(ref, cur).orderBy("fmt", "res_tier")
+
+    q["image_drift_screen"] = image_drift_screen
+
+    def corpus_mix_anneal(spark, sf):
+        """Annealed mixing schedule (operators/allocation.py
+        anneal_mix_schedule): epoch e samples at alphas[e] — flat early
+        (every source heard), natural late; one temperature_mix per
+        epoch, each independently largest-remainder-exact."""
+        from cex_crawler_spark.operators.allocation import (
+            anneal_mix_schedule,
+        )
+
+        return (
+            anneal_mix_schedule(
+                _thinned_documents(spark, sf), "source", total=200,
+                alphas=[0.5, 0.7, 1.0],
+            )
+            .select(
+                "epoch", "source", "n_docs", "weight", "target",
+                "target_capped",
+            )
+            .orderBy("epoch", "source")
+        )
+
+    q["corpus_mix_anneal"] = corpus_mix_anneal
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -7682,6 +7728,47 @@ def oracle_sql() -> dict[str, str]:
         FROM w GROUP BY worker ORDER BY worker
     """
 
+    # image_drift_screen: both integer-permille histograms + the
+    # full-outer bucket join replayed over the same sim images.
+    o["image_drift_screen"] = f"""
+        WITH {_sim_images_sql()},
+        ref0 AS (
+          SELECT fmt, (w * h) // 65536 AS res_tier FROM sim_images
+        ),
+        cur0 AS (
+          SELECT fmt, (w * h) // 65536 AS res_tier
+          FROM sim_images
+          WHERE (CAST(substr(image_id, 4, 10) AS BIGINT) * 7) % 10 < 3
+             OR (fmt = 'jpeg' AND w <= 320)
+        ),
+        refh AS (
+          SELECT fmt, res_tier,
+                 (1000 * count(*)) // (SELECT count(*) FROM ref0)
+                   AS ref_permille
+          FROM ref0 GROUP BY fmt, res_tier
+        ),
+        curh AS (
+          SELECT fmt, res_tier,
+                 (1000 * count(*)) // (SELECT count(*) FROM cur0)
+                   AS cur_permille
+          FROM cur0 GROUP BY fmt, res_tier
+        ),
+        j AS (
+          SELECT coalesce(r.fmt, c.fmt) AS fmt,
+                 coalesce(r.res_tier, c.res_tier) AS res_tier,
+                 coalesce(r.ref_permille, 0) AS ref_permille,
+                 coalesce(c.cur_permille, 0) AS cur_permille
+          FROM refh r FULL OUTER JOIN curh c
+            ON r.fmt = c.fmt AND r.res_tier = c.res_tier
+        )
+        SELECT fmt, CAST(res_tier AS BIGINT) AS res_tier,
+               CAST(ref_permille AS BIGINT) AS ref_permille,
+               CAST(cur_permille AS BIGINT) AS cur_permille,
+               CAST(abs(cur_permille - ref_permille) AS BIGINT)
+                 AS delta_permille
+        FROM j ORDER BY fmt, res_tier
+    """
+
     # domain_rollup: the registrable-domain heuristic replayed on label
     # arrays (negative list indexing == element_at(-k)).
     from cex_crawler_spark.functions.urlnorm import MULTI_SUFFIXES
@@ -7989,6 +8076,53 @@ def oracle_sql() -> dict[str, str]:
                least(target, n_docs) AS target_capped
         FROM alloc ORDER BY source
     """
+
+    # corpus_mix_anneal: the same apportionment once per epoch alpha.
+    def _anneal_sql(alphas, total=200):
+        parts = ["""thinned AS (
+          SELECT doc_id, source
+          FROM documents
+          WHERE (CAST(doc_id AS BIGINT) // 20)
+                % (1 + CAST(substr(source, 4) AS BIGINT) % 7) = 0
+        )"""]
+        selects = []
+        for e, a in enumerate(alphas):
+            parts.append(f"""w{e} AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(round(pow(count(*), {a}) * 1000000, 0) AS BIGINT)
+                   AS weight
+          FROM thinned GROUP BY source
+        ),
+        tot{e} AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM w{e}),
+        q{e} AS (
+          SELECT source, n_docs, weight,
+                 ({total} * weight) // W AS base,
+                 ({total} * weight) % W AS rem
+          FROM w{e}, tot{e}
+        ),
+        rr{e} AS (SELECT {total} - sum(base) AS r FROM q{e}),
+        rk{e} AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rn
+          FROM q{e}
+        ),
+        alloc{e} AS (
+          SELECT source, n_docs, weight,
+                 CAST(base + CASE WHEN rn <= (SELECT r FROM rr{e})
+                                  THEN 1 ELSE 0 END AS BIGINT) AS target
+          FROM rk{e}
+        )""")
+            selects.append(
+                f"SELECT CAST({e} AS BIGINT) AS epoch, source, n_docs,"
+                f" weight, target, least(target, n_docs) AS target_capped"
+                f" FROM alloc{e}"
+            )
+        return (
+            "WITH " + ",\n        ".join(parts) + "\n        "
+            + "\n        UNION ALL\n        ".join(selects)
+            + "\n        ORDER BY epoch, source"
+        )
+
+    o["corpus_mix_anneal"] = _anneal_sql([0.5, 0.7, 1.0])
 
     o["corpus_temperature_sample"] = f"""
         WITH {_TEMP_MIX_CTES},

@@ -235,3 +235,32 @@ def take_byte_budget(
         candidates, order_col, bytes_col, chunk_width, out_col="cum_bytes"
     )
     return summed.withColumn("taken", F.col("cum_bytes") <= F.lit(budget))
+
+
+def anneal_mix_schedule(
+    corpus: DataFrame,
+    source_col: str,
+    total: int,
+    alphas: list[float],
+) -> DataFrame:
+    """Per-epoch annealed mixing schedule: epoch e samples with
+    ``alphas[e]`` — the curriculum-style variant of α-sampling where
+    training starts flat (small α: every source heard) and anneals
+    toward natural proportions (α → 1: the true distribution dominates
+    late training).  One :func:`temperature_mix` per epoch, union-ed
+    with the epoch id; the per-epoch plans stay independently
+    largest-remainder-exact (sum(target) == total each epoch).
+
+    ``alphas`` is a bounded Python list (epochs, not data), so the loop
+    is driver-side plan construction — the executed plan is one
+    source-sized aggregate reused across |alphas| dim-sized allocations.
+    """
+    if not alphas:
+        raise ValueError("alphas must be non-empty")
+    out = None
+    for e, a in enumerate(alphas):
+        plan = temperature_mix(corpus, source_col, a, total).withColumn(
+            "epoch", F.lit(e).cast("long")
+        )
+        out = plan if out is None else out.unionByName(plan)
+    return out

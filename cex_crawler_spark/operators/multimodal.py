@@ -465,3 +465,57 @@ def augmentation_manifest(
             "brightness_permille"
         ),
     )
+
+
+def image_distribution_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    fmt_col: str = "fmt",
+    w_col: str = "w",
+    h_col: str = "h",
+    tier_pixels: int = 65536,
+) -> DataFrame:
+    """Dataset-shift screen for a continuous image-ingest pipeline:
+    compare the CURRENT round's (format × resolution-tier) histogram
+    against the standing corpus — a crawl that drifts toward thumbnails,
+    a single format, or one mega-host's shape silently changes what a
+    model trains on, and the time to notice is at ingest, not after a
+    training run.
+
+    Buckets: (fmt, pixel-count div ``tier_pixels``).  Shares are integer
+    permille per side (``1000·n div total``), the per-bucket drift is
+    ``|cur − ref|`` permille, and Σdelta over buckets is (twice) the L1
+    distance — all integer, engine-exact; the caller thresholds the sum
+    (a drift TEST on raw counts would be a chi-square — this is the
+    monitoring screen, deliberately distribution-free).  Buckets missing
+    on one side count the other side's full share.  Two map-combinable
+    histograms + one-row broadcast totals + a full-outer bucket join
+    (bucket table is tiny by construction).
+    """
+
+    def _hist(df: DataFrame, side: str) -> DataFrame:
+        b = df.select(
+            F.col(fmt_col).alias("fmt"),
+            F.expr(f"({w_col} * {h_col}) div {int(tier_pixels)}").alias(
+                "res_tier"
+            ),
+        )
+        h = b.groupBy("fmt", "res_tier").agg(F.count("*").alias("__n"))
+        total = h.agg(F.sum("__n").alias("__total"))
+        return h.crossJoin(F.broadcast(total)).select(
+            "fmt",
+            "res_tier",
+            F.expr("(1000 * __n) div __total").alias(f"{side}_permille"),
+        )
+    ref = _hist(reference, "ref")
+    cur = _hist(current, "cur")
+    j = ref.join(cur, ["fmt", "res_tier"], "full_outer").select(
+        "fmt",
+        "res_tier",
+        F.coalesce("ref_permille", F.lit(0)).alias("ref_permille"),
+        F.coalesce("cur_permille", F.lit(0)).alias("cur_permille"),
+    )
+    return j.withColumn(
+        "delta_permille",
+        F.abs(F.col("cur_permille") - F.col("ref_permille")),
+    )
