@@ -413,3 +413,23 @@ class TestSoft404:
         assert got["d-tmpl"] == (30, True)
         assert got["d-pop"] == (5, False)
         assert got["d0"] == (1, False)
+
+
+class TestFetcherAssignment:
+    def test_affinity_bounds_and_worker_range(self, spark):
+        from cex_crawler_spark.operators.politeness import fetcher_assignment
+
+        queues = spark.createDataFrame(
+            [(f"q{i}", 10 + i, (10 + i) * 200) for i in range(40)],
+            "queue_key string, n_urls long, host_finish_ms long",
+        )
+        got = fetcher_assignment(queues, n_workers=4).collect()
+        assert {r["worker"] for r in got} <= {0, 1, 2, 3}
+        assert sum(r["n_queues"] for r in got) == 40
+        for r in got:
+            assert r["wall_lower_bound_ms"] == max(
+                r["svc_bound_ms"], r["politeness_bound_ms"]
+            )
+        # same input → same assignment (stateless hash)
+        again = fetcher_assignment(queues, n_workers=4).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, again))
