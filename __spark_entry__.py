@@ -4182,6 +4182,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_mix_anneal"] = corpus_mix_anneal
 
+    def sitemap_priority_seed(spark, sf):
+        """Sitemap <priority> → scheduler ladder (sources/sitemap.py
+        parse_sitemaps_with_priority): the site's own crawl-order hint
+        on the same 0/1/2 ladder as staleness and aging; decimal parses
+        onto a permille grid, missing tag = the spec default 500,
+        per-block isolation as for loc/lastmod."""
+        from cex_crawler_spark.sources.sitemap import (
+            parse_sitemaps_with_priority,
+        )
+
+        sid = F.col("id")
+        # 4 entries per host body: 1.0, 0.2, missing (→500), 0.55
+        xml = F.format_string(
+            "<urlset>"
+            "<url><loc>https://h%d/a/%d</loc><priority>1.0</priority>"
+            "<lastmod>2025-06-01</lastmod></url>"
+            "<url><loc>https://h%d/b/%d</loc><priority>0.2</priority></url>"
+            "<url><loc>https://h%d/c/%d</loc></url>"
+            "<url><priority>0.9</priority></url>"
+            "<url><loc>https://h%d/d/%d</loc><priority>0.55</priority></url>"
+            "</urlset>",
+            sid, sid, sid, sid, sid, sid, sid, sid,
+        )
+        maps = spark.range(200).select(
+            F.format_string("h%d", sid).alias("host"), xml.alias("xml")
+        )
+        return parse_sitemaps_with_priority(maps).orderBy("host", "url")
+
+    q["sitemap_priority_seed"] = sitemap_priority_seed
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -8123,6 +8153,51 @@ def oracle_sql() -> dict[str, str]:
         )
 
     o["corpus_mix_anneal"] = _anneal_sql([0.5, 0.7, 1.0])
+
+    # sitemap_priority_seed: per-block extraction + the permille ladder.
+    o["sitemap_priority_seed"] = """
+        WITH maps AS (
+          SELECT printf('h%d', sid) AS host,
+                 printf('<urlset>'
+                   || '<url><loc>https://h%d/a/%d</loc>'
+                   || '<priority>1.0</priority>'
+                   || '<lastmod>2025-06-01</lastmod></url>'
+                   || '<url><loc>https://h%d/b/%d</loc>'
+                   || '<priority>0.2</priority></url>'
+                   || '<url><loc>https://h%d/c/%d</loc></url>'
+                   || '<url><priority>0.9</priority></url>'
+                   || '<url><loc>https://h%d/d/%d</loc>'
+                   || '<priority>0.55</priority></url>'
+                   || '</urlset>',
+                   sid, sid, sid, sid, sid, sid, sid, sid) AS xml
+          FROM (SELECT range AS sid FROM range(200))
+        ),
+        blocks AS (
+          SELECT host, unnest(regexp_extract_all(xml,
+                   '(?s)<url>(.*?)</url>', 1)) AS b
+          FROM maps
+        ),
+        e AS (
+          SELECT host,
+                 regexp_extract(b, '<loc>\\s*([^<]*?)\\s*</loc>', 1) AS url,
+                 nullif(regexp_extract(b,
+                   '<lastmod>\\s*([^<]*?)\\s*</lastmod>', 1), '') AS lm,
+                 nullif(regexp_extract(b,
+                   '<priority>\\s*([0-9.]+)\\s*</priority>', 1), '') AS pr
+          FROM blocks
+        )
+        SELECT host, url,
+               CAST(lm AS TIMESTAMP) AS lastmod,
+               coalesce(CAST(round(CAST(pr AS DOUBLE) * 1000) AS BIGINT),
+                        500) AS priority_permille,
+               CAST(CASE
+                 WHEN coalesce(CAST(round(CAST(pr AS DOUBLE) * 1000)
+                                    AS BIGINT), 500) >= 800 THEN 0
+                 WHEN coalesce(CAST(round(CAST(pr AS DOUBLE) * 1000)
+                                    AS BIGINT), 500) >= 400 THEN 1
+                 ELSE 2 END AS BIGINT) AS priority
+        FROM e WHERE url <> '' ORDER BY host, url
+    """
 
     o["corpus_temperature_sample"] = f"""
         WITH {_TEMP_MIX_CTES},
