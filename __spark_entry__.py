@@ -4212,6 +4212,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_priority_seed"] = sitemap_priority_seed
 
+    def image_caption_alignment(spark, sf):
+        """CLIP-score-style pairing gate (operators/multimodal.py
+        caption_alignment_gate): cosine between an image's embedding
+        and ITS OWN caption's, thresholded on a permille grid — the
+        LAION primary filter's plumbing with integer fixture vectors
+        (every intermediate sum exact in doubles → the cosine is
+        bit-identical across engines by construction)."""
+        from cex_crawler_spark.operators.multimodal import (
+            caption_alignment_gate,
+        )
+
+        sid = F.col("id")
+        img = F.array(
+            *[
+                (((sid * (j + 1) * 48271) % 9) - 4).cast("double")
+                for j in range(8)
+            ]
+        )
+        txt_matched = F.array(
+            *[
+                (
+                    ((sid * (j + 1) * 48271) % 9)
+                    - 4
+                    + (1 if j == 7 else 0)
+                ).cast("double")
+                for j in range(8)
+            ]
+        )
+        txt_mismatch = F.array(
+            *[
+                (((sid * (j + 1) * 69069 + 5) % 9) - 4).cast("double")
+                for j in range(8)
+            ]
+        )
+        pairs = spark.range(3000).select(
+            F.format_string("img%06d", sid).alias("image_id"),
+            img.alias("img_embedding"),
+            F.when(sid % 3 != 0, txt_matched)
+            .otherwise(txt_mismatch)
+            .alias("txt_embedding"),
+        )
+        return (
+            caption_alignment_gate(pairs)
+            .select("image_id", "align_permille", "aligned")
+            .orderBy("image_id")
+        )
+
+    q["image_caption_alignment"] = image_caption_alignment
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -8197,6 +8246,37 @@ def oracle_sql() -> dict[str, str]:
                                     AS BIGINT), 500) >= 400 THEN 1
                  ELSE 2 END AS BIGINT) AS priority
         FROM e WHERE url <> '' ORDER BY host, url
+    """
+
+    # image_caption_alignment: the same cosine formula (dot / (‖a‖·‖b‖),
+    # two separate sqrts — ulp-faithful to the engine's expression) over
+    # the integer fixture vectors.
+    o["image_caption_alignment"] = """
+        WITH p AS (
+          SELECT printf('img%06d', sid) AS image_id,
+                 [CAST((sid * (j + 1) * 48271) % 9 - 4 AS DOUBLE)
+                  for j in range(8)] AS img,
+                 CASE WHEN sid % 3 <> 0 THEN
+                   [CAST((sid * (j + 1) * 48271) % 9 - 4
+                         + CASE WHEN j = 7 THEN 1 ELSE 0 END AS DOUBLE)
+                    for j in range(8)]
+                 ELSE
+                   [CAST((sid * (j + 1) * 69069 + 5) % 9 - 4 AS DOUBLE)
+                    for j in range(8)]
+                 END AS txt
+          FROM (SELECT range AS sid FROM range(3000))
+        ),
+        c AS (
+          SELECT image_id,
+                 list_sum([img[i] * txt[i] for i in range(1, 9)])
+                   / (sqrt(list_sum([x * x for x in img]))
+                      * sqrt(list_sum([x * x for x in txt]))) AS cos
+          FROM p
+        )
+        SELECT image_id,
+               CAST(round(cos * 1000) AS BIGINT) AS align_permille,
+               round(cos * 1000) >= 280 AS aligned
+        FROM c ORDER BY image_id
     """
 
     o["corpus_temperature_sample"] = f"""

@@ -519,3 +519,34 @@ def image_distribution_drift(
         "delta_permille",
         F.abs(F.col("cur_permille") - F.col("ref_permille")),
     )
+
+
+def caption_alignment_gate(
+    pairs: DataFrame,
+    img_vec_col: str = "img_embedding",
+    txt_vec_col: str = "txt_embedding",
+    min_cos_permille: int = 280,
+) -> DataFrame:
+    """Embedding-similarity gate between an image and ITS OWN caption —
+    the CLIP-score filter (LAION's primary gate: pairs whose image and
+    text embeddings disagree are mislabeled alt-text, watermark
+    boilerplate, or scraper noise, and they poison contrastive
+    training).  The metadata gates (image_quality_gates) check each
+    side alone; this checks the PAIRING.
+
+    Pure row-local arithmetic: one zip_with/aggregate cosine per row
+    (operators/similarity.py's expression — no UDF), thresholded on a
+    permille grid (``round(cos·1000)``) so the verdict is engine-exact.
+    The embedding columns are whatever encoder the pipeline ran
+    upstream (the encoder call itself is the same strategy seam as the
+    LLM extractor, functions/analyzer.py — model inference stays out
+    of a no-network sandbox; the gate's plumbing is what's tested).
+    LAION used CLIP cos ≥ 0.28 — the default threshold mirrors it.
+    """
+    from cex_crawler_spark.operators.similarity import cosine
+
+    cos = cosine(F.col(img_vec_col), F.col(txt_vec_col))
+    permille = F.round(cos * 1000).cast("long")
+    return pairs.withColumn("align_permille", permille).withColumn(
+        "aligned", F.col("align_permille") >= F.lit(min_cos_permille)
+    )
