@@ -4261,6 +4261,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_caption_alignment"] = image_caption_alignment
 
+    def crawl_budget_by_pagerank(spark, sf):
+        """Link mass decides host budgets (Cho et al. WWW'98 made the
+        case; this is the composition): 3-iteration PageRank → per-node
+        INTEGER micro-ranks (round(rank·1e6) — grid-snap BEFORE the
+        host sum so float summation order can never flip a weight) →
+        host mass → the all-integer largest-remainder apportionment;
+        linkgraph tier meets allocation tier in one plan."""
+        from cex_crawler_spark.operators.allocation import allocate_budget
+        from cex_crawler_spark.operators.linkgraph import pagerank
+
+        e = gen_sim_linkgraph(spark)
+        r = pagerank(e, n_iter=3, damping=0.85)
+        mass = (
+            r.withColumn("host", F.format_string("h%02d", F.col("id") % 20))
+            .withColumn(
+                "__irank", F.round(F.col("rank") * 1000000).cast("long")
+            )
+            .groupBy("host")
+            .agg(F.sum("__irank").alias("weight"))
+        )
+        return (
+            allocate_budget(mass, "host", "weight", total=1000)
+            .select("host", "weight", "budget")
+            .orderBy("host")
+        )
+
+    q["crawl_budget_by_pagerank"] = crawl_budget_by_pagerank
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -8277,6 +8305,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(cos * 1000) AS BIGINT) AS align_permille,
                round(cos * 1000) >= 280 AS aligned
         FROM c ORDER BY image_id
+    """
+
+    # crawl_budget_by_pagerank: the pagerank chain → integer micro-rank
+    # host mass → the apportionment window replay.
+    o["crawl_budget_by_pagerank"] = f"""
+        WITH {_sim_linkgraph_sql()},
+        dedges AS (SELECT DISTINCT src, dst FROM sim_edges),
+        {_pagerank_cte_chain(3)}
+        , mass AS (
+          SELECT printf('h%02d', id % 20) AS host,
+                 CAST(sum(CAST(round(rank * 1000000) AS BIGINT))
+                      AS BIGINT) AS weight
+          FROM r3 GROUP BY 1
+        ),
+        tot AS (SELECT sum(weight) AS W FROM mass),
+        q AS (
+          SELECT host, weight,
+                 (1000 * weight) // W AS base,
+                 (1000 * weight) % W AS rem
+          FROM mass, tot
+        ),
+        rr AS (SELECT 1000 - sum(base) AS r FROM q),
+        rk AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rn
+          FROM q
+        )
+        SELECT host, weight,
+               CAST(base + CASE WHEN rn <= (SELECT r FROM rr)
+                                THEN 1 ELSE 0 END AS BIGINT) AS budget
+        FROM rk ORDER BY host
     """
 
     o["corpus_temperature_sample"] = f"""
