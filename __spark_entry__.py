@@ -4289,6 +4289,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_budget_by_pagerank"] = crawl_budget_by_pagerank
 
+    def frontier_outlink_screen(spark, sf):
+        """Link-farm screen on the discovery feed (operators/traps.py
+        outlink_screen): per-source outlink and distinct-target counts —
+        500 links to 3 targets is nav chrome, 500 to 500 is the farm;
+        one map-combinable aggregate on src."""
+        from cex_crawler_spark.operators.traps import outlink_screen
+
+        sid = F.col("id")
+        k = sid % 4
+        i = F.floor(sid / 4)
+        # p0/p1: normal pages (30 links, distinct); p2: nav chrome (300
+        # links, 5 targets); p3: farm (300 links, 300 targets)
+        links = (
+            spark.range(4 * 300)
+            .select(
+                F.format_string("p%d", k).alias("src"),
+                F.when(k < 2, F.format_string("t%d-%d", k, i % 30))
+                .when(k == 2, F.format_string("nav%d", i % 5))
+                .otherwise(F.format_string("farm%d", i))
+                .alias("dst"),
+                k.alias("__k"),
+                i.alias("__i"),
+            )
+            .filter((F.col("__k") >= 2) | (F.col("__i") < 30))
+            .drop("__k", "__i")
+        )
+        return outlink_screen(links, max_outlinks=200).orderBy("src")
+
+    q["frontier_outlink_screen"] = frontier_outlink_screen
+
     def domain_rollup(spark, sf):
         """Registrable-domain (eTLD+1) rollup of the frontier
         (functions/urlnorm.py registrable_domain): the per-SITE grouping
@@ -8335,6 +8365,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(base + CASE WHEN rn <= (SELECT r FROM rr)
                                 THEN 1 ELSE 0 END AS BIGINT) AS budget
         FROM rk ORDER BY host
+    """
+
+    # frontier_outlink_screen: direct rollup replay.
+    o["frontier_outlink_screen"] = """
+        WITH links AS (
+          SELECT printf('p%d', k) AS src,
+                 CASE WHEN k < 2 THEN printf('t%d-%d', k, i % 30)
+                      WHEN k = 2 THEN printf('nav%d', i % 5)
+                      ELSE printf('farm%d', i) END AS dst
+          FROM (SELECT range % 4 AS k, range // 4 AS i FROM range(1200))
+          WHERE k >= 2 OR i < 30
+        )
+        SELECT src,
+               CAST(count(*) AS BIGINT) AS n_outlinks,
+               CAST(count(DISTINCT dst) AS BIGINT) AS n_distinct_targets,
+               count(DISTINCT dst) > 200 AS farm
+        FROM links GROUP BY src ORDER BY src
     """
 
     o["corpus_temperature_sample"] = f"""

@@ -247,3 +247,34 @@ def url_hygiene_screen(
     return frontier.withColumn(
         "reasons", F.array_join(reasons, "+")
     ).withColumn("blocked", F.size(reasons) > 0)
+
+
+def outlink_screen(
+    links: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_outlinks: int = 200,
+) -> DataFrame:
+    """Link-farm screen on the discovery feed — the expansion-side twin
+    of the URL-template trap: a page emitting thousands of outlinks is
+    a directory spam page, a paginated index, or an SEO farm, and
+    letting it seed the frontier hands one page control of thousands of
+    politeness slots.  Heritrix caps this per-page
+    (ExtractorHTML max-outlinks); here the verdict is per SOURCE page:
+    (n_outlinks, n_distinct_targets, farm).  Distinct-target count
+    matters separately — 500 links to 3 targets is navigation chrome
+    (harmless after dedup), 500 links to 500 targets is the farm.
+
+    One map-combinable aggregate on src; feed ``farm`` rows to an
+    anti-join on the expansion feed (drop the links, keep the page).
+    """
+    return (
+        links.groupBy(F.col(src_col).alias("src"))
+        .agg(
+            F.count("*").alias("n_outlinks"),
+            F.countDistinct(dst_col).alias("n_distinct_targets"),
+        )
+        .withColumn(
+            "farm", F.col("n_distinct_targets") > F.lit(max_outlinks)
+        )
+    )

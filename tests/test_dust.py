@@ -108,3 +108,53 @@ def test_conflict_anywhere_blocks_strip(spark):
     assert row["n_varied_groups"] == 5
     assert row["n_conflict_groups"] == 1
     assert not row["irrelevant"]
+
+
+class TestDustProperties:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _param = st.sampled_from(["sid", "ref", "page", "q", "utm"])
+    _url = st.builds(
+        lambda path, kvs: "https://h.com/" + path + (
+            ("?" + "&".join(f"{k}={v}" for k, v in kvs)) if kvs else ""
+        ),
+        st.from_regex(r"[a-z0-9/]{0,15}", fullmatch=True),
+        st.lists(
+            st.tuples(_param, st.integers(0, 99).map(str)),
+            max_size=5,
+        ),
+    )
+
+    @given(st.lists(_url, min_size=1, max_size=20))
+    @settings(max_examples=6, deadline=None)
+    def test_strip_is_idempotent(self, urls):
+        """Property: stripping learned rules twice equals once — the
+        rewrite is a projection (sorted survivors, listed keys gone),
+        so canonical URLs are a fixpoint.  This is what makes iterative
+        DUST learning safe to re-run on already-canonical frontiers."""
+        from cex_crawler_spark.operators.dust import strip_learned_params
+
+        spark = _dust_spark()
+        rules = spark.createDataFrame(
+            [("h.com", "sid", 9, 9, 0, True), ("h.com", "utm", 9, 9, 0, True)],
+            "host string, param string, n_groups long, n_varied_groups"
+            " long, n_conflict_groups long, irrelevant boolean",
+        )
+        f = spark.createDataFrame([("h.com", u) for u in urls],
+                                  "host string, url string")
+        once = strip_learned_params(f, rules).select(
+            "host", F.col("canonical_url").alias("url")
+        )
+        twice = strip_learned_params(once, rules)
+        rows = twice.select("url", "canonical_url").collect()
+        for r in rows:
+            assert r["url"] == r["canonical_url"], r
+            assert "sid=" not in r["canonical_url"]
+            assert "utm=" not in r["canonical_url"]
+
+
+def _dust_spark():
+    from cex_crawler_spark.session import get_spark
+
+    return get_spark(master="local[4]", shuffle_partitions=4)

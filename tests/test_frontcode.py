@@ -149,3 +149,45 @@ class TestCurriculumOrder:
             .collect()
         ]
         assert got == again
+
+
+class TestFrontcodeProperty:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _url = st.from_regex(
+        r"https://[a-z]{1,6}\.(com|org|co\.uk)/[a-z0-9/._~-]{0,40}",
+        fullmatch=True,
+    )
+
+    @given(st.lists(_url, min_size=1, max_size=25))
+    @settings(max_examples=8, deadline=None)
+    def test_roundtrip_arbitrary_urls(self, urls):
+        """Property: decode(code(S)) == SURT(S) for arbitrary URL sets —
+        blocks, headers, prefix-of-header keys, singleton blocks, the
+        lot."""
+        from cex_crawler_spark.operators.frontcode import (
+            decode_frontcoded,
+            frontcode_urls,
+        )
+        from cex_crawler_spark.sources.warc import surt_urlkey
+
+        spark = _spark_singleton()
+        f = spark.createDataFrame([(u,) for u in urls], "url string")
+        coded, headers = frontcode_urls(f, block_prefix_len=7)
+        decoded = sorted(
+            r["urlkey"] for r in decode_frontcoded(coded, headers).collect()
+        )
+        expect = sorted(
+            r["k"]
+            for r in f.select(surt_urlkey(F.col("url")).alias("k"))
+            .distinct()
+            .collect()
+        )
+        assert decoded == expect
+
+
+def _spark_singleton():
+    from cex_crawler_spark.session import get_spark
+
+    return get_spark(master="local[4]", shuffle_partitions=4)
