@@ -861,6 +861,110 @@ def _sim_linkgraph_sql(n: int = SIM_EDGE_N) -> str:
 
 
 # --------------------------------------------------------------------------
+# sim meta-robots fixture: pages carrying <meta name="robots"> directives
+# (both attribute orders, a "none" alias, a decoy viewport meta) and two
+# links of which one is rel="nofollow" on every third page.
+# --------------------------------------------------------------------------
+
+SIM_META_PAGE_N = 300
+
+
+def gen_sim_meta_pages(spark: SparkSession, n: int = SIM_META_PAGE_N) -> DataFrame:
+    i = F.col("id")
+    meta1 = F.when(i % 5 == 0, F.lit('<meta name="robots" content="noindex, follow">')).otherwise(F.lit(""))
+    meta2 = F.when(i % 7 == 0, F.lit('<meta content="nofollow" name="robots">')).otherwise(F.lit(""))
+    meta3 = F.when(i % 11 == 3, F.lit('<meta name="robots" content="none">')).otherwise(F.lit(""))
+    l1 = F.format_string(
+        '<a href="https://m%d.example.com/p/%d">a</a>',
+        (i % 6).cast("int"), ((i * 13) % 50).cast("int"),
+    )
+    l2 = F.when(
+        i % 3 == 0,
+        F.format_string(
+            '<a href="https://m%d.example.com/q/%d" rel="nofollow">b</a>',
+            ((i + 1) % 6).cast("int"), (i % 50).cast("int"),
+        ),
+    ).otherwise(
+        F.format_string(
+            '<a href="https://m%d.example.com/q/%d">b</a>',
+            ((i + 1) % 6).cast("int"), (i % 50).cast("int"),
+        )
+    )
+    html = F.concat(
+        F.lit('<html><head><meta name="viewport" content="width=1">'),
+        meta1, meta2, meta3,
+        F.lit('</head><body><a name="x">decoy</a>'),
+        l1, l2,
+        F.lit("</body></html>"),
+    )
+    return spark.range(n).select(
+        F.format_string("https://m%d.example.com/page/%d", (i % 6).cast("int"), i.cast("int")).alias("url"),
+        html.alias("html"),
+    )
+
+
+def _sim_meta_pages_sql(n: int = SIM_META_PAGE_N) -> str:
+    return f"""
+      sim_meta_pages AS (
+        SELECT printf('https://m%d.example.com/page/%d', i % 6, i) AS url,
+               '<html><head><meta name="viewport" content="width=1">'
+               || CASE WHEN i % 5 = 0 THEN '<meta name="robots" content="noindex, follow">' ELSE '' END
+               || CASE WHEN i % 7 = 0 THEN '<meta content="nofollow" name="robots">' ELSE '' END
+               || CASE WHEN i % 11 = 3 THEN '<meta name="robots" content="none">' ELSE '' END
+               || '</head><body><a name="x">decoy</a>'
+               || printf('<a href="https://m%d.example.com/p/%d">a</a>', i % 6, (i * 13) % 50)
+               || CASE WHEN i % 3 = 0
+                       THEN printf('<a href="https://m%d.example.com/q/%d" rel="nofollow">b</a>', (i + 1) % 6, i % 50)
+                       ELSE printf('<a href="https://m%d.example.com/q/%d">b</a>', (i + 1) % 6, i % 50) END
+               || '</body></html>' AS html
+        FROM (SELECT range AS i FROM range({n}))
+      )
+    """
+
+
+# --------------------------------------------------------------------------
+# sim trust-graph fixture: the classic spam-farm topology — a good core
+# (0-99, two modular out-links each, plus a link into one of 10 dst-only
+# dangling sinks 181-190), an 80-node spam farm (100-179) in a boosting
+# star with its target 180, and ONE hijacked edge 50→180 making the farm
+# reachable.  Seeds = 0-9.  The farm target earns real PageRank from the
+# star but near-zero TrustRank (one attenuated path from the core), so
+# its relative spam mass ≈ 1 while good-core mass stays low/negative.
+# --------------------------------------------------------------------------
+
+SIM_TRUST_SEEDS = 10
+
+
+def gen_sim_trustgraph(spark: SparkSession) -> DataFrame:
+    i = F.col("id")
+    good = spark.range(100).select(i.alias("src"), ((i * 31 + 7) % 100).alias("dst"))
+    good2 = spark.range(100).select(i.alias("src"), ((i * 17 + 3) % 100).alias("dst"))
+    sinks = spark.range(100).select(i.alias("src"), (181 + i % 10).alias("dst"))
+    farm_in = spark.range(80).select((100 + i).alias("src"), F.lit(180).cast("long").alias("dst"))
+    farm_out = spark.range(80).select(F.lit(180).cast("long").alias("src"), (100 + i).alias("dst"))
+    hijack = spark.range(1).select(F.lit(50).cast("long").alias("src"), F.lit(180).cast("long").alias("dst"))
+    return good.unionByName(good2).unionByName(sinks).unionByName(farm_in).unionByName(farm_out).unionByName(hijack)
+
+
+def _sim_trustgraph_sql() -> str:
+    return """
+      trust_edges AS (
+        SELECT range AS src, (range * 31 + 7) % 100 AS dst FROM range(100)
+        UNION ALL
+        SELECT range, (range * 17 + 3) % 100 FROM range(100)
+        UNION ALL
+        SELECT range, 181 + range % 10 FROM range(100)
+        UNION ALL
+        SELECT 100 + range, 180 FROM range(80)
+        UNION ALL
+        SELECT 180, 100 + range FROM range(80)
+        UNION ALL
+        SELECT 50, 180
+      )
+    """
+
+
+# --------------------------------------------------------------------------
 # sim redirect-graph fixture: a functional 3xx graph — 20 disjoint
 # 20-hop chains (srcs 0-399, chain r resolves to terminal 1380+r), a
 # planted 3-cycle 400→401→402→400, and a tail 403→400 leading INTO the
@@ -4693,6 +4797,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_graph_pagerank"] = link_graph_pagerank
 
+    def link_spam_mass(spark, sf):
+        """TrustRank + relative spam mass (operators/linkgraph.py;
+        Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
+        plain PageRank on the spam-farm fixture — the farm target's
+        rank is almost entirely unexplained by trust (rel_mass ≈ 1)
+        while the good core stays near 0/negative.  The anti-spam
+        counterpart of the structural trap screen: the reference crawls
+        a vetted URL list and never needs one; an open frontier does."""
+        from cex_crawler_spark.operators.linkgraph import (
+            pagerank,
+            relative_spam_mass,
+            trustrank,
+        )
+
+        e = gen_sim_trustgraph(spark)
+        seeds = spark.range(SIM_TRUST_SEEDS).select(F.col("id"))
+        pr = pagerank(e, n_iter=4, damping=0.85)
+        tr = trustrank(e, seeds, n_iter=4, damping=0.85)
+        out = relative_spam_mass(pr, tr, suspect_threshold=0.95)
+        return out.select(
+            "id",
+            F.round("rank", 6).alias("rank"),
+            F.round("trust", 6).alias("trust"),
+            F.round("rel_mass", 6).alias("rel_mass"),
+            "spam_suspect",
+        ).orderBy("id")
+
+    q["link_spam_mass"] = link_spam_mass
+
+    def link_graph_degree_stats(spark, sf):
+        """In/out degree histograms with degree-0 rows (operators/
+        linkgraph.degree_stats) — the dangling census and hub-
+        concentration readout a frontier monitors per round; two
+        map-combinable aggregates, no window/explode."""
+        from cex_crawler_spark.operators.linkgraph import degree_stats
+
+        # the trust-graph fixture has genuinely varied degrees (sinks 0,
+        # farm 1, core ~3, hub 80+); sim_edges is degree-uniform
+        e = gen_sim_trustgraph(spark)
+        return degree_stats(e).orderBy("side", "degree")
+
+    q["link_graph_degree_stats"] = link_graph_degree_stats
+
+    def meta_robots_screen(spark, sf):
+        """In-page Robots Exclusion Protocol (operators/linkgraph.
+        robots_meta_screen): <meta name="robots"> noindex/nofollow/none
+        in either attribute order + per-link rel="nofollow" — gates the
+        corpus sink and zeroes nofollow pages' expansion contribution;
+        pure scan-side regexp codegen, no shuffle."""
+        from cex_crawler_spark.operators.linkgraph import robots_meta_screen
+
+        pages = gen_sim_meta_pages(spark)
+        out = robots_meta_screen(pages)
+        return out.select(
+            "url",
+            "noindex",
+            "nofollow",
+            F.col("n_links").cast("long").alias("n_links"),
+            F.col("n_follow_links").cast("long").alias("n_follow_links"),
+        ).orderBy("url")
+
+    q["meta_robots_screen"] = meta_robots_screen
+
     def redirect_resolution(spark, sf):
         """Redirect-chain resolution (operators/linkgraph.
         resolve_redirects): pointer jumping over the functional 3xx
@@ -5205,6 +5372,48 @@ def _pagerank_cte_chain(n_iter: int) -> str:
         nn AS (SELECT count(*) AS cnt FROM nodes),
         deg AS (SELECT src AS id, count(*) AS outd FROM dedges GROUP BY src),
         r0 AS (SELECT id, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes),
+        {",".join(iters)}
+    """
+
+
+def _trustrank_cte_chain(n_iter: int) -> str:
+    """CTE chain (tns/tvec/t0..t{n}) unrolling the seed-biased
+    TrustRank iteration — assumes ``dedges``, ``nodes``, ``deg`` (from
+    ``_pagerank_cte_chain``) and a ``tseeds(id)`` CTE exist; expression
+    shapes/order mirror operators/linkgraph.trustrank exactly."""
+    iters = []
+    for k in range(n_iter):
+        iters.append(f"""
+        dm{k} AS (
+          SELECT coalesce(sum(trust), 0) AS m
+          FROM t{k} t LEFT JOIN deg g ON g.id = t.id
+          WHERE g.id IS NULL
+        ),
+        t{k + 1} AS (
+          SELECT n.id, n.sv,
+                 (1 - 0.85) * n.sv
+                 + 0.85 * (coalesce(c.contrib, 0)
+                           + (SELECT m FROM dm{k}) * n.sv) AS trust
+          FROM tvec n
+          LEFT JOIN (
+            SELECT e.dst AS id, sum(t.trust / g.outd) AS contrib
+            FROM dedges e
+            JOIN t{k} t ON t.id = e.src
+            JOIN deg g ON g.id = e.src
+            GROUP BY e.dst
+          ) c ON c.id = n.id
+        )""")
+    return f"""
+        tns AS (
+          SELECT count(*) AS cnt FROM tseeds s JOIN nodes n ON n.id = s.id
+        ),
+        tvec AS (
+          SELECT n.id,
+                 CASE WHEN s.id IS NOT NULL
+                      THEN 1.0 / (SELECT cnt FROM tns) ELSE 0.0 END AS sv
+          FROM nodes n LEFT JOIN tseeds s ON s.id = n.id
+        ),
+        t0 AS (SELECT id, sv, sv AS trust FROM tvec),
         {",".join(iters)}
     """
 
@@ -8606,6 +8815,80 @@ def oracle_sql() -> dict[str, str]:
         dedges AS (SELECT DISTINCT src, dst FROM sim_edges),
         {_pagerank_cte_chain(5)}
         SELECT id, round(rank, 6) AS rank FROM r5 ORDER BY id
+    """
+
+    # link_spam_mass: PageRank chain + seed-biased TrustRank chain over
+    # the spam-farm fixture, joined into the mass-estimation verdict —
+    # both recurrences unrolled with engine-identical expression shapes
+    # (the suspect boolean thresholds the UNROUNDED ratio in both).
+    o["link_spam_mass"] = f"""
+        WITH {_sim_trustgraph_sql()},
+        dedges AS (SELECT DISTINCT src, dst FROM trust_edges),
+        {_pagerank_cte_chain(4)},
+        tseeds AS (SELECT range AS id FROM range({SIM_TRUST_SEEDS})),
+        {_trustrank_cte_chain(4)}
+        SELECT r.id,
+               round(r.rank, 6) AS rank,
+               round(t.trust, 6) AS trust,
+               round((r.rank - t.trust) / r.rank, 6) AS rel_mass,
+               (r.rank - t.trust) / r.rank >= 0.95 AS spam_suspect
+        FROM r4 r JOIN t4 t ON t.id = r.id
+        ORDER BY r.id
+    """
+
+    # meta_robots_screen: the directive-token and nofollow-link parse
+    # replayed with DuckDB's RE2 over the same patterns; token array =
+    # both meta orders' contents comma-joined then split/trim/lower
+    # (identical to the engine's concat_ws shape, empty tokens inert).
+    o["meta_robots_screen"] = rf"""
+        WITH {_sim_meta_pages_sql()},
+        parsed AS (
+          SELECT url,
+                 list_transform(
+                   string_split(
+                     coalesce(array_to_string(regexp_extract_all(html,
+                       '(?i)<meta\s+name="robots"\s+content="([^"]*)"', 1), ','), '')
+                     || ',' ||
+                     coalesce(array_to_string(regexp_extract_all(html,
+                       '(?i)<meta\s+content="([^"]*)"\s+name="robots"', 1), ','), ''),
+                     ','),
+                   x -> trim(lower(x))) AS d,
+                 len(regexp_extract_all(html, '<a\s+href="([^"]+)"', 1)) AS n_links,
+                 len(regexp_extract_all(html,
+                   '(?i)<a\s+href="([^"]+)"[^>]*\srel="[^"]*nofollow[^"]*"', 1)) AS n_nf
+          FROM sim_meta_pages
+        )
+        SELECT url,
+               (list_contains(d, 'noindex') OR list_contains(d, 'none')) AS noindex,
+               (list_contains(d, 'nofollow') OR list_contains(d, 'none')) AS nofollow,
+               n_links,
+               CASE WHEN list_contains(d, 'nofollow') OR list_contains(d, 'none')
+                    THEN 0 ELSE n_links - n_nf END AS n_follow_links
+        FROM parsed
+        ORDER BY url
+    """
+
+    # link_graph_degree_stats: nodes × (out,in) degree with 0 for
+    # absent, histogrammed — a direct relational replay.
+    o["link_graph_degree_stats"] = f"""
+        WITH {_sim_trustgraph_sql()},
+        dedges AS (SELECT DISTINCT src, dst FROM trust_edges),
+        nodes AS (
+          SELECT DISTINCT src AS id FROM dedges
+          UNION SELECT DISTINCT dst FROM dedges
+        ),
+        outd AS (SELECT src AS id, count(*) AS d FROM dedges GROUP BY src),
+        ind AS (SELECT dst AS id, count(*) AS d FROM dedges GROUP BY dst),
+        hist AS (
+          SELECT 'out' AS side, coalesce(o.d, 0) AS degree
+          FROM nodes n LEFT JOIN outd o ON o.id = n.id
+          UNION ALL
+          SELECT 'in', coalesce(i.d, 0)
+          FROM nodes n LEFT JOIN ind i ON i.id = n.id
+        )
+        SELECT side, degree, count(*) AS n_nodes
+        FROM hist GROUP BY side, degree
+        ORDER BY side, degree
     """
 
     # link_graph_hits: the HITS mutual recursion unrolled (auth from

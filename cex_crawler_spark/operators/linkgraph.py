@@ -41,6 +41,60 @@ def extract_links(html: Column) -> Column:
     return F.arrays_zip(hrefs.alias("href"), anchors.alias("anchor"))
 
 
+# <meta name="robots" content="..."> — both attribute orders as explicit
+# alternatives (RE2 has no lookahead; same discipline as canonical_hints).
+_META_ROBOTS_NC = r'(?i)<meta\s+name="robots"\s+content="([^"]*)"'
+_META_ROBOTS_CN = r'(?i)<meta\s+content="([^"]*)"\s+name="robots"'
+# a link already matched by _A_TAG whose tag also carries rel=…nofollow…
+_A_NOFOLLOW = r'(?i)<a\s+href="([^"]+)"[^>]*\srel="[^"]*nofollow[^"]*"'
+_A_HREF = r'<a\s+href="([^"]+)"'
+
+
+def _meta_directives(html: Column) -> Column:
+    """array<string> of trimmed lowercase robots-meta tokens."""
+    raw = F.concat_ws(
+        ",",
+        F.concat_ws(",", F.regexp_extract_all(html, F.lit(_META_ROBOTS_NC), 1)),
+        F.concat_ws(",", F.regexp_extract_all(html, F.lit(_META_ROBOTS_CN), 1)),
+    )
+    return F.transform(F.split(raw, ","), lambda x: F.trim(F.lower(x)))
+
+
+def robots_meta_screen(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, noindex, nofollow, n_links, n_follow_links) — the in-page
+    half of the Robots Exclusion Protocol: ``<meta name="robots">``
+    directives (noindex / nofollow / none == both, either attribute
+    order, directives from multiple tags union) plus per-link
+    ``rel="nofollow"`` (microformats spec; rel after href, matching the
+    ``_A_TAG`` first-attribute convention — a production extractor
+    swaps in an HTML parser behind the same schema).
+
+    noindex gates the CORPUS SINK (fetch for links, never index);
+    nofollow zeroes the page's contribution to frontier expansion;
+    n_follow_links is the count expansion may actually enqueue.  Pure
+    scan-side codegen — three regexp passes, no shuffle, runs fused
+    with the fetch stage like extract_links.
+    """
+    h = F.col(html_col)
+    d = _meta_directives(h)
+    noindex = F.array_contains(d, "noindex") | F.array_contains(d, "none")
+    nofollow = F.array_contains(d, "nofollow") | F.array_contains(d, "none")
+    n_links = F.size(F.regexp_extract_all(h, F.lit(_A_HREF), 1))
+    n_nf = F.size(F.regexp_extract_all(h, F.lit(_A_NOFOLLOW), 1))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        n_links.alias("n_links"),
+        F.when(nofollow, F.lit(0))
+        .otherwise(n_links - n_nf)
+        .cast("int")
+        .alias("n_follow_links"),
+    )
+
+
 def page_links(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
@@ -271,6 +325,168 @@ def hits(
     e.unpersist()
     nodes.unpersist()
     return scores
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "id",
+    n_iter: int = 4,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(id, trust) after ``n_iter`` seed-biased power iterations
+    (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04).
+
+    PageRank with the uniform teleport replaced by a trust vector
+    d(v) = 1/|S| on the hand-vetted seed set, 0 elsewhere — trust
+    flows OUT of known-good pages and attenuates per hop, so a spam
+    farm that inflates its PageRank by internal linking accumulates
+    almost none of it.  Dangling mass teleports back to the seeds
+    (the personalized-vector convention), keeping sum(trust) == 1:
+
+        trust'(v) = (1-d)·s(v) + d·( sum_{u->v} trust(u)/out(u) + m·s(v) )
+
+    Same per-iteration shape as ``pagerank`` (one map-combinable
+    dst-keyed shuffle, one scalar dangling action, localCheckpointed
+    lineage, edge list persisted pre-partitioned on src); seeds join
+    in once as a node-sized dim.  Deterministic — the DuckDB oracle
+    unrolls the identical recurrence (``_trustrank_cte_chain``).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    s = seeds.select(F.col(seed_col).alias("id")).distinct()
+    n_seeds = s.join(nodes, "id", "left_semi").count()
+    if n_seeds == 0:
+        e.unpersist()
+        nodes.unpersist()
+        raise ValueError("trustrank: no seed appears in the edge set")
+    deg = e.groupBy("src").agg(F.count("*").alias("outd"))
+    ew = (
+        e.join(deg, "src")
+        .select("src", "dst", "outd")
+        .repartition("src")
+        .persist()
+    )
+    # trust vector rides the node table as a column so every iteration's
+    # base term is scan-side — no per-iteration seed join.
+    nd = nodes.join(
+        s.withColumn("sv", F.lit(1.0 / n_seeds)), "id", "left"
+    ).select("id", F.coalesce(F.col("sv"), F.lit(0.0)).alias("sv")).persist()
+    trust = nd.select("id", "sv", F.col("sv").alias("trust")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(n_iter):
+        m = (
+            trust.join(deg, trust["id"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("trust"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        contrib = (
+            ew.join(trust, ew["src"] == trust["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("trust") / F.col("outd")).alias("c"))
+        )
+        trust = (
+            nd.join(contrib, nd["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                "sv",
+                (
+                    F.lit(1.0 - damping) * F.col("sv")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.lit(m) * F.col("sv")
+                    )
+                ).alias("trust"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    ew.unpersist()
+    nodes.unpersist()
+    nd.unpersist()
+    return trust.select("id", "trust")
+
+
+def degree_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(side, degree, n_nodes) — in/out degree histograms over the
+    link graph, degree 0 included (out-degree-0 rows ARE the dangling
+    census pagerank's redistribution depends on; in-degree-0 rows are
+    the pages only sitemaps/seeds can reach).
+
+    The monitoring readout a frontier needs each round: a fattening
+    out-degree tail means link farms / nav explosions feeding the
+    expansion stage; in-degree mass collapsing to few nodes means the
+    crawl is orbiting hubs.  Two map-combinable aggregates over the
+    deduped edge list + one node-sized left join each — no window, no
+    explode; the histogram re-aggregation is at most |distinct degree|
+    groups.
+    """
+    # no persist: the result is lazy, and AQE reuses the distinct's
+    # exchange across the four consumers (ReusedExchange in the plan)
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out = []
+    for side, key in (("out", "src"), ("in", "dst")):
+        deg = e.groupBy(F.col(key).alias("id")).agg(F.count("*").alias("d"))
+        per_node = nodes.join(deg, "id", "left").select(
+            F.coalesce(F.col("d"), F.lit(0)).alias("degree")
+        )
+        out.append(
+            per_node.groupBy("degree")
+            .agg(F.count("*").alias("n_nodes"))
+            .select(F.lit(side).alias("side"), "degree", "n_nodes")
+        )
+    res = out[0].unionByName(out[1])
+    return res
+
+
+def relative_spam_mass(
+    ranks: DataFrame, trust: DataFrame, suspect_threshold: float = 0.95
+) -> DataFrame:
+    """(id, rank, trust, rel_mass, spam_suspect) — link-spam detection
+    by mass estimation (Gyöngyi et al., "Link Spam Detection Based on
+    Mass Estimation", VLDB'06).
+
+    Both inputs sum to 1 (pagerank's uniform teleport, trustrank's
+    seed teleport), so rel_mass = (rank − trust)/rank is the fraction
+    of a page's PageRank NOT accounted for by trusted sources — ≈1
+    for a spam farm reachable from the good core by a single hijacked
+    link, ≈0 (or negative) near the seeds.  One node-sized hash join,
+    scan-side arithmetic; thresholding is a verdict column, never a
+    drop (the demote-not-drop discipline of operators/traps.py).
+    """
+    return (
+        ranks.join(trust, "id")
+        .select(
+            "id",
+            "rank",
+            "trust",
+            ((F.col("rank") - F.col("trust")) / F.col("rank")).alias("rel_mass"),
+            (
+                (F.col("rank") - F.col("trust")) / F.col("rank")
+                >= F.lit(suspect_threshold)
+            ).alias("spam_suspect"),
+        )
+    )
 
 
 def rank_priority(ranks: DataFrame, levels: int = 10) -> DataFrame:
