@@ -4860,6 +4860,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["meta_robots_screen"] = meta_robots_screen
 
+    def recrawl_change_magnitude(spark, sf):
+        """Graded revisit change (operators/recrawl.
+        content_change_magnitude): 1000·(1 − shingle-Jaccard) between a
+        URL's two latest fetches — the magnitude the binary digest flip
+        feeding λ̂ can't express (a timestamp widget ≠ a rewrite).
+        Round 2 mutates documents deterministically: %4==0 identical,
+        %4==1 appended note, %4==2 half rewritten, %4==3 never refetched
+        (first_seen).  Per-URL window + (url, shingle) equi-join — never
+        cross-doc; all-integer permille."""
+        from cex_crawler_spark.operators.recrawl import content_change_magnitude
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        r1 = d.select(
+            F.col("doc_id").alias("url"), F.lit(1).alias("round"), "text"
+        )
+        i = F.col("doc_id")
+        mut = (
+            F.when(i % 4 == 0, F.col("text"))
+            .when(
+                i % 4 == 1,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" appended update note number "),
+                    i.cast("string"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.expr("substring(text, 1, length(text) div 2)"),
+                    F.lit(" entirely new rewritten second half with fresh vocabulary "),
+                    i.cast("string"),
+                )
+            )
+        )
+        r2 = d.filter(i % 4 != 3).select(
+            F.col("doc_id").alias("url"), F.lit(2).alias("round"), mut.alias("text")
+        )
+        log = r1.unionByName(r2)
+        return content_change_magnitude(log).orderBy("url")
+
+    q["recrawl_change_magnitude"] = recrawl_change_magnitude
+
     def redirect_resolution(spark, sf):
         """Redirect-chain resolution (operators/linkgraph.
         resolve_redirects): pointer jumping over the functional 3xx
@@ -8834,6 +8876,62 @@ def oracle_sql() -> dict[str, str]:
                (r.rank - t.trust) / r.rank >= 0.95 AS spam_suspect
         FROM r4 r JOIN t4 t ON t.id = r.id
         ORDER BY r.id
+    """
+
+    # recrawl_change_magnitude: the 2-round mutated log rebuilt in SQL,
+    # shingled with the inverted-index jaccard machinery (distinct
+    # 3-shingles per (url, rk), common = equi-join rk1×rk2 per url),
+    # permille all-integer.
+    o["recrawl_change_magnitude"] = f"""
+        WITH log AS (
+          SELECT doc_id AS url, 1 AS rnd, text FROM documents
+          UNION ALL
+          SELECT doc_id, 2,
+                 CASE WHEN doc_id % 4 = 0 THEN text
+                      WHEN doc_id % 4 = 1
+                        THEN text || ' appended update note number ' || doc_id
+                      ELSE substr(text, 1, CAST(length(text) // 2 AS INT))
+                           || ' entirely new rewritten second half with fresh vocabulary '
+                           || doc_id END
+          FROM documents WHERE doc_id % 4 <> 3
+        ),
+        ranked AS (
+          SELECT url, rnd, text,
+                 row_number() OVER (PARTITION BY url ORDER BY rnd DESC) AS rk
+          FROM log
+        ),
+        n AS (
+          SELECT url, rnd, rk, string_split({_NORM}, ' ') AS toks
+          FROM ranked WHERE rk <= 2
+        ),
+        g AS (
+          SELECT url, rnd, rk,
+                 list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS sh
+          FROM n
+        ),
+        e AS (SELECT url, rk, unnest(sh) AS s FROM g),
+        common AS (
+          SELECT a.url, count(*) AS n_common
+          FROM e a JOIN e b ON b.url = a.url AND b.s = a.s
+          WHERE a.rk = 1 AND b.rk = 2
+          GROUP BY a.url
+        ),
+        l AS (SELECT url, rnd AS round_latest, len(sh) AS n_latest FROM g WHERE rk = 1),
+        p AS (SELECT url, rnd AS round_prev, len(sh) AS n_prev FROM g WHERE rk = 2)
+        SELECT l.url, l.round_latest, p.round_prev, l.n_latest, p.n_prev,
+               CASE WHEN p.url IS NULL THEN NULL
+                    ELSE coalesce(c.n_common, 0) END AS n_common,
+               (p.url IS NULL) AS first_seen,
+               CASE WHEN p.url IS NULL THEN NULL
+                    WHEN l.n_latest + p.n_prev - coalesce(c.n_common, 0) = 0 THEN 0
+                    ELSE 1000 - (1000 * coalesce(c.n_common, 0))
+                         // (l.n_latest + p.n_prev - coalesce(c.n_common, 0)) END
+                 AS change_permille
+        FROM l
+        LEFT JOIN p ON p.url = l.url
+        LEFT JOIN common c ON c.url = l.url
+        ORDER BY l.url
     """
 
     # meta_robots_screen: the directive-token and nofollow-link parse

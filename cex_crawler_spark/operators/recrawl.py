@@ -298,3 +298,97 @@ def conditional_fetch_plan(
             "n_changed", "interval_days", "age_days",
         )
     )
+
+
+# ------------------------------------------- graded change magnitude
+
+def content_change_magnitude(
+    fetch_log: DataFrame,
+    url_col: str = "url",
+    round_col: str = "round",
+    text_col: str = "text",
+) -> DataFrame:
+    """(url, round_latest, round_prev, n_latest, n_prev, n_common,
+    change_permille, first_seen) — HOW MUCH a page changed between its
+    two latest fetches, as 1000·(1 − shingle-Jaccard) on the integer
+    grid.
+
+    The change-rate estimator above consumes a binary changed/unchanged
+    bit per revisit; a digest flip can't tell a timestamp widget from a
+    rewrite, so boilerplate churn poisons λ̂ (Cho & Garcia-Molina's own
+    caveat).  This grades the flip: 0 = identical shingle set,
+    1000 = fully rewritten; the caller thresholds (e.g. ≥50‰ counts as
+    a change) before feeding ``change_rate_priorities``.  URLs with a
+    single fetch come back ``first_seen = true`` (prev columns NULL).
+
+    Scale shape: the only window is per-URL over the revisit history
+    (bounded by visits/URL — prune the log to the last two rounds
+    upstream when it isn't); shingle comparison is an equi-join on
+    (url, shingle) between the two versions — never a cross-doc join,
+    output rows ≤ shingles of the smaller version.  All counts and the
+    permille are integers (bit-identical in any engine).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import word_shingles
+
+    ranked = (
+        fetch_log.select(
+            F.col(url_col).alias("url"),
+            F.col(round_col).alias("rnd"),
+            F.col(text_col).alias("text"),
+        )
+        .withColumn("rk", F.row_number().over(Window.partitionBy("url").orderBy(F.col("rnd").desc())))
+        .filter(F.col("rk") <= 2)
+        .withColumn("sh", F.array_distinct(word_shingles(F.col("text"))))
+        .select("url", "rnd", "rk", "sh", F.size("sh").alias("n_sh"))
+        .persist()
+    )
+    latest = ranked.filter(F.col("rk") == 1).select(
+        "url",
+        F.col("rnd").alias("round_latest"),
+        F.col("sh").alias("sh_l"),
+        F.col("n_sh").alias("n_latest"),
+    )
+    prev = ranked.filter(F.col("rk") == 2).select(
+        "url",
+        F.col("rnd").alias("round_prev"),
+        F.col("sh").alias("sh_p"),
+        F.col("n_sh").alias("n_prev"),
+    )
+    el = latest.select("url", F.explode("sh_l").alias("s"))
+    ep = prev.select("url", F.explode("sh_p").alias("s"))
+    common = el.join(ep, ["url", "s"]).groupBy("url").agg(
+        F.count("*").alias("n_common")
+    )
+    out = (
+        latest.drop("sh_l")
+        .join(prev.drop("sh_p"), "url", "left")
+        .join(common, "url", "left")
+        .select(
+            "url",
+            "round_latest",
+            "round_prev",
+            "n_latest",
+            "n_prev",
+            F.when(F.col("round_prev").isNull(), F.lit(None).cast("long"))
+            .otherwise(F.coalesce(F.col("n_common"), F.lit(0)))
+            .alias("n_common"),
+            F.col("round_prev").isNull().alias("first_seen"),
+        )
+        .withColumn(
+            "change_permille",
+            F.when(F.col("first_seen"), F.lit(None).cast("long")).otherwise(
+                F.when(
+                    F.col("n_latest") + F.col("n_prev") - F.col("n_common") == 0,
+                    F.lit(0).cast("long"),
+                ).otherwise(
+                    F.lit(1000)
+                    - F.expr(
+                        "(1000 * n_common) div (n_latest + n_prev - n_common)"
+                    )
+                )
+            ),
+        )
+    )
+    return out

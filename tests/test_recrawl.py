@@ -324,3 +324,39 @@ class TestChangefreqTrust:
             "shy": "understated",
             "tiny": "unjudged",
         }
+
+
+def test_content_change_magnitude_grades_and_first_seen(spark):
+    from cex_crawler_spark.operators.recrawl import content_change_magnitude
+
+    log = [
+        # identical across rounds → 0
+        ("a", 1, "alpha beta gamma delta epsilon"),
+        ("a", 2, "alpha beta gamma delta epsilon"),
+        # case/whitespace-only churn normalizes away → 0
+        ("w", 1, "Alpha  Beta gamma DELTA epsilon"),
+        ("w", 2, "alpha beta   gamma delta Epsilon"),
+        # full rewrite → 1000
+        ("b", 1, "one two three four five six"),
+        ("b", 2, "seven eight nine ten eleven twelve"),
+        # partial overlap: shingles {x y z, y z w} vs {x y z, y z q}
+        # → jaccard 1/3 → change 1000 - 333 = 667
+        ("c", 1, "x y z w"),
+        ("c", 2, "x y z q"),
+        # single fetch → first_seen, NULL magnitude
+        ("d", 5, "lonely page words here"),
+        # three rounds: only the two LATEST compared (r2 vs r3 identical)
+        ("e", 1, "completely different ancient version text"),
+        ("e", 2, "stable new content here now"),
+        ("e", 3, "stable new content here now"),
+    ]
+    df = spark.createDataFrame(log, ["url", "round", "text"])
+    got = {r["url"]: r for r in content_change_magnitude(df).collect()}
+    assert got["a"]["change_permille"] == 0 and not got["a"]["first_seen"]
+    assert got["w"]["change_permille"] == 0
+    assert got["b"]["change_permille"] == 1000
+    assert got["c"]["change_permille"] == 667
+    assert got["d"]["first_seen"] and got["d"]["change_permille"] is None
+    assert got["d"]["round_latest"] == 5 and got["d"]["round_prev"] is None
+    assert got["e"]["change_permille"] == 0
+    assert (got["e"]["round_latest"], got["e"]["round_prev"]) == (3, 2)
