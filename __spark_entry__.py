@@ -860,6 +860,33 @@ def _sim_linkgraph_sql(n: int = SIM_EDGE_N) -> str:
     """
 
 
+def gen_sim_opicgraph(spark: SparkSession, n: int = SIM_EDGE_N) -> DataFrame:
+    """Skewed variant of the sim linkgraph: every 7th-or-8th edge is
+    redirected onto a 50-page hub tier.  The plain modular graph is
+    EXACTLY vertex-uniform (6-out/5-in everywhere) — integer OPIC sits
+    at its fixed point there, cash == init for every node, so a broken
+    operator would still 'match'.  The hub tier breaks the symmetry:
+    in-degree, residues and pool flow all vary."""
+    i = F.col("id")
+    return spark.range(n).select(
+        ((i * 2654435761) % 500).alias("src"),
+        F.when(i % 7 < 2, (i * 131) % 50)
+        .otherwise((i * 48271 + 17) % 600)
+        .alias("dst"),
+    )
+
+
+def _sim_opicgraph_sql(n: int = SIM_EDGE_N) -> str:
+    return f"""
+      sim_edges AS (
+        SELECT (range * 2654435761) % 500 AS src,
+               CASE WHEN range % 7 < 2 THEN (range * 131) % 50
+                    ELSE (range * 48271 + 17) % 600 END AS dst
+        FROM range({n})
+      )
+    """
+
+
 # --------------------------------------------------------------------------
 # sim meta-robots fixture: pages carrying <meta name="robots"> directives
 # (both attribute orders, a "none" alias, a decoy viewport meta) and two
@@ -4797,6 +4824,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_graph_pagerank"] = link_graph_pagerank
 
+    def link_graph_opic(spark, sf):
+        """Synchronous integer-cash OPIC (operators/linkgraph.opic —
+        Abiteboul WWW'03): the on-line importance signal a frontier
+        scheduler can accrue WHILE crawling, no full-graph restart
+        when pages appear.  Micro-cash shares = cash div out, residues
+        + dangling cash pool uniformly with exact carry — every value
+        64-bit integer, so the oracle unrolls the recurrence with zero
+        tolerance (no float mirroring at all, unlike pagerank)."""
+        from cex_crawler_spark.operators.linkgraph import opic
+
+        s = opic(gen_sim_opicgraph(spark), n_rounds=6, init_cash=1_000_000)
+        total = s.agg(F.sum("history").alias("t"))
+        return (
+            s.crossJoin(F.broadcast(total))
+            .select(
+                "id",
+                "cash",
+                "history",
+                F.expr("(1000000 * history) div t").alias("imp_ppm"),
+            )
+            .orderBy("id")
+        )
+
+    q["link_graph_opic"] = link_graph_opic
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -5456,6 +5508,58 @@ def _trustrank_cte_chain(n_iter: int) -> str:
           FROM nodes n LEFT JOIN tseeds s ON s.id = n.id
         ),
         t0 AS (SELECT id, sv, sv AS trust FROM tvec),
+        {",".join(iters)}
+    """
+
+
+def _opic_cte_chain(n_rounds: int, init_cash: int) -> str:
+    """CTE chain (nodes/nn/deg/s0..s{n}, p0..p{n}, res0..) unrolling
+    the synchronous integer-cash OPIC recurrence over an existing
+    ``dedges(src, dst)`` CTE — all 64-bit integer, so this mirror is
+    exact by construction (no double-expression-shape discipline
+    needed).  DuckDB sums promote BIGINT→HUGEINT; every state column
+    casts back so pandas sees int64, not float (memory'd pitfall)."""
+    iters = []
+    for k in range(n_rounds):
+        iters.append(f"""
+        res{k} AS MATERIALIZED (
+          SELECT CAST((SELECT pool FROM p{k})
+                 + coalesce(sum(CASE WHEN g.id IS NULL THEN s.cash
+                                     ELSE s.cash % g.outd END), 0) AS BIGINT) AS pool_in
+          FROM s{k} s LEFT JOIN deg g ON g.id = s.id
+        ),
+        p{k + 1} AS MATERIALIZED (
+          SELECT CAST(pool_in % (SELECT cnt FROM nn) AS BIGINT) AS pool FROM res{k}
+        ),
+        s{k + 1} AS MATERIALIZED (
+          SELECT n.id,
+                 CAST(coalesce(c.contrib, 0)
+                      + (SELECT pool_in FROM res{k}) // (SELECT cnt FROM nn)
+                      AS BIGINT) AS cash,
+                 CAST(s.hist + s.cash AS BIGINT) AS hist
+          FROM nodes n
+          JOIN s{k} s ON s.id = n.id
+          LEFT JOIN (
+            SELECT e.dst AS id, sum(s2.cash // g.outd) AS contrib
+            FROM dedges e
+            JOIN s{k} s2 ON s2.id = e.src
+            JOIN deg g ON g.id = e.src
+            GROUP BY e.dst
+          ) c ON c.id = n.id
+        )""")
+    return f"""
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT src AS id FROM dedges
+          UNION SELECT DISTINCT dst FROM dedges
+        ),
+        nn AS MATERIALIZED (SELECT count(*) AS cnt FROM nodes),
+        deg AS MATERIALIZED (SELECT src AS id, count(*) AS outd FROM dedges GROUP BY src),
+        s0 AS MATERIALIZED (
+          SELECT id, CAST({init_cash} AS BIGINT) AS cash,
+                 CAST(0 AS BIGINT) AS hist
+          FROM nodes
+        ),
+        p0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS pool),
         {",".join(iters)}
     """
 
@@ -8857,6 +8961,20 @@ def oracle_sql() -> dict[str, str]:
         dedges AS (SELECT DISTINCT src, dst FROM sim_edges),
         {_pagerank_cte_chain(5)}
         SELECT id, round(rank, 6) AS rank FROM r5 ORDER BY id
+    """
+
+    # link_graph_opic: the synchronous integer-cash OPIC recurrence
+    # unrolled — shares/residues/pool-carry are all BIGINT, so the
+    # replay is exact by construction; the ppm grid is one more
+    # integer division off the final history total.
+    o["link_graph_opic"] = f"""
+        WITH {_sim_opicgraph_sql()},
+        dedges AS (SELECT DISTINCT src, dst FROM sim_edges),
+        {_opic_cte_chain(6, 1_000_000)},
+        tot AS (SELECT CAST(sum(hist) AS BIGINT) AS t FROM s6)
+        SELECT id, cash, hist AS history,
+               CAST((1000000 * hist) // (SELECT t FROM tot) AS BIGINT) AS imp_ppm
+        FROM s6 ORDER BY id
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

@@ -192,6 +192,112 @@ def pagerank(
     return ranks
 
 
+def opic(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_rounds: int = 8,
+    init_cash: int = 1_000_000,
+    with_pool: bool = False,
+) -> DataFrame:
+    """(id, cash, history) after ``n_rounds`` of synchronous On-line
+    Page Importance Computation (Abiteboul, Preda & Cobéna, WWW'03).
+
+    OPIC is the crawl-native importance signal: every page holds
+    *cash*; distributing a page's cash equally to its outlinks and
+    accruing what it held into its *history* estimates PageRank-like
+    importance WHILE the crawl runs — no full-graph restart when new
+    pages appear, which is why frontier schedulers (and the original
+    Xyleme crawler) used it over batch PageRank.  This is the
+    synchronous batch variant: every round, all pages distribute at
+    once.
+
+    Integer micro-cash semantics (what makes the op engine-replayable
+    bit-for-bit, unlike float PageRank's carefully-mirrored doubles):
+    each out-neighbour receives ``cash div out``; the division residue
+    ``cash mod out`` and the whole cash of dangling pages go to a
+    uniform pool (the paper's virtual page), which grants
+    ``pool div N`` back to every page and carries ``pool mod N`` to
+    the next round.  Total cash + pool is conserved EXACTLY at every
+    round (``with_pool=True`` returns ``(df, pool)`` so callers can
+    assert the invariant).
+
+    Scale shape: identical to ``pagerank`` — one map-combinable
+    dst-keyed shuffle per round over the src-partitioned persisted
+    edge list, one scalar (the residue sum) crossing the driver, state
+    localCheckpointed so lineage stays O(1).  All arithmetic is 64-bit
+    integer: the oracle unrolls the same recurrence in SQL with zero
+    tolerance.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        empty = nodes.select(
+            "id", F.lit(0).alias("cash"), F.lit(0).alias("history")
+        )
+        return (empty, 0) if with_pool else empty
+    deg = e.groupBy("src").agg(F.count("*").alias("outd"))
+    ew = (
+        e.join(deg, "src")
+        .select("src", "dst", "outd")
+        .repartition("src")
+        .persist()
+    )
+    state = nodes.select(
+        "id",
+        F.lit(int(init_cash)).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("history"),
+    ).localCheckpoint(eager=True)
+    pool = 0
+    for _ in range(n_rounds):
+        residue = (
+            state.join(deg, state["id"] == deg["src"], "left")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("outd").isNull(), F.col("cash")).otherwise(
+                            F.expr("cash % outd")
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("r")
+            )
+            .collect()[0]["r"]
+        )
+        pool_in = pool + int(residue)
+        grant, pool = divmod(pool_in, n)
+        contrib = (
+            ew.join(state, ew["src"] == state["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.expr("cash div outd")).alias("c"))
+        )
+        state = (
+            state.join(contrib, state["id"] == contrib["dst"], "left")
+            .select(
+                state["id"],
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(grant)).cast("long").alias("cash"),
+                (F.col("history") + F.col("cash")).cast("long").alias("history"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    ew.unpersist()
+    nodes.unpersist()
+    return (state, pool) if with_pool else state
+
+
 def anchor_text_profile(
     links: DataFrame,
     href_col: str = "href",

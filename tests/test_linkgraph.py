@@ -447,3 +447,52 @@ def test_robots_meta_screen_directives_and_nofollow_links(spark):
         r = got[u]
         assert (r["noindex"], r["nofollow"], r["n_links"], r["n_follow_links"]) == (
             ni, nf, nl, nfl), u
+
+
+# ---------------------------------------------------------------- OPIC
+
+def test_opic_hand_computed_chain(spark):
+    """a->b->c, c dangling, init 100: two rounds worked by hand."""
+    from cex_crawler_spark.operators.linkgraph import opic
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    s1, pool1 = opic(e, n_rounds=1, init_cash=100, with_pool=True)
+    got1 = {r["id"]: (r["cash"], r["history"]) for r in s1.collect()}
+    # round 1: residues = c's 100 (dangling); grant 33, pool 1
+    assert got1 == {"a": (33, 100), "b": (133, 100), "c": (133, 100)}
+    assert pool1 == 1
+    s2, pool2 = opic(e, n_rounds=2, init_cash=100, with_pool=True)
+    got2 = {r["id"]: (r["cash"], r["history"]) for r in s2.collect()}
+    # round 2: pool_in = 1 + 133 = 134 -> grant 44, pool 2
+    assert got2 == {"a": (44, 133), "b": (77, 233), "c": (177, 233)}
+    assert pool2 == 2
+
+
+def test_opic_conserves_total_cash(spark):
+    """cash + pool == N * init_cash exactly, every round count."""
+    from cex_crawler_spark.operators.linkgraph import opic
+
+    i = F.col("id")
+    e = spark.range(600).select(
+        ((i * 2654435761) % 80).alias("src"), ((i * 48271 + 17) % 90).alias("dst")
+    )
+    n = 90  # dst values 17..? src 0..79 union dst — count below
+    for rounds in (1, 4):
+        s, pool = opic(e, n_rounds=rounds, init_cash=1000, with_pool=True)
+        agg = s.agg(
+            F.sum("cash").alias("c"), F.count("*").alias("n"), F.sum("history").alias("h")
+        ).collect()[0]
+        assert agg["c"] + pool == agg["n"] * 1000
+        assert agg["h"] > 0
+
+
+def test_opic_importance_tracks_in_degree(spark):
+    """a hub everyone links to accrues the largest history."""
+    from cex_crawler_spark.operators.linkgraph import opic
+
+    edges = [(f"p{i}", "hub") for i in range(10)] + [("hub", "p0")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    s = opic(e, n_rounds=5, init_cash=10_000)
+    rows = {r["id"]: r["history"] for r in s.collect()}
+    assert rows["hub"] == max(rows.values())
+    assert rows["hub"] > rows["p3"]
