@@ -5045,6 +5045,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_line_scrub"] = doc_line_scrub
 
+    def doc_host_template_scrub(spark, sf):
+        """Host-scoped template removal (dedup.host_template_lines +
+        scrub_host_templates — Gibson et al. WWW'05: templates are
+        per-SITE): a line is chrome only if it covers ≥40% AND ≥3 of
+        ITS OWN host's documents, so cross-site recurring content
+        (quotes, specs) survives where the global C4 scrub over-fires.
+        Fixture: documents re-lined 8 words/line under host =
+        h(doc_id%20); hosts ≡0 (mod 3) carry a host-specific nav
+        header on EVERY doc, and a global cookie banner rides every
+        even doc_id (≈50% share per host — caught per-host by the
+        share bar).  At sf0.001 hosts have 2-3 docs, so min_docs=3
+        also exercises the small-host guard."""
+        from cex_crawler_spark.operators.dedup import (
+            host_template_lines, scrub_host_templates,
+        )
+
+        d = _t(spark, sf, "documents")
+        words = F.split(F.col("text"), " ")
+        nl = F.floor((F.size(words) - 1) / 8).cast("int")
+        lined = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), nl),
+                lambda i: F.array_join(F.slice(words, i * 8 + 1, F.lit(8)), " "),
+            ),
+            "\n",
+        )
+        hostk = F.col("doc_id") % 20
+        header = F.when(
+            hostk % 3 == 0,
+            F.concat(
+                F.lit("site h"), hostk.cast("string"), F.lit(" navigation menu\n")
+            ),
+        ).otherwise(F.lit(""))
+        footer = F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("\nglobal cookie banner accept decline"),
+        ).otherwise(F.lit(""))
+        fixture = d.select(
+            "doc_id",
+            F.concat(F.lit("h"), hostk.cast("string")).alias("host"),
+            F.concat(header, lined, footer).alias("text"),
+        )
+        t = host_template_lines(
+            fixture, "text", "doc_id", "host", min_docs=3, min_share_permille=400
+        )
+        return (
+            scrub_host_templates(fixture, t, "text", "doc_id", "host")
+            .select(
+                F.col("id").alias("doc_id"), "host", "text",
+                "n_lines", "n_kept", "n_template",
+            )
+            .orderBy("doc_id")
+        )
+
+    q["doc_host_template_scrub"] = doc_host_template_scrub
+
     def image_batch_packing(spark, sf):
         """Aspect-bucketed pixel-budget batch packing
         (multimodal.aspect_bucket + pack_images): vision trainers batch
@@ -9183,6 +9239,57 @@ def oracle_sql() -> dict[str, str]:
         tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id)
         SELECT t.doc_id, coalesce(r.text, '') AS text, t.n_lines,
                coalesce(r.n_kept, 0) AS n_kept
+        FROM tot t LEFT JOIN reb r USING (doc_id)
+        ORDER BY t.doc_id
+    """
+
+    # doc_host_template_scrub: host-keyed replay on line STRINGS —
+    # per-(host, doc, line) distinct for df counts, integer
+    # cross-multiplied share bar, anti-join scrub, ordered rebuild.
+    o["doc_host_template_scrub"] = """
+        WITH base AS (
+          SELECT doc_id, 'h' || (doc_id % 20) AS host,
+                 string_split(text, ' ') AS toks
+          FROM documents
+        ),
+        lined AS (
+          SELECT doc_id, host,
+                 (CASE WHEN (doc_id % 20) % 3 = 0
+                       THEN 'site h' || (doc_id % 20) || ' navigation menu' || chr(10)
+                       ELSE '' END)
+                 || array_to_string(
+                      [array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')
+                       for i in range(0, (len(toks) - 1) // 8 + 1)], chr(10))
+                 || (CASE WHEN doc_id % 2 = 0
+                          THEN chr(10) || 'global cookie banner accept decline'
+                          ELSE '' END) AS text
+          FROM base
+        ),
+        l AS (SELECT doc_id, host, string_split(text, chr(10)) AS ls FROM lined),
+        x AS (SELECT doc_id, host, ls, unnest(range(1, len(ls) + 1)) AS p FROM l),
+        ln AS (SELECT doc_id, host, p - 1 AS pos, ls[p] AS line FROM x),
+        hd AS (SELECT host, count(*) AS host_docs FROM lined GROUP BY host),
+        pd AS (SELECT DISTINCT host, doc_id, line FROM ln),
+        st AS (SELECT host, line, count(*) AS line_docs FROM pd GROUP BY host, line),
+        tpl AS (
+          SELECT st.host, st.line
+          FROM st JOIN hd USING (host)
+          WHERE st.line_docs >= 3 AND st.line_docs * 1000 >= 400 * hd.host_docs
+        ),
+        kept AS (
+          SELECT n.doc_id, n.pos, n.line
+          FROM ln n LEFT JOIN tpl t ON t.host = n.host AND t.line = n.line
+          WHERE t.line IS NULL
+        ),
+        reb AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, host, count(*) AS n_lines FROM ln GROUP BY doc_id, host)
+        SELECT t.doc_id, t.host, coalesce(r.text, '') AS text, t.n_lines,
+               coalesce(r.n_kept, 0) AS n_kept,
+               t.n_lines - coalesce(r.n_kept, 0) AS n_template
         FROM tot t LEFT JOIN reb r USING (doc_id)
         ORDER BY t.doc_id
     """

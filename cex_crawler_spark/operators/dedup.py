@@ -392,6 +392,108 @@ def scrub_duplicated_lines(
     )
 
 
+# ------------------------------------- host-scoped template detection
+
+def host_template_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    host_col: str,
+    delim: str = "\n",
+    min_docs: int = 3,
+    min_share_permille: int = 500,
+) -> DataFrame:
+    """(host, lh, line, line_docs, host_docs) — lines that are site
+    TEMPLATE chrome: present in ≥ ``min_docs`` documents of one host
+    AND in ≥ ``min_share_permille``‰ of that host's documents (Gibson,
+    Punera & Tomkins WWW'05: templates are per-SITE structures).
+
+    The host scope is the precision upgrade over the corpus-global C4
+    scrub (``scrub_duplicated_lines``): a sentence that happens to
+    recur across unrelated sites (a famous quote, a product spec) is
+    NOT chrome and the global scrub over-fires on it, while a nav bar
+    repeated on every page of one host but nowhere else is exactly
+    chrome — the share test can only be asked per host.  Both
+    thresholds must hold: ``min_docs`` keeps 2-doc hosts from turning
+    any shared line into 'template'; the share test is the integer
+    cross-multiply ``line_docs·1000 ≥ share·host_docs`` (no division).
+
+    Scale shape: posexplode → per-(host, doc, line-hash) distinct (one
+    shuffle, repeated lines within a doc collapse map-side) → per-
+    (host, line-hash) map-combinable count against the broadcast-sized
+    per-host doc totals.  A million-page host's footer is ONE agg key.
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), F.lit(delim))).alias("line"),
+    ).withColumn("lh", F.xxhash64("line"))
+    per_doc = lines.groupBy("host", "id", "lh").agg(F.min("line").alias("line"))
+    stats = per_doc.groupBy("host", "lh").agg(
+        F.count("*").alias("line_docs"), F.min("line").alias("line")
+    )
+    host_docs = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("host_docs")
+    )
+    return (
+        stats.join(host_docs, "host")
+        .filter(
+            (F.col("line_docs") >= min_docs)
+            & (F.col("line_docs") * 1000 >= F.lit(min_share_permille) * F.col("host_docs"))
+        )
+        .select("host", "lh", "line", "line_docs", "host_docs")
+    )
+
+
+def scrub_host_templates(
+    df: DataFrame,
+    templates: DataFrame,
+    text_col: str,
+    id_col: str,
+    host_col: str,
+    delim: str = "\n",
+) -> DataFrame:
+    """(id, host, text, n_lines, n_kept, n_template) — rebuild each
+    document with its OWN host's template lines removed (every
+    occurrence: chrome has no canonical copy worth keeping, unlike the
+    C4 scrub's ``keep_first``).  ``templates`` is the output of
+    ``host_template_lines`` — learned once, applied to any doc batch
+    of the same hosts, so incremental crawl rounds reuse the table.
+
+    Scale shape: one anti-join of exploded lines against the
+    dim-sized template table on (host, line-hash) — broadcastable —
+    then the same kept-lines-only rebuild aggregate as
+    ``scrub_duplicated_lines``.
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim))).alias("pos", "line"),
+    ).withColumn("lh", F.xxhash64("line"))
+    kept = lines.join(
+        F.broadcast(templates.select("host", "lh")), ["host", "lh"], "left_anti"
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy("id", "host").agg(F.count("*").alias("n_lines"))
+    return totals.join(rebuilt, "id", "left").select(
+        "id",
+        "host",
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_template"),
+    )
+
+
 # -------------------------------------------- winnowing fingerprints
 
 def winnow_fingerprints(

@@ -1026,3 +1026,66 @@ class TestIncrementalComponents:
         assert inc[21] == 20
         # new nodes clustered fresh
         assert inc[101] == 100
+
+
+# ----------------------------------------- host-scoped template scrub
+
+class TestHostTemplates:
+    def _fixture(self, spark):
+        docs = [
+            (1, "A", "chrome line\nunique one"),
+            (2, "A", "chrome line\nunique two"),
+            (3, "A", "chrome line\nunique three"),
+            # same string on ONE doc of host B — content there, not chrome
+            (4, "B", "chrome line\nother text"),
+            (5, "B", "bbb\nccc"),
+            (6, "B", "bbb\nddd"),
+        ]
+        return spark.createDataFrame(docs, ["id", "host", "text"])
+
+    def test_detection_is_host_scoped(self, spark):
+        from cex_crawler_spark.operators.dedup import host_template_lines
+
+        t = host_template_lines(
+            self._fixture(spark), "text", "id", "host",
+            min_docs=3, min_share_permille=500,
+        )
+        got = {(r["host"], r["line"]) for r in t.collect()}
+        # A's chrome (3/3 docs) detected; B's single copy is NOT; B's
+        # bbb (2/3 = 666 permille) fails min_docs=3
+        assert got == {("A", "chrome line")}
+
+    def test_min_docs_vs_share_thresholds(self, spark):
+        from cex_crawler_spark.operators.dedup import host_template_lines
+
+        t = host_template_lines(
+            self._fixture(spark), "text", "id", "host",
+            min_docs=2, min_share_permille=500,
+        )
+        got = {(r["host"], r["line"]) for r in t.collect()}
+        assert got == {("A", "chrome line"), ("B", "bbb")}
+        # share bar above 2/3 kills bbb again
+        t2 = host_template_lines(
+            self._fixture(spark), "text", "id", "host",
+            min_docs=2, min_share_permille=700,
+        )
+        assert {(r["host"], r["line"]) for r in t2.collect()} == {
+            ("A", "chrome line")
+        }
+
+    def test_scrub_removes_own_host_chrome_only(self, spark):
+        from cex_crawler_spark.operators.dedup import (
+            host_template_lines, scrub_host_templates,
+        )
+
+        df = self._fixture(spark)
+        t = host_template_lines(df, "text", "id", "host",
+                                min_docs=3, min_share_permille=500)
+        out = {r["id"]: r for r in
+               scrub_host_templates(df, t, "text", "id", "host").collect()}
+        assert out[1]["text"] == "unique one"
+        assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 1
+        assert out[1]["n_template"] == 1
+        # host B keeps its single 'chrome line' — the host scope
+        assert out[4]["text"] == "chrome line\nother text"
+        assert out[4]["n_template"] == 0
