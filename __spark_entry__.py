@@ -4849,6 +4849,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_graph_opic"] = link_graph_opic
 
+    def pagination_series_map(spark, sf):
+        """rel=next pagination reconstruction (linkgraph.
+        pagination_hints + paginate_series): the frontier treats
+        /s7/p0..p6 as ONE logical document — series id, 1-based
+        position and length for every page, declared-next cycles
+        surfaced as data.  The resolver is the redirect pointer-jumper
+        with distance accumulation (one functional-graph operator, two
+        protocols).  Fixture: 120 series of length 3-7 with attribute
+        order flipped on odd series, root-relative hrefs on k%3==0,
+        a stylesheet-link decoy on every last page, plus a planted
+        3-page rel=next cycle."""
+        from cex_crawler_spark.operators.linkgraph import (
+            paginate_series, pagination_hints,
+        )
+
+        k, j = F.col("k"), F.col("j")
+        ser = spark.range(120).select(
+            F.col("id").alias("k"),
+            F.explode(F.sequence(F.lit(0), F.lit(2) + F.col("id") % 5)).alias("j"),
+        )
+        href = F.when(
+            k % 3 == 0, F.format_string("/s%d/p%d", k, j + 1)
+        ).otherwise(
+            F.format_string("https://site%d.example.com/s%d/p%d", k % 7, k, j + 1)
+        )
+        html = F.when(
+            j < 2 + k % 5,
+            F.when(
+                k % 2 == 0,
+                F.concat(F.lit('<link rel="next" href="'), href, F.lit('"><p>body</p>')),
+            ).otherwise(
+                F.concat(F.lit('<link href="'), href, F.lit('" rel="next"><p>body</p>')),
+            ),
+        ).otherwise(F.lit('<p>last page</p><link rel="stylesheet" href="/x.css">'))
+        chain = ser.select(
+            F.format_string("https://site%d.example.com/s%d/p%d", k % 7, k, j).alias("url"),
+            html.alias("html"),
+        )
+        cyc = spark.range(3).select(
+            F.format_string("https://loop.example.com/c%d", F.col("id")).alias("url"),
+            F.format_string(
+                '<link rel="next" href="/c%d">', (F.col("id") + 1) % 3
+            ).alias("html"),
+        )
+        pages = chain.unionByName(cyc)
+        edges = (
+            pagination_hints(pages)
+            .filter(F.col("next_target").isNotNull())
+            .select(F.col("url").alias("src"), F.col("next_target").alias("dst"))
+        )
+        return paginate_series(edges).orderBy("url")
+
+    q["pagination_series_map"] = pagination_series_map
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -9031,6 +9085,87 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, cash, hist AS history,
                CAST((1000000 * hist) // (SELECT t FROM tot) AS BIGINT) AS imp_ppm
         FROM s6 ORDER BY id
+    """
+
+    # pagination_series_map: fixture rebuilt with printf, the SAME RE2
+    # alternations for both attribute orders, resolution, then a
+    # UNION-distinct recursive walk (d-capped so cycle states
+    # terminate); terminal = node with no outgoing edge, position =
+    # series_len - distance.
+    o["pagination_series_map"] = """
+        WITH RECURSIVE ser AS (
+          SELECT k, unnest(range(0, 3 + k % 5)) AS j
+          FROM (SELECT range AS k FROM range(120))
+        ),
+        chainp AS (
+          SELECT printf('https://site%d.example.com/s%d/p%d', k % 7, k, j) AS url,
+                 CASE WHEN j < 2 + k % 5 THEN
+                   CASE WHEN k % 2 = 0
+                     THEN '<link rel="next" href="' ||
+                          CASE WHEN k % 3 = 0 THEN printf('/s%d/p%d', k, j + 1)
+                               ELSE printf('https://site%d.example.com/s%d/p%d',
+                                           k % 7, k, j + 1) END
+                          || '"><p>body</p>'
+                     ELSE '<link href="' ||
+                          CASE WHEN k % 3 = 0 THEN printf('/s%d/p%d', k, j + 1)
+                               ELSE printf('https://site%d.example.com/s%d/p%d',
+                                           k % 7, k, j + 1) END
+                          || '" rel="next"><p>body</p>' END
+                 ELSE '<p>last page</p><link rel="stylesheet" href="/x.css">'
+                 END AS html
+          FROM ser
+        ),
+        pages AS (
+          SELECT * FROM chainp
+          UNION ALL
+          SELECT printf('https://loop.example.com/c%d', range),
+                 printf('<link rel="next" href="/c%d">', (range + 1) % 3)
+          FROM range(3)
+        ),
+        h AS (
+          SELECT url,
+                 coalesce(
+                   nullif(regexp_extract(html,
+                     '(?is)<link[^>]*rel\\s*=\\s*["'']next["''][^>]*href\\s*=\\s*["'']([^"'']+)["'']', 1), ''),
+                   nullif(regexp_extract(html,
+                     '(?is)<link[^>]*href\\s*=\\s*["'']([^"'']+)["''][^>]*rel\\s*=\\s*["'']next["'']', 1), '')
+                 ) AS hint,
+                 regexp_extract(url, '^([a-z][a-z0-9+.-]*://[^/?#]*)', 1) AS origin
+          FROM pages
+        ),
+        edges AS (
+          SELECT url AS src,
+                 CASE WHEN hint LIKE '/%' THEN origin || hint ELSE hint END AS dst
+          FROM h WHERE hint IS NOT NULL
+        ),
+        nodes AS (
+          SELECT DISTINCT url FROM (
+            SELECT src AS url FROM edges
+            UNION ALL SELECT dst FROM edges
+          )
+        ),
+        walk AS (
+          SELECT url, url AS cur, 0 AS d FROM nodes
+          UNION
+          SELECT w.url, e.dst, w.d + 1
+          FROM walk w JOIN edges e ON e.src = w.cur
+          WHERE w.d < 30
+        ),
+        term AS (
+          SELECT url, cur AS sid, d FROM walk
+          WHERE cur NOT IN (SELECT src FROM edges)
+        ),
+        lens AS (
+          SELECT sid, CAST(max(d) + 1 AS BIGINT) AS series_len
+          FROM term GROUP BY sid
+        )
+        SELECT n.url, t.sid AS series_id,
+               CAST(l.series_len - t.d AS BIGINT) AS position,
+               l.series_len, t.sid IS NULL AS in_cycle
+        FROM nodes n
+        LEFT JOIN term t ON t.url = n.url
+        LEFT JOIN lens l ON l.sid = t.sid
+        ORDER BY n.url
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

@@ -744,6 +744,133 @@ def resolve_redirects(
     return out
 
 
+# rel=next extraction: same RE2 discipline as rel=canonical below (no
+# lookahead — both attribute orders are explicit alternations).
+_NEXT_REL_HREF = (
+    r"""(?is)<link[^>]*rel\s*=\s*["']next["'][^>]*"""
+    r"""href\s*=\s*["']([^"']+)["']"""
+)
+_NEXT_HREF_REL = (
+    r"""(?is)<link[^>]*href\s*=\s*["']([^"']+)["'][^>]*"""
+    r"""rel\s*=\s*["']next["']"""
+)
+
+
+def pagination_hints(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Annotate pages with their declared ``<link rel="next">`` target
+    (the HTML pagination protocol): ``next_hint`` raw href or NULL,
+    ``next_target`` resolved (root-relative against the page's
+    scheme+host, absolute pass through, NULL when absent).  Pure
+    scan-side regexps — runs fused with the fetch stage."""
+    html, url = F.col(html_col), F.col(url_col)
+    hint = F.coalesce(
+        F.nullif(F.regexp_extract(html, _NEXT_REL_HREF, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html, _NEXT_HREF_REL, 1), F.lit("")),
+    )
+    origin = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
+    resolved = F.when(hint.isNull(), F.lit(None).cast("string")).when(
+        F.startswith(hint, F.lit("/")), F.concat(origin, hint)
+    ).otherwise(hint)
+    return pages.withColumn("next_hint", hint).withColumn(
+        "next_target", resolved
+    )
+
+
+def paginate_series(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(url, series_id, position, series_len, in_cycle) — reconstruct
+    paginated SERIES from the functional rel=next graph, so the
+    frontier can treat /article?page=1..17 as ONE logical document
+    (dedup counts the series once, recrawl re-fetches page 1 and lets
+    lastmod decide the tail, export concatenates in position order).
+
+    Same pointer-jumping skeleton as ``resolve_redirects`` (the 3xx
+    location graph and the rel=next graph are both functional — one
+    resolver, two protocols) but each hop also ACCUMULATES distance:
+    d(u) ← d(u) + d(label(u)) keeps the invariant d = hops from u to
+    its current label, so chain positions come out of the same O(log
+    chain) loop instead of a second walk.  ``series_id`` is the
+    series' LAST page (the unique member with no next), ``position``
+    is 1-based from the first page, ``series_len`` = longest head
+    distance + 1 (mis-tagged multi-head chains report the longest
+    head's length).  Pages in a rel=next CYCLE come back ``in_cycle``
+    with NULL series columns — cycles are data, not failure.
+
+    Scale shape: O(log max_series_len) self-joins of the node-sized
+    label table (localCheckpointed lineage), one max-aggregate per
+    series, one hash join back.  No step touches page bytes.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    labels = e.select(
+        F.col("src").alias("url"),
+        F.col("dst").alias("label"),
+        F.lit(1).cast("long").alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        parent = labels.select(
+            F.col("url").alias("__purl"),
+            F.col("label").alias("__plabel"),
+            F.col("d").alias("__pd"),
+        )
+        hopped = (
+            labels.join(parent, labels["label"] == parent["__purl"], "left")
+            .select(
+                "url",
+                F.coalesce(F.col("__plabel"), F.col("label")).alias("label"),
+                F.when(
+                    F.col("__plabel").isNotNull(), F.col("d") + F.col("__pd")
+                ).otherwise(F.col("d")).alias("d"),
+                (F.col("__plabel") != F.col("label")).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = hopped.filter(F.col("__changed")).limit(1).count()
+        labels = hopped.select("url", "label", "d")
+        if changed == 0:
+            break
+    srcs = e.select(F.col("src").alias("__src")).distinct()
+    chain = labels.join(srcs, labels["label"] == srcs["__src"], "left").select(
+        "url",
+        F.when(F.col("__src").isNull(), F.col("label")).alias("sid"),
+        F.when(F.col("__src").isNull(), F.col("d")).alias("d"),
+        F.col("__src").isNotNull().alias("in_cycle"),
+    )
+    terminals = (
+        e.select(F.col("dst").alias("url"))
+        .distinct()
+        .join(srcs, F.col("url") == F.col("__src"), "left_anti")
+        .select(
+            "url",
+            F.col("url").alias("sid"),
+            F.lit(0).cast("long").alias("d"),
+            F.lit(False).alias("in_cycle"),
+        )
+    )
+    members = chain.unionByName(terminals)
+    lens = members.filter(~F.col("in_cycle")).groupBy("sid").agg(
+        (F.max("d") + 1).alias("series_len")
+    )
+    out = members.join(lens, "sid", "left").select(
+        "url",
+        F.when(~F.col("in_cycle"), F.col("sid")).alias("series_id"),
+        F.when(~F.col("in_cycle"), F.col("series_len") - F.col("d")).alias(
+            "position"
+        ),
+        F.when(~F.col("in_cycle"), F.col("series_len")).alias("series_len"),
+        "in_cycle",
+    )
+    e.unpersist()
+    return out
+
+
 # rel=canonical extraction: attribute order varies in the wild and RE2
 # (the oracle engine) has no lookahead, so the two orderings are two
 # alternations coalesced — misses pathological multi-line attribute

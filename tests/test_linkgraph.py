@@ -496,3 +496,61 @@ def test_opic_importance_tracks_in_degree(spark):
     rows = {r["id"]: r["history"] for r in s.collect()}
     assert rows["hub"] == max(rows.values())
     assert rows["hub"] > rows["p3"]
+
+
+# ---------------------------------------------------------- pagination
+
+def test_pagination_hints_orders_and_resolution(spark):
+    from cex_crawler_spark.operators.linkgraph import pagination_hints
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.ex/p1", '<link rel="next" href="/p2">'),
+            ("https://a.ex/p2", "<link href='https://a.ex/p3' rel='next'>"),
+            ("https://a.ex/p3", '<link rel="stylesheet" href="/x.css">'),
+        ],
+        ["url", "html"],
+    )
+    got = {r["url"]: r["next_target"]
+           for r in pagination_hints(pages).collect()}
+    assert got["https://a.ex/p1"] == "https://a.ex/p2"  # root-relative
+    assert got["https://a.ex/p2"] == "https://a.ex/p3"  # flipped order
+    assert got["https://a.ex/p3"] is None               # decoy rel ignored
+
+
+def test_paginate_series_chain_and_cycle(spark):
+    from cex_crawler_spark.operators.linkgraph import paginate_series
+
+    e = spark.createDataFrame(
+        [("p1", "p2"), ("p2", "p3"), ("a", "b"), ("b", "c"), ("c", "a")],
+        ["src", "dst"],
+    )
+    got = {r["url"]: r for r in paginate_series(e).collect()}
+    assert (got["p1"]["series_id"], got["p1"]["position"]) == ("p3", 1)
+    assert (got["p2"]["position"], got["p3"]["position"]) == (2, 3)
+    assert got["p3"]["series_id"] == "p3"          # terminal is a member
+    assert all(got[p]["series_len"] == 3 for p in ("p1", "p2", "p3"))
+    for u in ("a", "b", "c"):
+        assert got[u]["in_cycle"] and got[u]["series_id"] is None
+        assert got[u]["position"] is None
+
+
+def test_paginate_series_multi_head_and_long_chain(spark):
+    from cex_crawler_spark.operators.linkgraph import paginate_series
+
+    # a second head mis-tagged into page 2: both heads report position 1
+    e = spark.createDataFrame(
+        [("p1", "p2"), ("h1", "p2"), ("p2", "p3")], ["src", "dst"]
+    )
+    got = {r["url"]: r for r in paginate_series(e).collect()}
+    assert got["h1"]["position"] == 1 and got["p1"]["position"] == 1
+    assert got["p2"]["position"] == 2
+
+    # 60-hop chain resolves inside the log-iteration bound
+    long = spark.createDataFrame(
+        [(f"q{i:02d}", f"q{i+1:02d}") for i in range(60)], ["src", "dst"]
+    )
+    res = paginate_series(long, max_iters=7).collect()
+    rows = {r["url"]: r for r in res}
+    assert rows["q00"]["position"] == 1 and rows["q60"]["position"] == 61
+    assert rows["q30"]["series_len"] == 61 and not rows["q30"]["in_cycle"]
