@@ -4903,6 +4903,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagination_series_map"] = pagination_series_map
 
+    def hreflang_alternate_clusters(spark, sf):
+        """Translation-cluster reconstruction (linkgraph.
+        hreflang_alternates + hreflang_clusters): rel=alternate
+        hreflang declarations → connected components — alternates are
+        the same logical content in different languages, invisible to
+        text near-dup yet exactly what a language-balanced corpus must
+        group (one member per language, x-default as the credited
+        canonical).  The parse matches whole rel=alternate tags and
+        pulls hreflang/href independently, so ANY attribute order
+        works.  Fixture: 80 clusters of 1-4 languages where every
+        declaring member lists ALL members; member 0 of every 5th
+        cluster declares NOTHING (joins via others — the partial-graph
+        case), every 7th-cluster-less-3 omits x-default (NULL
+        default)."""
+        from cex_crawler_spark.operators.linkgraph import (
+            hreflang_alternates, hreflang_clusters,
+        )
+
+        g = F.col("g")
+        mem = spark.range(80).select(
+            F.col("id").alias("g"),
+            F.explode(F.sequence(F.lit(0), F.col("id") % 4)).alias("v"),
+        )
+        langs = F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("ja"))
+        w = F.col("w")
+        tags = (
+            mem.join(mem.select(F.col("g").alias("g2"), F.col("v").alias("w")),
+                     F.col("g") == F.col("g2"))
+            .select(
+                "g", "v", "w",
+                F.format_string(
+                    '<link rel="alternate" hreflang="%s" href="https://ex%d.org/l%d/a%d">',
+                    F.element_at(langs, (w + 1).cast("int")), g % 9, w, g,
+                ).alias("tag"),
+            )
+        )
+        htmls = tags.groupBy("g", "v").agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("w", "tag"))),
+                    lambda s: s["tag"],
+                ),
+                "",
+            ).alias("base")
+        )
+        xdef = F.when(
+            g % 7 != 3,
+            F.format_string(
+                '<link href="https://ex%d.org/l0/a%d" hreflang="x-default" rel="alternate">',
+                g % 9, g,
+            ),
+        ).otherwise(F.lit(""))
+        pages = htmls.select(
+            F.format_string("https://ex%d.org/l%d/a%d", g % 9, F.col("v"), g).alias("url"),
+            F.when(
+                (F.col("v") == 0) & (g % 5 == 0), F.lit("<p>no tags</p>")
+            ).otherwise(F.concat(F.col("base"), xdef)).alias("html"),
+        )
+        return hreflang_clusters(hreflang_alternates(pages)).orderBy("url")
+
+    q["hreflang_alternate_clusters"] = hreflang_alternate_clusters
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -9166,6 +9228,81 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN term t ON t.url = n.url
         LEFT JOIN lens l ON l.sid = t.sid
         ORDER BY n.url
+    """
+
+    # hreflang_alternate_clusters: fixture rebuilt via the same
+    # per-(g,v,w) tag expansion + ordered string_agg, whole-tag parse
+    # with independent attribute pulls, then the reach(root,node)
+    # min-label closure.
+    o["hreflang_alternate_clusters"] = """
+        WITH RECURSIVE mem AS (
+          SELECT g, unnest(range(0, 1 + g % 4)) AS v
+          FROM (SELECT range AS g FROM range(80))
+        ),
+        tags AS (
+          SELECT m.g, m.v, w.v AS w,
+                 printf('<link rel="alternate" hreflang="%s" href="https://ex%d.org/l%d/a%d">',
+                        CASE WHEN w.v = 0 THEN 'en' WHEN w.v = 1 THEN 'de'
+                             WHEN w.v = 2 THEN 'fr' ELSE 'ja' END,
+                        m.g % 9, w.v, m.g) AS tag
+          FROM mem m JOIN mem w ON w.g = m.g
+        ),
+        htmls AS (
+          SELECT g, v, string_agg(tag, '' ORDER BY w) AS base
+          FROM tags GROUP BY g, v
+        ),
+        pages AS (
+          SELECT printf('https://ex%d.org/l%d/a%d', g % 9, v, g) AS url,
+                 CASE WHEN v = 0 AND g % 5 = 0 THEN '<p>no tags</p>'
+                      ELSE base ||
+                        CASE WHEN g % 7 <> 3
+                             THEN printf('<link href="https://ex%d.org/l0/a%d" hreflang="x-default" rel="alternate">',
+                                         g % 9, g)
+                             ELSE '' END
+                 END AS html
+          FROM htmls
+        ),
+        t AS (
+          SELECT url,
+                 unnest(regexp_extract_all(html,
+                   '(?is)<link[^>]*rel\\s*=\\s*["'']alternate["''][^>]*>', 0)) AS tag
+          FROM pages
+        ),
+        alts AS (
+          SELECT url, lang, href FROM (
+            SELECT url,
+                   lower(regexp_extract(tag, '(?is)hreflang\\s*=\\s*["'']([^"'']+)["'']', 1)) AS lang,
+                   regexp_extract(tag, '(?is)href\\s*=\\s*["'']([^"'']+)["'']', 1) AS href
+            FROM t
+          ) WHERE lang <> '' AND href <> ''
+        ),
+        edges AS (
+          SELECT url AS src, href AS dst FROM alts
+          UNION ALL SELECT href, url FROM alts
+        ),
+        reach(root, node) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        cc AS (SELECT root AS id, min(node) AS component FROM reach GROUP BY root),
+        langs AS (
+          SELECT href AS id, min(lang) AS lang FROM alts
+          WHERE lang <> 'x-default' GROUP BY href
+        ),
+        sizes AS (SELECT component, count(*) AS cluster_size FROM cc GROUP BY component),
+        defaults AS (
+          SELECT c.component, min(a.href) AS default_url
+          FROM alts a JOIN cc c ON c.id = a.url
+          WHERE a.lang = 'x-default' GROUP BY c.component
+        )
+        SELECT c.id AS url, l.lang, c.component AS cluster_id,
+               s.cluster_size, d.default_url
+        FROM cc c
+        LEFT JOIN langs l USING (id)
+        JOIN sizes s USING (component)
+        LEFT JOIN defaults d USING (component)
+        ORDER BY url
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

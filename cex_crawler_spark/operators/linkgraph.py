@@ -871,6 +871,88 @@ def paginate_series(
     return out
 
 
+# rel=alternate hreflang: the tag carries THREE attributes in any
+# order, so instead of enumerating six alternations the screen matches
+# whole rel=alternate <link> tags and pulls hreflang/href out of each
+# tag independently — order-free, still RE2-safe.
+_ALT_LINK_TAG = r"""(?is)<link[^>]*rel\s*=\s*["']alternate["'][^>]*>"""
+_HREFLANG_ATTR = r"""(?is)hreflang\s*=\s*["']([^"']+)["']"""
+_HREF_ATTR = r"""(?is)href\s*=\s*["']([^"']+)["']"""
+
+
+def hreflang_alternates(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, lang, href) — one row per declared language alternate
+    (``<link rel="alternate" hreflang=..>``, the internationalization
+    protocol search engines and crawlers consume).  ``lang`` is
+    lowercased (hreflang values are case-insensitive); tags missing
+    either attribute drop.  Pure scan-side regexps."""
+    rows = pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_ALT_LINK_TAG), F.lit(0))
+        ).alias("tag"),
+    ).select(
+        "url",
+        F.lower(F.regexp_extract(F.col("tag"), _HREFLANG_ATTR, 1)).alias("lang"),
+        F.regexp_extract(F.col("tag"), _HREF_ATTR, 1).alias("href"),
+    )
+    return rows.filter((F.col("lang") != "") & (F.col("href") != ""))
+
+
+def hreflang_clusters(alts: DataFrame) -> DataFrame:
+    """(url, lang, cluster_id, cluster_size, default_url) — group
+    language alternates into TRANSLATION CLUSTERS via connected
+    components over the declaration graph (declarations in the wild
+    are partial and asymmetric — a member that declares nothing still
+    joins through pages that list it).
+
+    Why the frontier cares: alternates are the same logical content in
+    different languages — near-dup text dedup can't see that (the
+    texts differ), yet a language-balanced corpus wants ONE member per
+    language and the mix weighted per cluster, and link aggregation
+    should credit the ``x-default`` member.  ``lang`` per member = the
+    minimum language others (or itself) declare FOR it;
+    ``default_url`` = the cluster's declared x-default target (NULL
+    when nobody declares one).
+
+    Scale shape: CC is the path-halving min-label operator (log-
+    diameter); everything else is map-combinable aggregates and hash
+    joins on the member key.
+    """
+    from .dedup import connected_components
+
+    edges = alts.select(
+        F.col("url").alias("id_a"), F.col("href").alias("id_b")
+    )
+    cc = connected_components(edges)
+    langs = (
+        alts.filter(F.col("lang") != "x-default")
+        .groupBy(F.col("href").alias("id"))
+        .agg(F.min("lang").alias("lang"))
+    )
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    defaults = (
+        alts.filter(F.col("lang") == "x-default")
+        .join(cc, alts["url"] == cc["id"])
+        .groupBy("component")
+        .agg(F.min("href").alias("default_url"))
+    )
+    return (
+        cc.join(langs, "id", "left")
+        .join(sizes, "component")
+        .join(defaults, "component", "left")
+        .select(
+            F.col("id").alias("url"),
+            "lang",
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            "default_url",
+        )
+    )
+
+
 # rel=canonical extraction: attribute order varies in the wild and RE2
 # (the oracle engine) has no lookahead, so the two orderings are two
 # alternations coalesced — misses pathological multi-line attribute

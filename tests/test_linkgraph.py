@@ -554,3 +554,51 @@ def test_paginate_series_multi_head_and_long_chain(spark):
     rows = {r["url"]: r for r in res}
     assert rows["q00"]["position"] == 1 and rows["q60"]["position"] == 61
     assert rows["q30"]["series_len"] == 61 and not rows["q30"]["in_cycle"]
+
+
+# ----------------------------------------------------------- hreflang
+
+def test_hreflang_parse_any_attribute_order(spark):
+    from cex_crawler_spark.operators.linkgraph import hreflang_alternates
+
+    pages = spark.createDataFrame(
+        [
+            ("u1",
+             '<link rel="alternate" hreflang="EN-gb" href="https://ex/en">'
+             "<link href='https://ex/de' hreflang='de' rel='alternate'>"
+             '<link rel="alternate" href="https://ex/x">'      # no hreflang
+             '<link rel="stylesheet" hreflang="fr" href="https://ex/css">'),
+        ],
+        ["url", "html"],
+    )
+    got = {(r["lang"], r["href"]) for r in hreflang_alternates(pages).collect()}
+    assert got == {("en-gb", "https://ex/en"), ("de", "https://ex/de")}
+
+
+def test_hreflang_clusters_partial_declarations(spark):
+    from cex_crawler_spark.operators.linkgraph import hreflang_clusters
+
+    # b and c declare each other AND silent member a; nobody declares d
+    alts = spark.createDataFrame(
+        [
+            ("https://ex/b", "en", "https://ex/a"),
+            ("https://ex/b", "fr", "https://ex/c"),
+            ("https://ex/b", "de", "https://ex/b"),
+            ("https://ex/c", "en", "https://ex/a"),
+            ("https://ex/c", "de", "https://ex/b"),
+            ("https://ex/c", "x-default", "https://ex/a"),
+            ("https://ex/z1", "en", "https://ex/z1"),   # self-only singleton
+        ],
+        ["url", "lang", "href"],
+    )
+    got = {r["url"]: r for r in hreflang_clusters(alts).collect()}
+    assert len(got) == 4
+    cid = got["https://ex/a"]["cluster_id"]
+    assert cid == "https://ex/a"                       # min member
+    assert all(got[f"https://ex/{m}"]["cluster_id"] == cid for m in "abc")
+    assert got["https://ex/a"]["cluster_size"] == 3
+    assert got["https://ex/a"]["lang"] == "en"         # declared BY others
+    assert got["https://ex/b"]["lang"] == "de"
+    assert got["https://ex/a"]["default_url"] == "https://ex/a"
+    assert got["https://ex/z1"]["cluster_size"] == 1
+    assert got["https://ex/z1"]["default_url"] is None
