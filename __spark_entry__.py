@@ -4965,6 +4965,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hreflang_alternate_clusters"] = hreflang_alternate_clusters
 
+    def linkgraph_gap_compression(spark, sf):
+        """Delta-gap adjacency encoding (linkgraph.compress_adjacency
+        — the WebGraph idea, Boldi & Vigna WWW'04): per-src sorted
+        targets as first id + gaps; gap_bits audits the locality win
+        (Σ length(bin(gap)) — integer-exact, no log) against 64-bit
+        raw storage.  One bounded collect_list shuffle; gap math and
+        the decode (tested roundtrip) are scan-side array folds.
+        Gaps publish as a '+'-joined string (arrays are hash-hostile
+        in the driver compare)."""
+        from cex_crawler_spark.operators.linkgraph import compress_adjacency
+
+        adj = compress_adjacency(gen_sim_opicgraph(spark))
+        return adj.select(
+            "src",
+            "n_out",
+            "first_dst",
+            F.array_join("gaps", "+").alias("gaps_str"),
+            "gap_bits",
+            "raw_bits",
+        ).orderBy("src")
+
+    q["linkgraph_gap_compression"] = linkgraph_gap_compression
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -9303,6 +9326,28 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes s USING (component)
         LEFT JOIN defaults d USING (component)
         ORDER BY url
+    """
+
+    # linkgraph_gap_compression: list_sort + gap comprehension +
+    # length(bin()) bit audit (list_sum → DOUBLE in DuckDB, cast).
+    o["linkgraph_gap_compression"] = f"""
+        WITH {_sim_opicgraph_sql()},
+        d AS (SELECT DISTINCT src, dst FROM sim_edges),
+        a AS (SELECT src, list_sort(list(dst)) AS ds FROM d GROUP BY src),
+        g AS (
+          SELECT src, ds,
+                 [ds[i] - ds[i-1] for i in range(2, len(ds) + 1)] AS gaps
+          FROM a
+        )
+        SELECT src,
+               CAST(len(ds) AS INT) AS n_out,
+               ds[1] AS first_dst,
+               array_to_string(gaps, '+') AS gaps_str,
+               CAST(length(bin(ds[1]))
+                    + coalesce(list_sum(list_transform(gaps,
+                          x -> length(bin(x)))), 0) AS BIGINT) AS gap_bits,
+               CAST(len(ds) * 64 AS BIGINT) AS raw_bits
+        FROM g ORDER BY src
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

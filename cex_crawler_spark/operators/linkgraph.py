@@ -744,6 +744,69 @@ def resolve_redirects(
     return out
 
 
+def compress_adjacency(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(src, n_out, first_dst, gaps, gap_bits, raw_bits) — delta-gap
+    adjacency encoding of the link graph (the core idea of the
+    WebGraph framework, Boldi & Vigna WWW'04): per source, sorted
+    distinct integer targets stored as first id + successive gaps.
+    Web adjacency is locality-heavy (most links stay near the source
+    in URL-sorted id space), so gaps are small and a varint/γ-code
+    spends ~log₂(gap) bits where the raw list spends 64 — at 10¹⁰
+    edges this is the difference between the graph fitting on the
+    cluster or not.  ``gap_bits`` = Σ bit-lengths (the γ-code mantissa
+    cost, an exact integer audit of the locality win vs ``raw_bits`` =
+    64·n_out); the physical varint write is the parquet encoder's job.
+
+    Scale shape: ONE groupBy(src) with a bounded collect_list (rows =
+    out-degree, page-bounded — cap upstream for synthetic mega-hubs);
+    gap math is scan-side array lambdas, no second shuffle.  Bit
+    lengths via ``length(bin(x))`` — integer-exact in any engine, no
+    transcendental log.
+    """
+    dsts = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("ds"))
+    )
+    gaps = F.transform(
+        F.slice(F.col("ds"), 2, F.greatest(F.size("ds") - 1, F.lit(0))),
+        lambda d, i: d - F.element_at(F.col("ds"), i + 1),
+    )
+    return dsts.select(
+        "src",
+        F.size("ds").alias("n_out"),
+        F.element_at("ds", 1).alias("first_dst"),
+        gaps.alias("gaps"),
+        (
+            F.length(F.bin(F.element_at("ds", 1)))
+            + F.coalesce(
+                F.aggregate(
+                    gaps,
+                    F.lit(0),
+                    lambda acc, g: acc + F.length(F.bin(g)),
+                ),
+                F.lit(0),
+            )
+        ).cast("long").alias("gap_bits"),
+        (F.size("ds") * 64).cast("long").alias("raw_bits"),
+    )
+
+
+def decompress_adjacency(adj: DataFrame) -> DataFrame:
+    """(src, dst) — exact inverse of ``compress_adjacency``: rebuild
+    each sorted target list by a scan-side prefix-sum fold over the
+    gap array (no shuffle, no window) and explode."""
+    rebuilt = F.aggregate(
+        F.col("gaps"),
+        F.array(F.col("first_dst")),
+        lambda acc, g: F.array_append(acc, F.element_at(acc, -1) + g),
+    )
+    return adj.select("src", F.explode(rebuilt).alias("dst"))
+
+
 # rel=next extraction: same RE2 discipline as rel=canonical below (no
 # lookahead — both attribute orders are explicit alternations).
 _NEXT_REL_HREF = (

@@ -602,3 +602,44 @@ def test_hreflang_clusters_partial_declarations(spark):
     assert got["https://ex/a"]["default_url"] == "https://ex/a"
     assert got["https://ex/z1"]["cluster_size"] == 1
     assert got["https://ex/z1"]["default_url"] is None
+
+
+# ------------------------------------------------ adjacency gap coding
+
+def test_adjacency_compression_hand_values_and_roundtrip(spark):
+    from cex_crawler_spark.operators.linkgraph import (
+        compress_adjacency, decompress_adjacency,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 12), (1, 3), (1, 5), (1, 5), (2, 9)], ["src", "dst"]
+    )
+    adj = compress_adjacency(e)
+    rows = {r["src"]: r for r in adj.collect()}
+    assert rows[1]["first_dst"] == 3 and rows[1]["gaps"] == [2, 7]
+    # bits: bin(3)='11' (2) + bin(2)='10' (2) + bin(7)='111' (3) = 7
+    assert rows[1]["gap_bits"] == 7 and rows[1]["raw_bits"] == 192
+    assert rows[2]["gaps"] == [] and rows[2]["gap_bits"] == 4  # bin(9)
+
+    back = {(r["src"], r["dst"])
+            for r in decompress_adjacency(adj).collect()}
+    assert back == {(1, 3), (1, 5), (1, 12), (2, 9)}
+
+
+def test_adjacency_roundtrip_bulk_and_locality_win(spark):
+    from cex_crawler_spark.operators.linkgraph import (
+        compress_adjacency, decompress_adjacency,
+    )
+
+    i = F.col("id")
+    e = spark.range(5000).select(
+        ((i * 2654435761) % 300).alias("src"),
+        (((i * 2654435761) % 300) * 50 + (i * 48271) % 40).alias("dst"),
+    )
+    adj = compress_adjacency(e).persist()
+    orig = {(r["src"], r["dst"]) for r in e.distinct().collect()}
+    back = {(r["src"], r["dst"]) for r in decompress_adjacency(adj).collect()}
+    assert back == orig
+    tot = adj.agg(F.sum("gap_bits").alias("g"), F.sum("raw_bits").alias("r")).collect()[0]
+    assert tot["g"] * 4 < tot["r"]   # local targets -> >4x bit win
+    adj.unpersist()
