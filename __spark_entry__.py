@@ -4988,6 +4988,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["linkgraph_gap_compression"] = linkgraph_gap_compression
 
+    def crawl_fetcher_ring_rebalance(spark, sf):
+        """Fleet-resize audit under consistent hashing (politeness.
+        fetcher_ring_rebalance — Karger et al.): 4 workers → 5 over
+        3000 politeness queues.  Mod-W pinning (fetcher_assignment)
+        would remap ~4/5 of queues and drop every worker's warm
+        connections; the ring strands ~1/5, and NO queue moves between
+        survivors.  Ring = broadcast array of md5 worker:replica
+        points; successor = scan-side array filter — md5 arithmetic
+        replays in any engine."""
+        from cex_crawler_spark.operators.politeness import (
+            fetcher_ring_rebalance,
+        )
+
+        q_ = spark.range(3000).select(
+            F.format_string("host%d.example.com", F.col("id")).alias("queue_key")
+        )
+        return fetcher_ring_rebalance(
+            q_, ["w0", "w1", "w2", "w3"], ["w0", "w1", "w2", "w3", "w4"]
+        ).orderBy("queue_key")
+
+    q["crawl_fetcher_ring_rebalance"] = crawl_fetcher_ring_rebalance
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -9348,6 +9370,51 @@ def oracle_sql() -> dict[str, str]:
                           x -> length(bin(x)))), 0) AS BIGINT) AS gap_bits,
                CAST(len(ds) * 64 AS BIGINT) AS raw_bits
         FROM g ORDER BY src
+    """
+
+    # crawl_fetcher_ring_rebalance: the ring rebuilt with the
+    # ('0x'||substr(md5))::BIGINT trick, successor via list_filter +
+    # wrap-around coalesce, struct_extract for the worker field.
+    o["crawl_fetcher_ring_rebalance"] = """
+        WITH q AS (
+          SELECT printf('host%d.example.com', range) AS queue_key FROM range(3000)
+        ),
+        rb AS (
+          SELECT ('0x' || substr(md5(worker || ':' || r), 1, 8))::BIGINT AS point,
+                 worker
+          FROM (SELECT unnest(['w0','w1','w2','w3']) AS worker), range(64) t(r)
+        ),
+        ra AS (
+          SELECT ('0x' || substr(md5(worker || ':' || r), 1, 8))::BIGINT AS point,
+                 worker
+          FROM (SELECT unnest(['w0','w1','w2','w3','w4']) AS worker), range(64) t(r)
+        ),
+        ringb AS (
+          SELECT list(struct_pack(point := point, worker := worker)
+                      ORDER BY point, worker) AS ring FROM rb
+        ),
+        ringa AS (
+          SELECT list(struct_pack(point := point, worker := worker)
+                      ORDER BY point, worker) AS ring FROM ra
+        ),
+        k AS (
+          SELECT queue_key,
+                 ('0x' || substr(md5(queue_key), 1, 8))::BIGINT AS kp
+          FROM q
+        ),
+        asg AS (
+          SELECT queue_key,
+                 struct_extract(coalesce(
+                   list_filter((SELECT ring FROM ringb), s -> s.point >= kp)[1],
+                   (SELECT ring FROM ringb)[1]), 'worker') AS worker_before,
+                 struct_extract(coalesce(
+                   list_filter((SELECT ring FROM ringa), s -> s.point >= kp)[1],
+                   (SELECT ring FROM ringa)[1]), 'worker') AS worker_after
+          FROM k
+        )
+        SELECT queue_key, worker_before, worker_after,
+               worker_before <> worker_after AS moved
+        FROM asg ORDER BY queue_key
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

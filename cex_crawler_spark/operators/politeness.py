@@ -694,3 +694,88 @@ def fetcher_assignment(
             F.greatest("svc_bound_ms", "politeness_bound_ms"),
         )
     )
+
+
+# ------------------------------------------ consistent-hash fetch ring
+
+def fetcher_ring_assign(
+    queues: DataFrame,
+    workers: list[str],
+    queue_col: str = "queue_key",
+    replicas: int = 64,
+) -> DataFrame:
+    """(queue_key, worker, ring_point) — queue→worker pinning via
+    CONSISTENT HASHING (Karger et al. STOC'97): each worker owns
+    ``replicas`` pseudo-random ring points (md5 of "worker:replica",
+    32-bit prefix), a queue lands on the clockwise successor of its
+    own ring point.  Where ``fetcher_assignment``'s mod-W hash remaps
+    ~(W-1)/W of all queues when the fleet resizes — dropping every
+    worker's warm connections and politeness bookkeeping at once — the
+    ring moves only ~1/(W+1) of queues to the new worker and nothing
+    between survivors (asserted by ``fetcher_ring_rebalance``'s
+    test).  Replicas smooth ownership variance (~1/√replicas).
+
+    Scale shape: the ring is W·replicas structs — a one-row broadcast
+    array literal; successor lookup is a scan-side array filter per
+    queue (no join, no shuffle, engine-replayable md5 arithmetic).
+    """
+    if not workers:
+        raise ValueError("workers must be non-empty")
+    spark = queues.sparkSession
+    wdf = spark.createDataFrame([(w,) for w in workers], ["worker"]).crossJoin(
+        spark.range(replicas).select(F.col("id").alias("r"))
+    )
+    ring = wdf.select(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("worker"), F.lit(":"), F.col("r").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long").alias("point"),
+        "worker",
+    )
+    ring_row = ring.agg(
+        F.sort_array(F.collect_list(F.struct("point", "worker"))).alias("__ring")
+    )
+    kp = F.conv(F.substring(F.md5(F.col(queue_col)), 1, 8), 16, 10).cast("long")
+    succ = F.coalesce(
+        F.try_element_at(
+            F.filter(F.col("__ring"), lambda s: s["point"] >= F.col("ring_point")),
+            F.lit(1),
+        ),
+        F.element_at(F.col("__ring"), 1),
+    )
+    return (
+        queues.select(F.col(queue_col).alias("queue_key"))
+        .withColumn("ring_point", kp)
+        .crossJoin(F.broadcast(ring_row))
+        .select("queue_key", succ["worker"].alias("worker"), "ring_point")
+    )
+
+
+def fetcher_ring_rebalance(
+    queues: DataFrame,
+    workers_before: list[str],
+    workers_after: list[str],
+    queue_col: str = "queue_key",
+    replicas: int = 64,
+) -> DataFrame:
+    """(queue_key, worker_before, worker_after, moved) — the fleet-
+    resize audit: which queues change hands when the worker set goes
+    from ``workers_before`` to ``workers_after``.  Under consistent
+    hashing only queues whose ring successor changed move — resizing
+    W→W+1 strands ~1/(W+1) of queues, every other queue keeps its warm
+    worker."""
+    a = fetcher_ring_assign(queues, workers_before, queue_col, replicas).select(
+        "queue_key", F.col("worker").alias("worker_before")
+    )
+    b = fetcher_ring_assign(queues, workers_after, queue_col, replicas).select(
+        "queue_key", F.col("worker").alias("worker_after")
+    )
+    return a.join(b, "queue_key").select(
+        "queue_key",
+        "worker_before",
+        "worker_after",
+        (F.col("worker_before") != F.col("worker_after")).alias("moved"),
+    )

@@ -433,3 +433,49 @@ class TestFetcherAssignment:
         # same input → same assignment (stateless hash)
         again = fetcher_assignment(queues, n_workers=4).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+# ------------------------------------------- consistent-hash fetch ring
+
+class TestFetcherRing:
+    def _queues(self, spark, n=1500):
+        return spark.range(n).select(
+            F.format_string("host%d.example.com", F.col("id")).alias("queue_key")
+        )
+
+    def test_assign_deterministic_and_covering(self, spark):
+        from cex_crawler_spark.operators.politeness import fetcher_ring_assign
+
+        q = self._queues(spark, 400)
+        w = ["w0", "w1", "w2", "w3"]
+        a1 = {r["queue_key"]: r["worker"]
+              for r in fetcher_ring_assign(q, w).collect()}
+        a2 = {r["queue_key"]: r["worker"]
+              for r in fetcher_ring_assign(q, w).collect()}
+        assert a1 == a2 and len(a1) == 400
+        assert set(a1.values()) <= set(w)
+        # replicas smooth ownership: every worker owns something
+        assert len(set(a1.values())) == 4
+
+    def test_resize_moves_about_one_over_n(self, spark):
+        from cex_crawler_spark.operators.politeness import (
+            fetcher_ring_rebalance,
+        )
+
+        q = self._queues(spark)
+        before = ["w0", "w1", "w2", "w3"]
+        out = fetcher_ring_rebalance(q, before, before + ["w4"]).collect()
+        moved = [r for r in out if r["moved"]]
+        frac = len(moved) / len(out)
+        # ideal 1/5; allow generous band, but far below mod-hash's 4/5
+        assert 0.08 < frac < 0.35, frac
+        # survivors NEVER trade queues among themselves — moves only
+        # go to the new worker
+        assert all(r["worker_after"] == "w4" for r in moved)
+
+    def test_empty_workers_raise(self, spark):
+        from cex_crawler_spark.operators.politeness import fetcher_ring_assign
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            fetcher_ring_assign(self._queues(spark, 5), [])
