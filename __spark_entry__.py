@@ -5010,6 +5010,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_fetcher_ring_rebalance"] = crawl_fetcher_ring_rebalance
 
+    def crawl_discovery_saturation(spark, sf):
+        """Link-space saturation steering (politeness.
+        discovery_saturation): per (host, round), how many distinct
+        outlink targets were first seen by the crawl THAT round —
+        the Heaps-law stop signal that reads the outlink log alone,
+        before any fetch spend (novelty_yield needs digests,
+        quality_verdicts needs scored text).  Fixture: even hosts
+        re-draw from a 200-URL pool (saturate), odd hosts mint fresh
+        URLs every round (never saturate); 5 rounds × 50 links."""
+        from cex_crawler_spark.operators.politeness import (
+            discovery_saturation,
+        )
+
+        i = F.col("id")
+        h = (i / 250).cast("long")
+        rr = ((i / 50).cast("long") % 5) + 1
+        j = i % 50
+        log = spark.range(20 * 5 * 50).select(
+            F.format_string("h%d", h).alias("host"),
+            rr.alias("round"),
+            F.when(
+                h % 2 == 0,
+                F.format_string(
+                    "https://pool.example.com/t%d",
+                    (h * 977 + rr * 131 + j * 17) % 200,
+                ),
+            ).otherwise(
+                F.format_string("https://h%d.example.com/p%d", h, rr * 1000 + j)
+            ).alias("target"),
+        )
+        return discovery_saturation(log).orderBy("host", "round")
+
+    q["crawl_discovery_saturation"] = crawl_discovery_saturation
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -9415,6 +9449,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT queue_key, worker_before, worker_after,
                worker_before <> worker_after AS moved
         FROM asg ORDER BY queue_key
+    """
+
+    # crawl_discovery_saturation: arithmetic fixture replay + the
+    # distinct/min-first-round/rollup chain (sum → HUGEINT, cast).
+    o["crawl_discovery_saturation"] = """
+        WITH raw AS (
+          SELECT printf('h%d', h) AS host, r AS rnd,
+                 CASE WHEN h % 2 = 0
+                      THEN printf('https://pool.example.com/t%d',
+                                  (h * 977 + r * 131 + j * 17) % 200)
+                      ELSE printf('https://h%d.example.com/p%d', h, r * 1000 + j)
+                 END AS target
+          FROM (SELECT range // 250 AS h, (range // 50) % 5 + 1 AS r,
+                       range % 50 AS j
+                FROM range(5000))
+        ),
+        links AS (SELECT DISTINCT host, rnd, target FROM raw),
+        firsts AS (SELECT target, min(rnd) AS first_rnd FROM links GROUP BY target),
+        per AS (
+          SELECT host, rnd,
+                 CAST(count(*) AS BIGINT) AS n_links,
+                 CAST(sum(CASE WHEN l.rnd = f.first_rnd THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_new
+          FROM links l JOIN firsts f USING (target)
+          GROUP BY host, rnd
+        ),
+        latest AS (SELECT host, max(rnd) AS latest_rnd FROM per GROUP BY host)
+        SELECT p.host, p.rnd AS round, p.n_links, p.n_new,
+               CAST((1000 * p.n_new) // p.n_links AS BIGINT) AS new_permille,
+               p.rnd = l.latest_rnd AS is_latest,
+               (p.rnd = l.latest_rnd
+                AND (1000 * p.n_new) // p.n_links < 300
+                AND p.n_links >= 20) AS saturated
+        FROM per p JOIN latest l USING (host)
+        ORDER BY p.host, p.rnd
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

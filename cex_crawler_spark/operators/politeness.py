@@ -779,3 +779,71 @@ def fetcher_ring_rebalance(
         "worker_after",
         (F.col("worker_before") != F.col("worker_after")).alias("moved"),
     )
+
+
+# -------------------------------------------- discovery saturation
+
+def discovery_saturation(
+    outlinks: DataFrame,
+    host_col: str = "host",
+    round_col: str = "round",
+    target_col: str = "target",
+    max_new_permille: int = 300,
+    min_links: int = 20,
+) -> DataFrame:
+    """(host, round, n_links, n_new, new_permille, is_latest,
+    saturated) — per fetching host and crawl round: how many of the
+    host's distinct discovered outlink targets were FIRST seen by the
+    whole crawl that round.  Link spaces obey Heaps-style saturation —
+    when a host's pages stop yielding never-seen URLs its link
+    neighbourhood is exhausted and further fetch budget is better
+    spent elsewhere.  This is the FRONTIER-side stop signal beside the
+    two content-side ones: ``novelty_yield`` needs the fetched bytes
+    (digests) and ``quality_verdicts`` needs scored text; saturation
+    reads the outlink log alone, BEFORE any further spend.
+
+    ``saturated`` fires on a host's LATEST round only, when
+    ``new_permille < max_new_permille`` with ``n_links ≥ min_links``
+    (small samples stay unjudged).  Two hosts first-discovering one
+    target in the same round both count it new — deterministic, no
+    tie-break channel.  All-integer permille.
+
+    Scale shape: one distinct on (host, round, target), one
+    map-combinable min-aggregate per target (a popular target is ONE
+    agg key), one hash join back, per-host rollups — no window over
+    data, no pair join.
+    """
+    links = outlinks.select(
+        F.col(host_col).alias("host"),
+        F.col(round_col).alias("rnd"),
+        F.col(target_col).alias("target"),
+    ).distinct()
+    firsts = links.groupBy("target").agg(F.min("rnd").alias("first_rnd"))
+    per = (
+        links.join(firsts, "target")
+        .groupBy("host", "rnd")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.sum((F.col("rnd") == F.col("first_rnd")).cast("long")).alias("n_new"),
+        )
+        .withColumn(
+            "new_permille", F.expr("(1000 * n_new) div n_links")
+        )
+    )
+    latest = per.groupBy("host").agg(F.max("rnd").alias("latest_rnd"))
+    return (
+        per.join(latest, "host")
+        .select(
+            "host",
+            F.col("rnd").alias("round"),
+            "n_links",
+            "n_new",
+            "new_permille",
+            (F.col("rnd") == F.col("latest_rnd")).alias("is_latest"),
+            (
+                (F.col("rnd") == F.col("latest_rnd"))
+                & (F.col("new_permille") < max_new_permille)
+                & (F.col("n_links") >= min_links)
+            ).alias("saturated"),
+        )
+    )

@@ -479,3 +479,46 @@ class TestFetcherRing:
 
         with _pt.raises(ValueError):
             fetcher_ring_assign(self._queues(spark, 5), [])
+
+
+# ---------------------------------------------- discovery saturation
+
+class TestDiscoverySaturation:
+    def test_saturation_vs_exploration(self, spark):
+        from cex_crawler_spark.operators.politeness import (
+            discovery_saturation,
+        )
+
+        rows = []
+        # host S re-crawls a 30-target pool every round; host E mints
+        # fresh targets each round
+        for r in (1, 2, 3):
+            for j in range(30):
+                rows.append(("S", r, f"t{j}"))
+                rows.append(("E", r, f"e{r}_{j}"))
+        df = spark.createDataFrame(rows, ["host", "round", "target"])
+        got = {(r["host"], r["round"]): r
+               for r in discovery_saturation(df, min_links=10).collect()}
+        assert got[("S", 1)]["n_new"] == 30 and not got[("S", 1)]["saturated"]
+        assert got[("S", 3)]["n_new"] == 0
+        assert got[("S", 3)]["is_latest"] and got[("S", 3)]["saturated"]
+        assert got[("E", 3)]["n_new"] == 30 and not got[("E", 3)]["saturated"]
+
+    def test_shared_first_discovery_and_min_links(self, spark):
+        from cex_crawler_spark.operators.politeness import (
+            discovery_saturation,
+        )
+
+        df = spark.createDataFrame(
+            [("A", 1, "x"), ("B", 1, "x"), ("B", 1, "y"),
+             ("A", 2, "x"), ("A", 2, "z")],
+            ["host", "round", "target"],
+        )
+        got = {(r["host"], r["round"]): r
+               for r in discovery_saturation(df, min_links=20).collect()}
+        # same-round co-discovery counts for both hosts
+        assert got[("A", 1)]["n_new"] == 1 and got[("B", 1)]["n_new"] == 2
+        assert got[("A", 2)]["n_new"] == 1          # z new, x stale
+        assert got[("A", 2)]["new_permille"] == 500
+        # tiny samples never judged saturated
+        assert not any(r["saturated"] for r in got.values())
