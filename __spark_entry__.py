@@ -4849,6 +4849,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_graph_opic"] = link_graph_opic
 
+    def link_graph_opic_extend(spark, sf):
+        """The ON-LINE property itself (linkgraph.opic with
+        init_state/init_pool): 3 cash rounds on the sim graph, then
+        the graph GROWS (50 new pages linked both ways) and 3 more
+        rounds continue from the carried state — known nodes keep
+        cash+history, new nodes enter at init_cash, the pool carry
+        survives, conservation holds at N'·c0.  Batch PageRank
+        restarts from scratch here; OPIC just keeps accumulating —
+        the reason a crawler can rank WHILE the frontier grows.
+        Lossless-resume (2+2 == 4 rounds) is unit-tested; the oracle
+        unrolls BOTH phases as one integer CTE chain."""
+        from cex_crawler_spark.operators.linkgraph import opic
+
+        g1 = gen_sim_opicgraph(spark)
+        s1, pool1 = opic(g1, n_rounds=3, init_cash=1_000_000, with_pool=True)
+        i = F.col("id")
+        extra = spark.range(600).select(
+            F.when(i % 2 == 0, 1000 + i % 50).otherwise((i * 13) % 500).alias("src"),
+            F.when(i % 2 == 0, (i * 7) % 600).otherwise(1000 + i % 50).alias("dst"),
+        )
+        s2 = opic(
+            g1.unionByName(extra),
+            n_rounds=3,
+            init_cash=1_000_000,
+            init_state=s1,
+            init_pool=pool1,
+        )
+        total = s2.agg(F.sum("history").alias("t"))
+        return (
+            s2.crossJoin(F.broadcast(total))
+            .select(
+                "id", "cash", "history",
+                F.expr("(1000000 * history) div t").alias("imp_ppm"),
+            )
+            .orderBy("id")
+        )
+
+    q["link_graph_opic_extend"] = link_graph_opic_extend
+
     def pagination_series_map(spark, sf):
         """rel=next pagination reconstruction (linkgraph.
         pagination_hints + paginate_series): the frontier treats
@@ -5763,54 +5802,87 @@ def _trustrank_cte_chain(n_iter: int) -> str:
     """
 
 
-def _opic_cte_chain(n_rounds: int, init_cash: int) -> str:
-    """CTE chain (nodes/nn/deg/s0..s{n}, p0..p{n}, res0..) unrolling
+def _opic_cte_chain(
+    n_rounds: int,
+    init_cash: int,
+    edges: str = "dedges",
+    pfx: str = "",
+    s0_from: str | None = None,
+    p0_from: str | None = None,
+    extra_nodes: str | None = None,
+) -> str:
+    """CTE chain ({pfx}nodes/nn/deg/s0..s{n}, p0.., res0..) unrolling
     the synchronous integer-cash OPIC recurrence over an existing
-    ``dedges(src, dst)`` CTE — all 64-bit integer, so this mirror is
-    exact by construction (no double-expression-shape discipline
-    needed).  DuckDB sums promote BIGINT→HUGEINT; every state column
-    casts back so pandas sees int64, not float (memory'd pitfall)."""
+    ``{edges}(src, dst)`` CTE — all 64-bit integer, so this mirror is
+    exact by construction.  DuckDB sums promote BIGINT→HUGEINT; every
+    state column casts back so pandas sees int64 (memory'd pitfall);
+    CTEs are MATERIALIZED because plain ones re-inline exponentially.
+
+    Two-phase (on-line extension) use: pass ``pfx`` plus ``s0_from`` /
+    ``p0_from`` (a previous chain's final state/pool CTEs) and
+    ``extra_nodes`` (the previous node set, so nodes surviving only in
+    the old state stay in play); new nodes enter at ``init_cash``.
+    """
     iters = []
     for k in range(n_rounds):
         iters.append(f"""
-        res{k} AS MATERIALIZED (
-          SELECT CAST((SELECT pool FROM p{k})
+        {pfx}res{k} AS MATERIALIZED (
+          SELECT CAST((SELECT pool FROM {pfx}p{k})
                  + coalesce(sum(CASE WHEN g.id IS NULL THEN s.cash
                                      ELSE s.cash % g.outd END), 0) AS BIGINT) AS pool_in
-          FROM s{k} s LEFT JOIN deg g ON g.id = s.id
+          FROM {pfx}s{k} s LEFT JOIN {pfx}deg g ON g.id = s.id
         ),
-        p{k + 1} AS MATERIALIZED (
-          SELECT CAST(pool_in % (SELECT cnt FROM nn) AS BIGINT) AS pool FROM res{k}
+        {pfx}p{k + 1} AS MATERIALIZED (
+          SELECT CAST(pool_in % (SELECT cnt FROM {pfx}nn) AS BIGINT) AS pool
+          FROM {pfx}res{k}
         ),
-        s{k + 1} AS MATERIALIZED (
+        {pfx}s{k + 1} AS MATERIALIZED (
           SELECT n.id,
                  CAST(coalesce(c.contrib, 0)
-                      + (SELECT pool_in FROM res{k}) // (SELECT cnt FROM nn)
+                      + (SELECT pool_in FROM {pfx}res{k}) // (SELECT cnt FROM {pfx}nn)
                       AS BIGINT) AS cash,
                  CAST(s.hist + s.cash AS BIGINT) AS hist
-          FROM nodes n
-          JOIN s{k} s ON s.id = n.id
+          FROM {pfx}nodes n
+          JOIN {pfx}s{k} s ON s.id = n.id
           LEFT JOIN (
             SELECT e.dst AS id, sum(s2.cash // g.outd) AS contrib
-            FROM dedges e
-            JOIN s{k} s2 ON s2.id = e.src
-            JOIN deg g ON g.id = e.src
+            FROM {edges} e
+            JOIN {pfx}s{k} s2 ON s2.id = e.src
+            JOIN {pfx}deg g ON g.id = e.src
             GROUP BY e.dst
           ) c ON c.id = n.id
         )""")
-    return f"""
-        nodes AS MATERIALIZED (
-          SELECT DISTINCT src AS id FROM dedges
-          UNION SELECT DISTINCT dst FROM dedges
-        ),
-        nn AS MATERIALIZED (SELECT count(*) AS cnt FROM nodes),
-        deg AS MATERIALIZED (SELECT src AS id, count(*) AS outd FROM dedges GROUP BY src),
-        s0 AS MATERIALIZED (
+    node_srcs = f"SELECT src AS id FROM {edges} UNION ALL SELECT dst FROM {edges}"
+    if extra_nodes:
+        node_srcs += f" UNION ALL SELECT id FROM {extra_nodes}"
+    if s0_from:
+        s0 = f"""
+          SELECT n.id,
+                 CAST(coalesce(s.cash, {init_cash}) AS BIGINT) AS cash,
+                 CAST(coalesce(s.hist, 0) AS BIGINT) AS hist
+          FROM {pfx}nodes n LEFT JOIN {s0_from} s ON s.id = n.id
+        """
+    else:
+        s0 = f"""
           SELECT id, CAST({init_cash} AS BIGINT) AS cash,
                  CAST(0 AS BIGINT) AS hist
-          FROM nodes
+          FROM {pfx}nodes
+        """
+    p0 = (
+        f"SELECT pool FROM {p0_from}"
+        if p0_from
+        else "SELECT CAST(0 AS BIGINT) AS pool"
+    )
+    return f"""
+        {pfx}nodes AS MATERIALIZED (
+          SELECT DISTINCT id FROM ({node_srcs})
         ),
-        p0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS pool),
+        {pfx}nn AS MATERIALIZED (SELECT count(*) AS cnt FROM {pfx}nodes),
+        {pfx}deg AS MATERIALIZED (
+          SELECT src AS id, count(*) AS outd FROM {edges} GROUP BY src
+        ),
+        {pfx}s0 AS MATERIALIZED ({s0}),
+        {pfx}p0 AS MATERIALIZED ({p0}),
         {",".join(iters)}
     """
 
@@ -9484,6 +9556,35 @@ def oracle_sql() -> dict[str, str]:
                 AND p.n_links >= 20) AS saturated
         FROM per p JOIN latest l USING (host)
         ORDER BY p.host, p.rnd
+    """
+
+    # link_graph_opic_extend: both phases as one integer chain — phase
+    # A (s0..s3/p0..p3) over the original graph, then the grown edge
+    # set with bs0 seeded from s3 (new nodes at init_cash) and bp0
+    # from p3.
+    o["link_graph_opic_extend"] = f"""
+        WITH {_sim_opicgraph_sql()},
+        dedges AS (SELECT DISTINCT src, dst FROM sim_edges),
+        {_opic_cte_chain(3, 1_000_000)},
+        extra AS (
+          SELECT CASE WHEN range % 2 = 0 THEN 1000 + range % 50
+                      ELSE (range * 13) % 500 END AS src,
+                 CASE WHEN range % 2 = 0 THEN (range * 7) % 600
+                      ELSE 1000 + range % 50 END AS dst
+          FROM range(600)
+        ),
+        dedges2 AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM sim_edges
+            UNION ALL SELECT src, dst FROM extra
+          )
+        ),
+        {_opic_cte_chain(3, 1_000_000, edges="dedges2", pfx="b",
+                         s0_from="s3", p0_from="p3", extra_nodes="nodes")},
+        tot AS (SELECT CAST(sum(hist) AS BIGINT) AS t FROM bs3)
+        SELECT id, cash, hist AS history,
+               CAST((1000000 * hist) // (SELECT t FROM tot) AS BIGINT) AS imp_ppm
+        FROM bs3 ORDER BY id
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

@@ -199,6 +199,8 @@ def opic(
     n_rounds: int = 8,
     init_cash: int = 1_000_000,
     with_pool: bool = False,
+    init_state: DataFrame | None = None,
+    init_pool: int = 0,
 ) -> DataFrame:
     """(id, cash, history) after ``n_rounds`` of synchronous On-line
     Page Importance Computation (Abiteboul, Preda & Cobéna, WWW'03).
@@ -222,6 +224,16 @@ def opic(
     round (``with_pool=True`` returns ``(df, pool)`` so callers can
     assert the invariant).
 
+    ON-LINE extension — the property batch PageRank lacks: pass a
+    previous run's ``(state, pool)`` back in as ``init_state`` /
+    ``init_pool`` together with a GROWN edge set, and accumulation
+    simply continues — known nodes keep their cash and history, newly
+    appeared nodes enter with fresh ``init_cash``, the pool carry is
+    preserved, and conservation now holds at N′·init_cash +
+    carried-over totals.  No restart, no re-normalization — exactly
+    why the Xyleme crawler ranked with OPIC while the frontier kept
+    growing.
+
     Scale shape: identical to ``pagerank`` — one map-combinable
     dst-keyed shuffle per round over the src-partitioned persisted
     edge list, one scalar (the residue sum) crossing the driver, state
@@ -234,12 +246,12 @@ def opic(
         .distinct()
         .persist()
     )
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .persist()
+    nodes = e.select(F.col("src").alias("id")).unionByName(
+        e.select(F.col("dst").alias("id"))
     )
+    if init_state is not None:
+        nodes = nodes.unionByName(init_state.select("id"))
+    nodes = nodes.distinct().persist()
     n = nodes.count()
     if n == 0:
         e.unpersist()
@@ -247,7 +259,7 @@ def opic(
         empty = nodes.select(
             "id", F.lit(0).alias("cash"), F.lit(0).alias("history")
         )
-        return (empty, 0) if with_pool else empty
+        return (empty, int(init_pool)) if with_pool else empty
     deg = e.groupBy("src").agg(F.count("*").alias("outd"))
     ew = (
         e.join(deg, "src")
@@ -255,12 +267,28 @@ def opic(
         .repartition("src")
         .persist()
     )
-    state = nodes.select(
-        "id",
-        F.lit(int(init_cash)).cast("long").alias("cash"),
-        F.lit(0).cast("long").alias("history"),
-    ).localCheckpoint(eager=True)
-    pool = 0
+    if init_state is None:
+        state = nodes.select(
+            "id",
+            F.lit(int(init_cash)).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("history"),
+        ).localCheckpoint(eager=True)
+    else:
+        prev = init_state.select(
+            "id",
+            F.col("cash").cast("long").alias("__pc"),
+            F.col("history").cast("long").alias("__ph"),
+        )
+        state = (
+            nodes.join(prev, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("__pc"), F.lit(int(init_cash)).cast("long")).alias("cash"),
+                F.coalesce(F.col("__ph"), F.lit(0).cast("long")).alias("history"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    pool = int(init_pool)
     for _ in range(n_rounds):
         residue = (
             state.join(deg, state["id"] == deg["src"], "left")

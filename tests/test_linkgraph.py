@@ -643,3 +643,34 @@ def test_adjacency_roundtrip_bulk_and_locality_win(spark):
     tot = adj.agg(F.sum("gap_bits").alias("g"), F.sum("raw_bits").alias("r")).collect()[0]
     assert tot["g"] * 4 < tot["r"]   # local targets -> >4x bit win
     adj.unpersist()
+
+
+def test_opic_extension_is_lossless_and_conserves(spark):
+    """2 rounds + 2 extended rounds == 4 straight rounds on a fixed
+    graph; growing the graph keeps exact conservation at N'*c0."""
+    from cex_crawler_spark.operators.linkgraph import opic
+
+    i = F.col("id")
+    e = spark.range(400).select(
+        ((i * 2654435761) % 60).alias("src"), ((i * 48271 + 17) % 70).alias("dst")
+    )
+    straight = {r["id"]: (r["cash"], r["history"])
+                for r in opic(e, n_rounds=4, init_cash=1000).collect()}
+    s2, p2 = opic(e, n_rounds=2, init_cash=1000, with_pool=True)
+    resumed = {r["id"]: (r["cash"], r["history"])
+               for r in opic(e, n_rounds=2, init_cash=1000,
+                             init_state=s2, init_pool=p2).collect()}
+    assert resumed == straight
+
+    # grow: 10 new pages linked both ways
+    extra = spark.range(100).select(
+        F.when(i % 2 == 0, 1000 + i % 10).otherwise((i * 7) % 60).alias("src"),
+        F.when(i % 2 == 0, (i * 11) % 70).otherwise(1000 + i % 10).alias("dst"),
+    )
+    g2 = e.unionByName(extra)
+    s3, p3 = opic(g2, n_rounds=3, init_cash=1000,
+                  init_state=s2, init_pool=p2, with_pool=True)
+    agg = s3.agg(F.sum("cash").alias("c"), F.count("*").alias("n")).collect()[0]
+    assert agg["c"] + p3 == agg["n"] * 1000          # N' nodes, all at c0
+    hist = {r["id"]: r for r in s3.collect()}
+    assert hist[1005]["history"] > 0                 # new node accrued
