@@ -5083,6 +5083,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_discovery_saturation"] = crawl_discovery_saturation
 
+    def linkgraph_bowtie(spark, sf):
+        """Broder bow-tie decomposition (linkgraph.bowtie_regions,
+        WWW'00): core/IN/OUT/disconnected relative to the pivot's SCC
+        via two BFS sweeps (graph + transpose) — the macro-structure
+        shares that steer crawl policy (drowning in OUT = harvesting
+        leaves; fat IN = seeds entered the periphery).  Fixture: a
+        40-node chorded ring core, one- and two-hop IN and OUT
+        fringes, and tendrils hanging off IN that the pivot can
+        neither reach nor be reached from."""
+        from cex_crawler_spark.operators.linkgraph import bowtie_regions
+
+        i = F.col("id")
+        ring = spark.range(40).select(i.alias("src"), ((i + 1) % 40).alias("dst"))
+        chord = spark.range(40).select(i.alias("src"), ((i + 7) % 40).alias("dst"))
+        in1 = spark.range(50).select((100 + i).alias("src"), (i % 40).alias("dst"))
+        in2 = spark.range(20).select((150 + i).alias("src"), (100 + i).alias("dst"))
+        out1 = spark.range(50).select((i % 40).alias("src"), (200 + i).alias("dst"))
+        out2 = spark.range(20).select((200 + i).alias("src"), (250 + i).alias("dst"))
+        tdr = spark.range(10).select((100 + i).alias("src"), (300 + i).alias("dst"))
+        e = ring.unionByName(chord).unionByName(in1).unionByName(in2)
+        e = e.unionByName(out1).unionByName(out2).unionByName(tdr)
+        return bowtie_regions(e, 0).orderBy("id")
+
+    q["linkgraph_bowtie"] = linkgraph_bowtie
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -9585,6 +9610,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, cash, hist AS history,
                CAST((1000000 * hist) // (SELECT t FROM tot) AS BIGINT) AS imp_ppm
         FROM bs3 ORDER BY id
+    """
+
+    # linkgraph_bowtie: fixture unions + two depth-capped UNION-distinct
+    # reachability walks (forward and transposed), min(d) = BFS layer.
+    o["linkgraph_bowtie"] = """
+        WITH RECURSIVE edges AS (
+          SELECT range AS src, (range + 1) % 40 AS dst FROM range(40)
+          UNION ALL SELECT range, (range + 7) % 40 FROM range(40)
+          UNION ALL SELECT 100 + range, range % 40 FROM range(50)
+          UNION ALL SELECT 150 + range, 100 + range FROM range(20)
+          UNION ALL SELECT range % 40, 200 + range FROM range(50)
+          UNION ALL SELECT 200 + range, 250 + range FROM range(20)
+          UNION ALL SELECT 100 + range, 300 + range FROM range(10)
+        ),
+        fwd(node, d) AS (
+          SELECT CAST(0 AS BIGINT), 0
+          UNION
+          SELECT e.dst, w.d + 1 FROM fwd w JOIN edges e ON e.src = w.node
+          WHERE w.d < 30
+        ),
+        bwd(node, d) AS (
+          SELECT CAST(0 AS BIGINT), 0
+          UNION
+          SELECT e.src, w.d + 1 FROM bwd w JOIN edges e ON e.dst = w.node
+          WHERE w.d < 30
+        ),
+        fmin AS (SELECT node AS id, CAST(min(d) AS BIGINT) AS fwd_depth
+                 FROM fwd GROUP BY node),
+        bmin AS (SELECT node AS id, CAST(min(d) AS BIGINT) AS bwd_depth
+                 FROM bwd GROUP BY node),
+        nodes AS (
+          SELECT DISTINCT id FROM (
+            SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+          )
+        )
+        SELECT n.id,
+               CASE WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'core'
+                    WHEN b.id IS NOT NULL THEN 'in'
+                    WHEN f.id IS NOT NULL THEN 'out'
+                    ELSE 'disconnected' END AS region,
+               f.fwd_depth, b.bwd_depth
+        FROM nodes n
+        LEFT JOIN fmin f ON f.id = n.id
+        LEFT JOIN bmin b ON b.id = n.id
+        ORDER BY n.id
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

@@ -772,6 +772,64 @@ def resolve_redirects(
     return out
 
 
+def bowtie_regions(
+    edges: DataFrame,
+    pivot,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int = 30,
+) -> DataFrame:
+    """(id, region, fwd_depth, bwd_depth) — the Broder bow-tie map
+    (Broder et al. WWW'00) relative to ``pivot``'s strongly-connected
+    component: ``core`` = forward- AND backward-reachable (the SCC the
+    pivot sits in), ``in`` = reaches the core but isn't reached
+    (freshly-discovered upstream pages — seed candidates), ``out`` =
+    reached but can't get back (sinks, often content leaves),
+    ``disconnected`` = neither (tendrils/tubes/islands from the
+    pivot's viewpoint).  The bow-tie shares steer crawl policy: a
+    frontier drowning in OUT is harvesting leaves; a fat IN means the
+    seed set entered the web's periphery.
+
+    Two level-synchronous BFS sweeps (``crawl_depth`` — the same
+    persisted src-partitioned edge join, once on the graph and once
+    transposed), one full-outer label join.  Depths are exact BFS
+    layers ≤ ``max_depth``; pick the pivot inside the component of
+    interest (min-id page of the giant component in practice).
+    """
+    spark = edges.sparkSession
+    seed = spark.createDataFrame([(pivot,)], "url " + (
+        "string" if isinstance(pivot, str) else "long"
+    ))
+    fwd = crawl_depth(
+        edges, seed, src_col=src_col, dst_col=dst_col, max_depth=max_depth
+    ).select(F.col("url").alias("id"), F.col("depth").alias("fwd_depth"))
+    bwd = crawl_depth(
+        edges, seed, src_col=dst_col, dst_col=src_col, max_depth=max_depth
+    ).select(F.col("url").alias("id"), F.col("depth").alias("bwd_depth"))
+    nodes = (
+        edges.select(F.col(src_col).alias("id"))
+        .unionByName(edges.select(F.col(dst_col).alias("id")))
+        .distinct()
+    )
+    return (
+        nodes.join(fwd, "id", "left")
+        .join(bwd, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.col("fwd_depth").isNotNull() & F.col("bwd_depth").isNotNull(),
+                F.lit("core"),
+            )
+            .when(F.col("bwd_depth").isNotNull(), F.lit("in"))
+            .when(F.col("fwd_depth").isNotNull(), F.lit("out"))
+            .otherwise(F.lit("disconnected"))
+            .alias("region"),
+            "fwd_depth",
+            "bwd_depth",
+        )
+    )
+
+
 def compress_adjacency(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

@@ -674,3 +674,28 @@ def test_opic_extension_is_lossless_and_conserves(spark):
     assert agg["c"] + p3 == agg["n"] * 1000          # N' nodes, all at c0
     hist = {r["id"]: r for r in s3.collect()}
     assert hist[1005]["history"] > 0                 # new node accrued
+
+
+# ------------------------------------------------------------ bow-tie
+
+def test_bowtie_regions_classification(spark):
+    from cex_crawler_spark.operators.linkgraph import bowtie_regions
+
+    # core: 3-cycle 0->1->2->0; in: 10->0; chained in: 11->10;
+    # out: 2->20->21; tendril off IN: 10->30 (disconnected from pivot)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 0), (11, 10),
+         (2, 20), (20, 21), (10, 30)],
+        ["src", "dst"],
+    )
+    got = {r["id"]: r for r in bowtie_regions(e, 0).collect()}
+    assert {i: got[i]["region"] for i in got} == {
+        0: "core", 1: "core", 2: "core",
+        10: "in", 11: "in",
+        20: "out", 21: "out",
+        30: "disconnected",
+    }
+    assert got[1]["fwd_depth"] == 1 and got[1]["bwd_depth"] == 2
+    assert got[11]["bwd_depth"] == 2 and got[11]["fwd_depth"] is None
+    assert got[21]["fwd_depth"] == 4   # 0->1->2->20->21
+    assert got[30]["fwd_depth"] is None and got[30]["bwd_depth"] is None
