@@ -5108,6 +5108,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["linkgraph_bowtie"] = linkgraph_bowtie
 
+    def frontier_eviction(spark, sf):
+        """Hot/cold frontier split (politeness.frontier_eviction_plan):
+        entries aged ≥6 rounds at priority ≥1 evict to the cold tier,
+        EXCEPT each host's 40 best (priority, id) entries — eviction
+        never starves a host.  Chunked per-host rank (no global
+        window), row-local age arithmetic, annotate-never-drop."""
+        from cex_crawler_spark.operators.politeness import (
+            frontier_eviction_plan,
+        )
+
+        i = F.col("id")
+        fr = spark.range(4000).select(
+            i.alias("url_id"),
+            F.format_string("h%d", i % 37).alias("host"),
+            ((i * 2654435761) % 3).alias("priority"),
+            ((i * 48271) % 12).alias("added_round"),
+        ).withColumn("okey", F.col("priority") * 10_000_000 + F.col("url_id"))
+        return (
+            frontier_eviction_plan(
+                fr, current_round=12, min_age=6,
+                evict_priority_floor=1, keep_per_host=40,
+            )
+            .select(
+                "url_id", "host", "priority", "added_round",
+                "age", "protected", "evict", "reason",
+            )
+            .orderBy("url_id")
+        )
+
+    q["frontier_eviction"] = frontier_eviction
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -9655,6 +9686,34 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN fmin f ON f.id = n.id
         LEFT JOIN bmin b ON b.id = n.id
         ORDER BY n.id
+    """
+
+    # frontier_eviction: plain per-host row_number replay of the
+    # chunked rank + integer age/priority policy.
+    o["frontier_eviction"] = """
+        WITH fr AS (
+          SELECT range AS url_id,
+                 printf('h%d', range % 37) AS host,
+                 (range * 2654435761) % 3 AS priority,
+                 (range * 48271) % 12 AS added_round
+          FROM range(4000)
+        ),
+        rk AS (
+          SELECT *,
+                 greatest(12 - added_round, 0) AS age,
+                 row_number() OVER (
+                   PARTITION BY host
+                   ORDER BY priority * 10000000 + url_id
+                 ) AS hrank
+          FROM fr
+        )
+        SELECT url_id, host, priority, added_round,
+               CAST(age AS BIGINT) AS age,
+               hrank <= 40 AS protected,
+               (age >= 6 AND priority >= 1 AND hrank > 40) AS evict,
+               CASE WHEN age >= 6 AND priority >= 1 AND hrank > 40
+                    THEN 'aged_low_priority' END AS reason
+        FROM rk ORDER BY url_id
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

@@ -847,3 +847,58 @@ def discovery_saturation(
             ).alias("saturated"),
         )
     )
+
+
+# ----------------------------------------------- frontier hot/cold split
+
+def frontier_eviction_plan(
+    frontier: DataFrame,
+    current_round: int,
+    min_age: int = 5,
+    evict_priority_floor: int = 2,
+    keep_per_host: int = 100,
+    host_col: str = "host",
+    order_col: str = "okey",
+    added_col: str = "added_round",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """frontier + (age, protected, evict, reason) — the hot/cold split
+    a 10^10-URL frontier needs: entries that sat ``min_age`` rounds
+    without being scheduled AND carry a priority at or past
+    ``evict_priority_floor`` move to the cold store (a parquet tier
+    the scheduler never scans), EXCEPT each host's ``keep_per_host``
+    best entries, which stay hot regardless — eviction must never
+    starve a host out of the crawl entirely (the demote-never-drop
+    discipline; cold rows re-admit through ``admit_frontier`` later).
+
+    Annotates, never drops: ``evict`` + ``reason`` columns, the
+    committing split is the caller's one filter each way.
+
+    Scale shape: one chunked per-host rank (``packing.
+    chunked_running_sum`` over the caller's unique numeric ``order_
+    col`` — no global window) + row-local age arithmetic.  Negative
+    ages (producer clock skew) clamp to 0, same rule as priority
+    aging.
+    """
+    from .packing import chunked_running_sum
+
+    d = frontier.withColumn(
+        "age",
+        F.greatest(
+            F.lit(int(current_round)) - F.col(added_col), F.lit(0)
+        ).cast("long"),
+    ).withColumn("__one", F.lit(1).cast("long"))
+    ranked = chunked_running_sum(
+        d, order_col, "__one", partition_by=[host_col], out_col="__hrank"
+    )
+    candidate = (F.col("age") >= min_age) & (
+        F.col(priority_col) >= evict_priority_floor
+    )
+    return (
+        ranked.withColumn("protected", F.col("__hrank") <= F.lit(keep_per_host))
+        .withColumn("evict", candidate & ~F.col("protected"))
+        .withColumn(
+            "reason", F.when(candidate & ~F.col("protected"), F.lit("aged_low_priority"))
+        )
+        .drop("__one", "__hrank")
+    )

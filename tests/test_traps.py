@@ -522,3 +522,45 @@ class TestDiscoverySaturation:
         assert got[("A", 2)]["new_permille"] == 500
         # tiny samples never judged saturated
         assert not any(r["saturated"] for r in got.values())
+
+
+# ------------------------------------------------ frontier eviction
+
+class TestFrontierEviction:
+    def test_eviction_policy_and_host_floor(self, spark):
+        from cex_crawler_spark.operators.politeness import (
+            frontier_eviction_plan,
+        )
+
+        rows = []
+        # host A: 6 old low-priority entries -> keep best 2, evict 4
+        for k in range(6):
+            rows.append((k, "A", 2, 0))
+        # host A: one old HIGH-priority entry -> never a candidate
+        rows.append((10, "A", 0, 0))
+        # host B: young low-priority -> not aged yet
+        rows.append((20, "B", 2, 9))
+        df = spark.createDataFrame(
+            rows, ["url_id", "host", "priority", "added_round"]
+        ).withColumn("okey", F.col("priority") * 1000 + F.col("url_id"))
+        got = {r["url_id"]: r for r in frontier_eviction_plan(
+            df, current_round=10, min_age=5, evict_priority_floor=2,
+            keep_per_host=3,
+        ).collect()}
+        # rank order: priority asc then id -> 10 (p0), 0, 1 protected
+        assert got[10]["protected"] and not got[10]["evict"]
+        assert got[0]["protected"] and got[1]["protected"]
+        assert all(got[k]["evict"] for k in (2, 3, 4, 5))
+        assert got[2]["reason"] == "aged_low_priority"
+        assert got[20]["age"] == 1 and not got[20]["evict"]
+
+    def test_clock_skew_clamps(self, spark):
+        from cex_crawler_spark.operators.politeness import (
+            frontier_eviction_plan,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "A", 2, 99)], ["url_id", "host", "priority", "added_round"]
+        ).withColumn("okey", F.col("url_id"))
+        r = frontier_eviction_plan(df, current_round=10).collect()[0]
+        assert r["age"] == 0 and not r["evict"]
