@@ -5139,6 +5139,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_eviction"] = frontier_eviction
 
+    def recrawl_outlink_delta(spark, sf):
+        """Outlink-set diff between a hub's two latest fetches
+        (recrawl.outlink_delta): ADDED targets are the fresh-content
+        seeds a news-index revisit exists to find (rounds before any
+        sitemap ping), REMOVED targets demote.  The link-structure
+        twin of recrawl_change_magnitude.  Round 2 shifts each doc's
+        5-target window by doc_id%3 (0 = stable hub, 1-2 = churn);
+        doc_id%4==3 never refetches (first_seen path)."""
+        from cex_crawler_spark.operators.recrawl import outlink_delta
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        k = F.explode(F.sequence(F.lit(0), F.lit(4)))
+        base = d.select("doc_id", k.alias("k"))
+        i = F.col("doc_id")
+        r1 = base.select(
+            F.format_string("u%d", i).alias("url"),
+            F.lit(1).alias("round"),
+            F.format_string(
+                "https://t.example.com/%d", (i * 7 + F.col("k")) % 500
+            ).alias("target"),
+        )
+        r2 = base.filter(i % 4 != 3).select(
+            F.format_string("u%d", i).alias("url"),
+            F.lit(2).alias("round"),
+            F.format_string(
+                "https://t.example.com/%d", (i * 7 + F.col("k") + i % 3) % 500
+            ).alias("target"),
+        )
+        return (
+            outlink_delta(r1.unionByName(r2))
+            .orderBy("url", "change", "target")
+        )
+
+    q["recrawl_outlink_delta"] = recrawl_outlink_delta
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -9714,6 +9749,58 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN age >= 6 AND priority >= 1 AND hrank > 40
                     THEN 'aged_low_priority' END AS reason
         FROM rk ORDER BY url_id
+    """
+
+    # recrawl_outlink_delta: the shifted-window outlink log rebuilt in
+    # SQL, latest-two round ranking, set diffs via anti-join-shaped
+    # LEFT JOIN ... IS NULL.
+    o["recrawl_outlink_delta"] = """
+        WITH base AS (
+          SELECT doc_id, unnest(range(0, 5)) AS k FROM documents
+        ),
+        log AS (
+          SELECT printf('u%d', doc_id) AS url, 1 AS rnd,
+                 printf('https://t.example.com/%d', (doc_id * 7 + k) % 500) AS target
+          FROM base
+          UNION
+          SELECT printf('u%d', doc_id), 2,
+                 printf('https://t.example.com/%d',
+                        (doc_id * 7 + k + doc_id % 3) % 500)
+          FROM base WHERE doc_id % 4 <> 3
+        ),
+        rounds AS (
+          SELECT url, rnd,
+                 row_number() OVER (PARTITION BY url ORDER BY rnd DESC) AS rk
+          FROM (SELECT DISTINCT url, rnd FROM log)
+        ),
+        tagged AS (
+          SELECT l.url, l.rnd, l.target, r.rk
+          FROM log l JOIN rounds r ON r.url = l.url AND r.rnd = l.rnd
+          WHERE r.rk <= 2
+        ),
+        meta AS (
+          SELECT url,
+                 max(CASE WHEN rk = 1 THEN rnd END) AS round_latest,
+                 max(CASE WHEN rk = 2 THEN rnd END) AS round_prev
+          FROM rounds WHERE rk <= 2 GROUP BY url
+        ),
+        added AS (
+          SELECT a.url, a.target, 'added' AS change
+          FROM tagged a LEFT JOIN tagged b
+            ON b.url = a.url AND b.target = a.target AND b.rk = 2
+          WHERE a.rk = 1 AND b.url IS NULL
+        ),
+        removed AS (
+          SELECT a.url, a.target, 'removed' AS change
+          FROM tagged a LEFT JOIN tagged b
+            ON b.url = a.url AND b.target = a.target AND b.rk = 1
+          WHERE a.rk = 2 AND b.url IS NULL
+        ),
+        un AS (SELECT * FROM added UNION ALL SELECT * FROM removed)
+        SELECT u.url, u.target, u.change, m.round_latest, m.round_prev,
+               m.round_prev IS NULL AS first_seen
+        FROM un u JOIN meta m ON m.url = u.url
+        ORDER BY u.url, u.change, u.target
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

@@ -392,3 +392,72 @@ def content_change_magnitude(
         )
     )
     return out
+
+
+# ------------------------------------------------- outlink set delta
+
+def outlink_delta(
+    outlinks: DataFrame,
+    url_col: str = "url",
+    round_col: str = "round",
+    target_col: str = "target",
+) -> DataFrame:
+    """(url, target, change, round_latest, round_prev, first_seen) —
+    the outlink-SET diff between a page's two latest fetches: which
+    targets a revisited hub ADDED (fresh content to schedule at high
+    priority — a news index's new articles surface here rounds before
+    any sitemap ping) and which it REMOVED (candidates for recrawl
+    demotion; a delisted page loses its inbound).  This is the link-
+    structure twin of ``content_change_magnitude``: that grades the
+    TEXT delta, this extracts the actionable URLs from the delta.
+
+    First-ever fetches report all targets ``change='added'`` with
+    ``first_seen=true`` so the caller can route them through normal
+    discovery instead of the hot path.
+
+    Scale shape: one per-url window over DISTINCT fetch rounds
+    (bounded by revisit count), then two anti-join-shaped set diffs
+    keyed (url, target) — never cross-url.
+    """
+    from pyspark.sql import Window
+
+    rows = outlinks.select(
+        F.col(url_col).alias("url"),
+        F.col(round_col).alias("rnd"),
+        F.col(target_col).alias("target"),
+    ).distinct()
+    rounds = (
+        rows.select("url", "rnd")
+        .distinct()
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("url").orderBy(F.col("rnd").desc())
+            ),
+        )
+        .filter(F.col("rk") <= 2)
+    )
+    tagged = rows.join(rounds, ["url", "rnd"])
+    latest = tagged.filter(F.col("rk") == 1)
+    prev = tagged.filter(F.col("rk") == 2)
+    meta = (
+        rounds.groupBy("url")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("rnd"))).alias("round_latest"),
+            F.max(F.when(F.col("rk") == 2, F.col("rnd"))).alias("round_prev"),
+        )
+        .withColumn("first_seen", F.col("round_prev").isNull())
+    )
+    added = latest.join(
+        prev.select("url", "target"), ["url", "target"], "left_anti"
+    ).select("url", "target", F.lit("added").alias("change"))
+    removed = prev.join(
+        latest.select("url", "target"), ["url", "target"], "left_anti"
+    ).select("url", "target", F.lit("removed").alias("change"))
+    return (
+        added.unionByName(removed)
+        .join(meta, "url")
+        .select(
+            "url", "target", "change", "round_latest", "round_prev", "first_seen"
+        )
+    )

@@ -360,3 +360,28 @@ def test_content_change_magnitude_grades_and_first_seen(spark):
     assert got["d"]["round_latest"] == 5 and got["d"]["round_prev"] is None
     assert got["e"]["change_permille"] == 0
     assert (got["e"]["round_latest"], got["e"]["round_prev"]) == (3, 2)
+
+
+def test_outlink_delta_added_removed_first_seen(spark):
+    from cex_crawler_spark.operators.recrawl import outlink_delta
+
+    rows = [
+        # hub h: round 1 {a,b,c}, round 2 {b,c,d} -> +d, -a
+        ("h", 1, "a"), ("h", 1, "b"), ("h", 1, "c"),
+        ("h", 2, "b"), ("h", 2, "c"), ("h", 2, "d"),
+        # three rounds: only the two latest compared
+        ("g", 1, "x"), ("g", 2, "y"), ("g", 3, "y"),
+        # first fetch -> all added, first_seen
+        ("n", 5, "p"), ("n", 5, "q"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "round", "target"])
+    got = {(r["url"], r["target"]): r for r in outlink_delta(df).collect()}
+    assert got[("h", "d")]["change"] == "added"
+    assert got[("h", "a")]["change"] == "removed"
+    assert ("h", "b") not in got and ("h", "c") not in got
+    assert got[("h", "d")]["round_latest"] == 2
+    assert got[("h", "d")]["round_prev"] == 1
+    assert ("g", "x") not in got           # rounds 2 vs 3: y stable
+    assert len([k for k in got if k[0] == "g"]) == 0
+    assert got[("n", "p")]["change"] == "added"
+    assert got[("n", "p")]["first_seen"] and got[("n", "p")]["round_prev"] is None
