@@ -436,8 +436,12 @@ def outlink_delta(
             ),
         )
         .filter(F.col("rk") <= 2)
+        .persist()
     )
-    tagged = rows.join(rounds, ["url", "rnd"])
+    # tagged feeds FOUR consumers (both sides of both set diffs);
+    # without a persist Catalyst re-expands the distinct+window subtree
+    # per consumer (plan-audited: 4x the shuffles at scale).
+    tagged = rows.join(rounds, ["url", "rnd"]).persist()
     latest = tagged.filter(F.col("rk") == 1)
     prev = tagged.filter(F.col("rk") == 2)
     meta = (
