@@ -5174,6 +5174,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["recrawl_outlink_delta"] = recrawl_outlink_delta
 
+    def crawl_retry_after_holds(spark, sf):
+        """Server-directed backpressure (recrawl.retry_after_holds,
+        RFC 9110 §10.2.3): 429/503 Retry-After in BOTH wire forms —
+        delta-seconds and HTTP-date (day-name stripped before parse:
+        Spark's modern parser rejects EEE) — plus the default hold
+        for backpressure without a usable hint; per-host MAX wins.
+        The third delay tier beside the configured floor and the
+        inferred adaptive delay.  Scan-side parse, one max/count per
+        host."""
+        from cex_crawler_spark.operators.recrawl import retry_after_holds
+
+        i = F.col("id")
+        base = 1_756_684_800_000
+        dates = F.array(
+            F.lit("Mon, 01 Sep 2025 00:02:00 GMT"),
+            F.lit("Mon, 01 Sep 2025 00:10:00 GMT"),
+            F.lit("Tue, 02 Sep 2025 12:00:00 GMT"),
+            F.lit("Mon, 01 Sep 2025 23:59:59 GMT"),
+        )
+        m = i % 9
+        resp = spark.range(400).select(
+            F.format_string("h%d", i % 20).alias("host"),
+            F.when(m == 0, 429).when(m.isin(1, 2), 503)
+            .when(m == 3, 429).otherwise(200).alias("status"),
+            F.when(m == 0, F.format_string("%d", 10 + i % 50))
+            .when(m == 1, F.element_at(dates, (i % 4 + 1).cast("int")))
+            .when(m == 3, F.lit("soon"))
+            .alias("retry_after"),
+            (F.lit(base) + i * 1000).alias("fetched_ms"),
+        )
+        return retry_after_holds(resp).orderBy("host")
+
+    q["crawl_retry_after_holds"] = crawl_retry_after_holds
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -9801,6 +9835,48 @@ def oracle_sql() -> dict[str, str]:
                m.round_prev IS NULL AS first_seen
         FROM un u JOIN meta m ON m.url = u.url
         ORDER BY u.url, u.change, u.target
+    """
+
+    # crawl_retry_after_holds: both Retry-After forms replayed —
+    # digits regex, day-name-stripped try_strptime (epoch treats the
+    # naive timestamp as UTC, matching the UTC-pinned Spark session),
+    # default hold for unusable hints; per-host max/count.
+    o["crawl_retry_after_holds"] = """
+        WITH resp AS (
+          SELECT printf('h%d', range % 20) AS host,
+                 CASE WHEN range % 9 = 0 THEN 429
+                      WHEN range % 9 IN (1, 2) THEN 503
+                      WHEN range % 9 = 3 THEN 429
+                      ELSE 200 END AS status,
+                 CASE WHEN range % 9 = 0 THEN printf('%d', 10 + range % 50)
+                      WHEN range % 9 = 1 THEN
+                        (['Mon, 01 Sep 2025 00:02:00 GMT',
+                          'Mon, 01 Sep 2025 00:10:00 GMT',
+                          'Tue, 02 Sep 2025 12:00:00 GMT',
+                          'Mon, 01 Sep 2025 23:59:59 GMT'])[(range % 4 + 1)::INT]
+                      WHEN range % 9 = 3 THEN 'soon'
+                 END AS retry_after,
+                 1756684800000 + range * 1000 AS fetched_ms
+          FROM range(400)
+        ),
+        bp AS (
+          SELECT host,
+                 CASE
+                   WHEN regexp_matches(trim(retry_after), '^[0-9]+$')
+                     THEN fetched_ms + CAST(trim(retry_after) AS BIGINT) * 1000
+                   WHEN try_strptime(regexp_replace(trim(retry_after),
+                          '^[A-Za-z]{3}, ', ''),
+                          '%d %b %Y %H:%M:%S GMT') IS NOT NULL
+                     THEN CAST(epoch(try_strptime(regexp_replace(trim(retry_after),
+                          '^[A-Za-z]{3}, ', ''),
+                          '%d %b %Y %H:%M:%S GMT')) AS BIGINT) * 1000
+                   ELSE fetched_ms + 60000
+                 END AS hold
+          FROM resp WHERE status IN (429, 503)
+        )
+        SELECT host, CAST(max(hold) AS BIGINT) AS hold_until_ms,
+               CAST(count(*) AS BIGINT) AS n_backpressure
+        FROM bp GROUP BY host ORDER BY host
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

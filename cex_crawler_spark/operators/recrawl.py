@@ -465,3 +465,68 @@ def outlink_delta(
             "url", "target", "change", "round_latest", "round_prev", "first_seen"
         )
     )
+
+
+# -------------------------------------------- Retry-After backpressure
+
+def retry_after_holds(
+    responses: DataFrame,
+    host_col: str = "host",
+    status_col: str = "status",
+    retry_after_col: str = "retry_after",
+    fetched_ms_col: str = "fetched_ms",
+    default_hold_s: int = 60,
+) -> DataFrame:
+    """(host, hold_until_ms, n_backpressure) — the server-DIRECTED
+    politeness channel: 429/503 responses carry ``Retry-After`` as
+    either delta-seconds or an HTTP-date (RFC 9110 §10.2.3), and a
+    compliant crawler must not touch the host before the latest such
+    hold expires.  This is the third delay tier beside the configured
+    floor and the INFERRED adaptive delay above: adaptive reacts to
+    symptoms, Retry-After is the server telling us outright.
+
+    Delta form: ``hold = fetched_ms + seconds·1000``.  Date form:
+    parsed as an absolute UTC instant (epoch ms).  A 429/503 with a
+    missing or unparseable header still holds ``default_hold_s`` —
+    backpressure without a usable hint must not become free.  Per
+    host the MAX hold wins.  Non-backpressure statuses contribute
+    nothing.
+
+    Scale shape: scan-side parse (regexp + try_to_timestamp — no UDF)
+    + one map-combinable max/count per host; the result is a dim the
+    scheduler folds like the adaptive-delay table.
+    """
+    ra = F.trim(F.col(retry_after_col))
+    is_bp = F.col(status_col).isin(429, 503)
+    delta_ms = F.when(
+        ra.rlike("^[0-9]+$"), ra.cast("long") * 1000 + F.col(fetched_ms_col)
+    )
+    # Spark's post-2.x parser rejects the day-of-week field (EEE) with
+    # SparkUpgradeException; the name is redundant in an HTTP-date, so
+    # strip it and parse the rest.
+    date_ms = (
+        F.unix_timestamp(
+            F.try_to_timestamp(
+                F.regexp_replace(ra, "^[A-Za-z]{3}, ", ""),
+                F.lit("dd MMM yyyy HH:mm:ss 'GMT'"),
+            )
+        ).cast("long")
+        * 1000
+    )
+    hold = F.coalesce(
+        delta_ms,
+        date_ms,
+        F.col(fetched_ms_col) + F.lit(int(default_hold_s) * 1000),
+    )
+    return (
+        responses.filter(is_bp)
+        .select(
+            F.col(host_col).alias("host"),
+            hold.cast("long").alias("__hold"),
+        )
+        .groupBy("host")
+        .agg(
+            F.max("__hold").alias("hold_until_ms"),
+            F.count("*").alias("n_backpressure"),
+        )
+    )

@@ -385,3 +385,25 @@ def test_outlink_delta_added_removed_first_seen(spark):
     assert len([k for k in got if k[0] == "g"]) == 0
     assert got[("n", "p")]["change"] == "added"
     assert got[("n", "p")]["first_seen"] and got[("n", "p")]["round_prev"] is None
+
+
+def test_retry_after_holds_delta_date_default_and_max(spark):
+    from cex_crawler_spark.operators.recrawl import retry_after_holds
+
+    base = 1_756_684_800_000  # 2025-09-01T00:00:00Z in epoch ms
+    rows = [
+        ("a", 429, "30", base),                                   # delta
+        ("a", 503, "Mon, 01 Sep 2025 00:05:00 GMT", base),        # date
+        ("a", 200, "999", base),                                  # ignored
+        ("b", 503, None, base),                                   # default 60s
+        ("c", 429, "soonish", base),                              # unparseable
+    ]
+    df = spark.createDataFrame(
+        rows, ["host", "status", "retry_after", "fetched_ms"]
+    )
+    got = {r["host"]: r for r in retry_after_holds(df).collect()}
+    # a: max(base+30s, 00:05:00Z) = base + 300s
+    assert got["a"]["hold_until_ms"] == base + 300_000
+    assert got["a"]["n_backpressure"] == 2
+    assert got["b"]["hold_until_ms"] == base + 60_000
+    assert got["c"]["hold_until_ms"] == base + 60_000
