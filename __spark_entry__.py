@@ -5208,6 +5208,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_retry_after_holds"] = crawl_retry_after_holds
 
+    def frontier_lifecycle_report(spark, sf):
+        """Hot/cold lifecycle capstone: eviction at round 12
+        (frontier_eviction_plan — aged low-priority past each host's
+        40-best floor) → the evicted rows attempt RE-ADMISSION next
+        round through admit_frontier under tight caps (20/host, 300
+        global) → per-host flow accounting (frontier in, kept hot,
+        evicted, readmitted, still cold).  Demonstrates the
+        drop-never-lose discipline end to end: every row is in
+        exactly one bucket, n_hot + n_readmitted + n_still_cold ==
+        n_frontier."""
+        from cex_crawler_spark.operators.politeness import (
+            admit_frontier, frontier_eviction_plan,
+        )
+
+        i = F.col("id")
+        fr = spark.range(4000).select(
+            i.alias("url_id"),
+            F.format_string("h%d", i % 37).alias("host"),
+            ((i * 2654435761) % 3).alias("priority"),
+            ((i * 48271) % 12).alias("added_round"),
+        ).withColumn("okey", F.col("priority") * 10_000_000 + F.col("url_id"))
+        ev = frontier_eviction_plan(
+            fr, current_round=12, min_age=6,
+            evict_priority_floor=1, keep_per_host=40,
+        ).persist()
+        cold = ev.filter(F.col("evict")).select(
+            "url_id", "host", "priority", "okey"
+        )
+        re = admit_frontier(cold, host_cap=20, global_cap=300)
+        flows = ev.groupBy("host").agg(
+            F.count("*").alias("n_frontier"),
+            F.sum((~F.col("evict")).cast("long")).alias("n_hot"),
+            F.sum(F.col("evict").cast("long")).alias("n_evicted"),
+        )
+        readm = re.groupBy("host").agg(
+            F.sum(F.col("admitted").cast("long")).alias("n_readmitted")
+        )
+        return (
+            flows.join(readm, "host", "left")
+            .select(
+                "host", "n_frontier", "n_hot", "n_evicted",
+                F.coalesce("n_readmitted", F.lit(0)).alias("n_readmitted"),
+                (
+                    F.col("n_evicted") - F.coalesce("n_readmitted", F.lit(0))
+                ).alias("n_still_cold"),
+            )
+            .orderBy("host")
+        )
+
+    q["frontier_lifecycle_report"] = frontier_lifecycle_report
+
+    def crawl_fairness_audit(spark, sf):
+        """Jain fairness of per-host dispatch counts (validate.
+        fairness_index), all-integer permille — compared across three
+        allocation policies over the same 40 hosts: even (1000‰),
+        hash-varied, and one-host-hogs.  The starvation scalar a
+        round report should publish beside its makespan."""
+        from cex_crawler_spark.operators.validate import fairness_index
+
+        i = F.col("id")
+        h = i % 40
+        pol = (i / 40).cast("long")
+        counts = spark.range(120).select(
+            F.when(pol == 0, F.lit("even"))
+            .when(pol == 1, F.lit("varied"))
+            .otherwise(F.lit("hog")).alias("policy"),
+            h.alias("host"),
+            F.when(pol == 0, F.lit(25))
+            .when(pol == 1, 5 + (h * 2654435761) % 30)
+            .otherwise(F.when(h == 0, F.lit(961)).otherwise(F.lit(1)))
+            .cast("long").alias("n_dispatched"),
+        )
+        return fairness_index(counts, "n_dispatched", ["policy"]).orderBy(
+            "policy"
+        )
+
+    q["crawl_fairness_audit"] = crawl_fairness_audit
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -9877,6 +9955,95 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, CAST(max(hold) AS BIGINT) AS hold_until_ms,
                CAST(count(*) AS BIGINT) AS n_backpressure
         FROM bp GROUP BY host ORDER BY host
+    """
+
+    # frontier_lifecycle_report: eviction window replay -> cold rows ->
+    # the two admit_frontier chunked ranks as plain windows (host rank,
+    # then global running count over host-cap survivors) -> flows.
+    o["frontier_lifecycle_report"] = """
+        WITH fr AS (
+          SELECT range AS url_id,
+                 printf('h%d', range % 37) AS host,
+                 (range * 2654435761) % 3 AS priority,
+                 (range * 48271) % 12 AS added_round,
+                 (range * 2654435761) % 3 * 10000000 + range AS okey
+          FROM range(4000)
+        ),
+        ev AS (
+          SELECT *,
+                 greatest(12 - added_round, 0) AS age,
+                 row_number() OVER (PARTITION BY host ORDER BY okey) AS hrank
+          FROM fr
+        ),
+        tagged AS (
+          SELECT *,
+                 (age >= 6 AND priority >= 1 AND hrank > 40) AS evict
+          FROM ev
+        ),
+        cold AS (SELECT url_id, host, priority, okey FROM tagged WHERE evict),
+        crk AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY host ORDER BY okey) AS chrank
+          FROM cold
+        ),
+        surv AS (
+          SELECT *,
+                 CASE WHEN chrank <= 20 THEN 1 ELSE 0 END AS gone
+          FROM crk
+        ),
+        grk AS (
+          SELECT *,
+                 sum(gone) OVER (ORDER BY okey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS grank
+          FROM surv
+        ),
+        readm AS (
+          SELECT host,
+                 CAST(sum(CASE WHEN gone = 1 AND grank <= 300
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_readmitted
+          FROM grk GROUP BY host
+        ),
+        flows AS (
+          SELECT host,
+                 CAST(count(*) AS BIGINT) AS n_frontier,
+                 CAST(sum(CASE WHEN evict THEN 0 ELSE 1 END) AS BIGINT) AS n_hot,
+                 CAST(sum(CASE WHEN evict THEN 1 ELSE 0 END) AS BIGINT) AS n_evicted
+          FROM tagged GROUP BY host
+        )
+        SELECT f.host, f.n_frontier, f.n_hot, f.n_evicted,
+               coalesce(r.n_readmitted, 0) AS n_readmitted,
+               f.n_evicted - coalesce(r.n_readmitted, 0) AS n_still_cold
+        FROM flows f LEFT JOIN readm r USING (host)
+        ORDER BY f.host
+    """
+
+    # crawl_fairness_audit: the integer Jain formula replayed (sums →
+    # HUGEINT, cast).
+    o["crawl_fairness_audit"] = """
+        WITH counts AS (
+          SELECT CASE WHEN range // 40 = 0 THEN 'even'
+                      WHEN range // 40 = 1 THEN 'varied'
+                      ELSE 'hog' END AS policy,
+                 range % 40 AS host,
+                 CASE WHEN range // 40 = 0 THEN 25
+                      WHEN range // 40 = 1
+                        THEN 5 + ((range % 40) * 2654435761) % 30
+                      WHEN range % 40 = 0 THEN 961 ELSE 1 END AS n
+          FROM range(120)
+        ),
+        agg AS (
+          SELECT policy,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(n) AS BIGINT) AS total,
+                 CAST(sum(n * n) AS BIGINT) AS sum_sq
+          FROM counts GROUP BY policy
+        )
+        SELECT policy, n_keys, total, sum_sq,
+               CASE WHEN sum_sq = 0 THEN NULL
+                    ELSE CAST((total * total * 1000) // (n_keys * sum_sq)
+                              AS BIGINT) END AS jain_permille
+        FROM agg ORDER BY policy
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

@@ -137,3 +137,31 @@ def politeness_audit(
             & (F.col("n_robots_violations") == 0),
         )
     )
+
+
+def fairness_index(
+    df: DataFrame, count_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Jain's fairness index over an allocation column, on the permille
+    grid: J = (Σx)² / (n·Σx²), 1000 = perfectly even, →1000/n as one
+    key hogs everything.  The scheduler-audit scalar for "did this
+    round starve anyone": dispatch counts, byte budgets and politeness
+    makespans all feed it.  All-integer — (Σx)²·1000 div (n·Σx²) —
+    so the metric is bit-identical in any engine (the usual float
+    formulation isn't).  One map-combinable aggregate per group.
+
+    Returns (group_cols..., n_keys, total, sum_sq, jain_permille).
+    """
+    gb = df.groupBy(*(group_cols or []))
+    x = F.col(count_col)
+    agg = gb.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(x).alias("total"),
+        F.sum(x * x).alias("sum_sq"),
+    )
+    return agg.withColumn(
+        "jain_permille",
+        F.when(F.col("sum_sq") == 0, F.lit(None).cast("long")).otherwise(
+            F.expr("(total * total * 1000) div (n_keys * sum_sq)")
+        ),
+    )

@@ -564,3 +564,23 @@ class TestFrontierEviction:
         ).withColumn("okey", F.col("url_id"))
         r = frontier_eviction_plan(df, current_round=10).collect()[0]
         assert r["age"] == 0 and not r["evict"]
+
+
+def test_fairness_index_even_vs_hog(spark):
+    from cex_crawler_spark.operators.validate import fairness_index
+
+    even = spark.createDataFrame(
+        [("p_even", h, 10) for h in range(8)], ["policy", "host", "n"]
+    )
+    hog = spark.createDataFrame(
+        [("p_hog", 0, 73)] + [("p_hog", h, 1) for h in range(1, 8)],
+        ["policy", "host", "n"],
+    )
+    got = {r["policy"]: r for r in fairness_index(
+        even.unionByName(hog), "n", ["policy"]).collect()}
+    assert got["p_even"]["jain_permille"] == 1000
+    # (80^2*1000) div (8*(73^2+7)) = 6400000 div 42688 = 149
+    assert got["p_hog"]["jain_permille"] == 149
+    zero = spark.createDataFrame([("z", 1, 0)], ["policy", "host", "n"])
+    z = fairness_index(zero, "n", ["policy"]).collect()[0]
+    assert z["jain_permille"] is None
