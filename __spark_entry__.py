@@ -5286,6 +5286,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_fairness_audit"] = crawl_fairness_audit
 
+    def corpus_vocab_growth(spark, sf):
+        """Heaps-law vocabulary-growth census: per power-of-two
+        doc-id prefix, how much NEW vocabulary the corpus added —
+        V(2n)/V(n) declining is the sublinear growth (β<1) a healthy
+        natural corpus shows; a flat ratio means boilerplate/synthetic
+        churn is minting tokens.  The audit a mixing pipeline runs
+        before trusting token-count budgets.  Shape: one explode +
+        one (min first-doc, count) aggregate per token (a corpus-wide
+        stopword is ONE agg key), bucket = length(bin(first_doc)) —
+        integer log2, no transcendental — and the only window runs
+        over the ≤64-row bucket table."""
+        from pyspark.sql import Window
+
+        from cex_crawler_spark.functions.text import tokens
+
+        d = _t(spark, sf, "documents")
+        tok = d.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        stats = tok.groupBy("tok").agg(
+            F.min("doc_id").alias("first_doc"), F.count("*").alias("occ")
+        )
+        per = (
+            stats.withColumn(
+                "bucket", F.length(F.bin("first_doc")).cast("long")
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("new_tokens"),
+                F.sum("occ").alias("occ_in_bucket"),
+            )
+        )
+        w = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return per.select(
+            "bucket",
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(bucket as int))"
+            ).alias("threshold_docs"),
+            "new_tokens",
+            F.sum("new_tokens").over(w).alias("vocab_cum"),
+            "occ_in_bucket",
+        ).orderBy("bucket")
+
+    q["corpus_vocab_growth"] = corpus_vocab_growth
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -10044,6 +10091,32 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST((total * total * 1000) // (n_keys * sum_sq)
                               AS BIGINT) END AS jain_permille
         FROM agg ORDER BY policy
+    """
+
+    # corpus_vocab_growth: same tokenization (_TOKS), min-first-doc per
+    # token, bin-length bucket, cumulative over the tiny bucket table.
+    o["corpus_vocab_growth"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        st AS (
+          SELECT tok, min(doc_id) AS first_doc, count(*) AS occ
+          FROM tok GROUP BY tok
+        ),
+        per AS (
+          SELECT CAST(length(bin(first_doc)) AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS new_tokens,
+                 CAST(sum(occ) AS BIGINT) AS occ_in_bucket
+          FROM st GROUP BY 1
+        )
+        SELECT bucket,
+               CAST(1::BIGINT << bucket AS BIGINT) AS threshold_docs,
+               new_tokens,
+               CAST(sum(new_tokens) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS vocab_cum,
+               occ_in_bucket
+        FROM per ORDER BY bucket
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over
