@@ -5333,6 +5333,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_vocab_growth"] = corpus_vocab_growth
 
+    def linkgraph_triangles(spark, sf):
+        """Exact triangles + local clustering coefficient (linkgraph.
+        triangle_counts): dense mutually-linked neighbourhoods are the
+        link-farm signature the spam-mass tier can't see structurally;
+        clustering = 2t·1000 div d(d−1), all integer.  Ordered-wedge
+        join, each triangle materialized once as a<b<c.  Fixture: a
+        chorded ring (every node in ≥2 triangles), a planted K10
+        (clustering 1000), hash chords for irregularity."""
+        from cex_crawler_spark.operators.linkgraph import triangle_counts
+
+        i = F.col("id")
+        r1 = spark.range(300).select(i.alias("src"), ((i + 1) % 300).alias("dst"))
+        r2 = spark.range(300).select(i.alias("src"), ((i + 2) % 300).alias("dst"))
+        k10 = (
+            spark.range(100)
+            .select((i / 10).cast("long").alias("a"), (i % 10).alias("b"))
+            .filter(F.col("a") < F.col("b"))
+            .select((500 + F.col("a")).alias("src"), (500 + F.col("b")).alias("dst"))
+        )
+        ch = spark.range(150).select(
+            ((i * 17) % 300).alias("src"), ((i * 37) % 300).alias("dst")
+        )
+        e = r1.unionByName(r2).unionByName(k10).unionByName(ch)
+        return triangle_counts(e).orderBy("id")
+
+    q["linkgraph_triangles"] = linkgraph_triangles
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -10117,6 +10144,49 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS vocab_cum,
                occ_in_bucket
         FROM per ORDER BY bucket
+    """
+
+    # linkgraph_triangles: the ordered-wedge join replayed relationally.
+    o["linkgraph_triangles"] = """
+        WITH raw AS (
+          SELECT range AS src, (range + 1) % 300 AS dst FROM range(300)
+          UNION ALL SELECT range, (range + 2) % 300 FROM range(300)
+          UNION ALL SELECT 500 + range // 10, 500 + range % 10
+            FROM range(100) WHERE range // 10 < range % 10
+          UNION ALL SELECT (range * 17) % 300, (range * 37) % 300 FROM range(150)
+        ),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst
+        ),
+        w AS (
+          SELECT e1.a, e1.b, e2.b AS c
+          FROM und e1 JOIN und e2 ON e2.a = e1.b
+        ),
+        t AS (
+          SELECT w.a, w.b, w.c
+          FROM w JOIN und u ON u.a = w.a AND u.b = w.c
+        ),
+        cr AS (
+          SELECT id, count(*) AS triangles FROM (
+            SELECT a AS id FROM t
+            UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t
+          ) GROUP BY id
+        ),
+        dg AS (
+          SELECT id, count(*) AS degree FROM (
+            SELECT a AS id FROM und UNION ALL SELECT b FROM und
+          ) GROUP BY id
+        )
+        SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+               CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles,
+               CASE WHEN d.degree >= 2
+                    THEN CAST((2 * coalesce(c.triangles, 0) * 1000)
+                              // (d.degree * (d.degree - 1)) AS BIGINT)
+               END AS clustering_permille
+        FROM dg d LEFT JOIN cr c USING (id)
+        ORDER BY d.id
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

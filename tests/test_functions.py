@@ -1040,3 +1040,16 @@ class TestShardManifest:
         dst = (src + 1) % 7
         changed = {k for k in m1 if m1[k] != m3.get(k)}
         assert changed == {src, dst}
+
+
+class TestUrlNormProperties:
+    @given(st.from_regex(
+        r"(https?://)?[A-Za-z0-9.\-]{1,20}(:[0-9]{0,4})?"
+        r"(/[A-Za-z0-9._~%/\-]{0,30})?(\?[a-z0-9=&_]{0,30})?(#[a-z0-9]{0,10})?",
+        fullmatch=True))
+    @settings(max_examples=300, deadline=None)
+    def test_canonicalize_idempotent(self, u):
+        """Canonical URLs are a fixpoint — re-canonicalizing a stored
+        frontier is always safe (the DUST-strip discipline)."""
+        c = py_canonicalize_url(u)
+        assert py_canonicalize_url(c) == c

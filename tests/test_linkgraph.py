@@ -699,3 +699,23 @@ def test_bowtie_regions_classification(spark):
     assert got[11]["bwd_depth"] == 2 and got[11]["fwd_depth"] is None
     assert got[21]["fwd_depth"] == 4   # 0->1->2->20->21
     assert got[30]["fwd_depth"] is None and got[30]["bwd_depth"] is None
+
+
+# ----------------------------------------------------------- triangles
+
+def test_triangle_counts_clique_and_hub(spark):
+    from cex_crawler_spark.operators.linkgraph import triangle_counts
+
+    # K4 on {0,1,2,3}; star hub 10 -> {11,12,13}; direction/dup noise
+    e = [(a, b) for a in range(4) for b in range(4) if a < b]
+    e += [(3, 2), (1, 0)]                      # reversed dups collapse
+    e += [(10, 11), (10, 12), (10, 13), (10, 10)]  # self-loop dropped
+    df = spark.createDataFrame(e, ["src", "dst"])
+    got = {r["id"]: r for r in triangle_counts(df).collect()}
+    # K4: every node degree 3, in C(3,2)=3 triangles, clustering 1000
+    for v in range(4):
+        assert (got[v]["degree"], got[v]["triangles"]) == (3, 3)
+        assert got[v]["clustering_permille"] == 1000
+    assert got[10]["degree"] == 3 and got[10]["triangles"] == 0
+    assert got[10]["clustering_permille"] == 0
+    assert got[11]["degree"] == 1 and got[11]["clustering_permille"] is None
