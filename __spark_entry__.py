@@ -5360,6 +5360,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["linkgraph_triangles"] = linkgraph_triangles
 
+    def search_bm25_topk(spark, sf):
+        """BM25 retrieval over relational inverted postings
+        (operators/index.py — Okapi weighting, +1-inside-log idf):
+        the serving tier a 100 TB crawl feeds.  Only the query terms'
+        postings are touched (IN-literal pushdown), corpus constants
+        ride a one-row broadcast, scores round(4) under the proven
+        ln-parity discipline, order (score DESC, doc_id) makes the
+        top-k SET engine-replayable."""
+        from cex_crawler_spark.operators.index import bm25_topk
+
+        d = _t(spark, sf, "documents")
+        return bm25_topk(
+            d, "text", "doc_id", ["vector", "merge", "window"], k=25
+        )
+
+    q["search_bm25_topk"] = search_bm25_topk
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -10187,6 +10204,42 @@ def oracle_sql() -> dict[str, str]:
                END AS clustering_permille
         FROM dg d LEFT JOIN cr c USING (id)
         ORDER BY d.id
+    """
+
+    # search_bm25_topk: full Okapi replay with IDENTICAL expression
+    # shapes (idf log form, tf normalization, avgdl division) so the
+    # doubles agree far below round(4).
+    o["search_bm25_topk"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        post AS (
+          SELECT term, doc_id, count(*) AS tf FROM tok
+          WHERE term IN ('vector', 'merge', 'window')
+          GROUP BY term, doc_id
+        ),
+        dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+        consts AS (
+          SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl
+          FROM dl
+        ),
+        dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        sc AS (
+          SELECT p.doc_id,
+                 ln(1.0 + (c.n_docs - s.df + 0.5) / (s.df + 0.5))
+                 * (p.tf * (1.2 + 1))
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl)) AS part
+          FROM post p
+          JOIN dfs s USING (term)
+          JOIN dl d USING (doc_id), consts c
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+                 round(sum(part), 4) AS score
+          FROM sc GROUP BY doc_id
+        )
+        SELECT doc_id, n_hit_terms, score
+        FROM agg ORDER BY score DESC, doc_id LIMIT 25
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

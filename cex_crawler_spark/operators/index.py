@@ -1,0 +1,100 @@
+"""Inverted-index construction and BM25 retrieval over the crawled corpus.
+
+The reference stores scraped announcements as flat CSV and searches
+them with pandas string filters (/root/reference/*/search in-memory);
+a 100 TB crawl serves queries through an inverted index.  Postings
+here stay RELATIONAL — (term, doc_id, tf) — which is exactly the
+shape a distributed index shard build wants: group-by term gives the
+posting lists, `linkgraph.compress_adjacency`'s gap coding applies
+verbatim to the sorted doc-id lists for storage.
+
+Scale notes:
+- `build_postings` is one explode + one (term, doc) count — map-side
+  combinable; a corpus-wide stopword is one aggregate key per doc.
+- `bm25_topk` touches only the query terms' postings (an IN-literal
+  filter that pushes into the parquet scan of a term-partitioned
+  postings table), joins the dim-sized doc-length table, and
+  aggregates per doc.  Corpus constants (N, avgdl) ride a one-row
+  broadcast.  Scores round(4) for engine parity (ln is IEEE-stable
+  at that precision — same discipline as the unigram/bigram LM ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def build_postings(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(term, doc_id, tf) — relational inverted postings."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, n_hit_terms, score) — BM25 top-k (Robertson/Sparck
+    Jones probabilistic weighting, the Okapi formulation with the
+    +1-inside-the-log idf so scores stay positive):
+
+        idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))
+        s(d,q)  = Σ_t idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Deterministic output: score rounds to 4 decimals and the order is
+    (score DESC, doc_id ASC), so the top-k SET is engine-replayable.
+    """
+    postings = build_postings(docs, text_col, id_col).filter(
+        F.col("term").isin(list(query_terms))
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+    )
+    consts = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    df_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        postings.join(df_stats, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (1 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.round(F.sum("part"), 4).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)

@@ -1053,3 +1053,35 @@ class TestUrlNormProperties:
         frontier is always safe (the DUST-strip discipline)."""
         c = py_canonicalize_url(u)
         assert py_canonicalize_url(c) == c
+
+
+class TestBM25:
+    def test_bm25_prefers_tf_and_rare_terms(self, spark):
+        from cex_crawler_spark.operators.index import bm25_topk
+
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana apple apple"),   # tf(apple)=3
+                (2, "apple kiwi kiwi kiwi"),       # tf(apple)=1
+                (3, "banana banana cherry kiwi"),  # no apple
+                (4, "plum plum plum plum"),
+            ],
+            ["doc_id", "text"],
+        )
+        top = bm25_topk(docs, "text", "doc_id", ["apple"], k=3).collect()
+        assert [r["doc_id"] for r in top] == [1, 2]
+        assert top[0]["score"] > top[1]["score"] > 0
+        # rare term outweighs common at equal tf
+        top2 = bm25_topk(docs, "text", "doc_id", ["cherry", "kiwi"], k=4).collect()
+        got = {r["doc_id"]: r for r in top2}
+        assert got[3]["n_hit_terms"] == 2
+        assert got[3]["score"] > got[2]["score"]
+
+    def test_bm25_deterministic_order_and_k(self, spark):
+        from cex_crawler_spark.operators.index import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(i, "same words here") for i in range(10)], ["doc_id", "text"]
+        )
+        top = bm25_topk(docs, "text", "doc_id", ["words"], k=5).collect()
+        assert [r["doc_id"] for r in top] == [0, 1, 2, 3, 4]  # doc tiebreak
