@@ -5377,6 +5377,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_bm25_topk"] = search_bm25_topk
 
+    def search_phrase_match(spark, sf):
+        """Exact phrase retrieval (index.phrase_match): the next-word
+        position-adjacency join over the positional index — what
+        bag-of-words BM25 can't do.  P−1 hash joins keyed (doc, pos),
+        IN-literal pushdown to the phrase terms only."""
+        from cex_crawler_spark.operators.index import phrase_match
+
+        d = _t(spark, sf, "documents")
+        return phrase_match(d, "text", "doc_id", ["merge", "join"]).orderBy(
+            "doc_id"
+        )
+
+    q["search_phrase_match"] = search_phrase_match
+
+    def search_postings_compression(spark, sf):
+        """Index-storage tier composition: the inverted postings'
+        sorted doc-id lists gap-coded by the SAME delta operator the
+        link graph uses (linkgraph.compress_adjacency — one operator,
+        two storage problems); bits audit per term vs raw 64-bit
+        lists.  Terms with a single posting row still encode (empty
+        gap array)."""
+        from cex_crawler_spark.operators.index import build_postings
+        from cex_crawler_spark.operators.linkgraph import compress_adjacency
+
+        d = _t(spark, sf, "documents")
+        post = build_postings(d, "text", "doc_id").select(
+            F.col("term").alias("src"), F.col("doc_id").alias("dst")
+        )
+        return (
+            compress_adjacency(post)
+            .select(
+                F.col("src").alias("term"),
+                F.col("n_out").alias("df"),
+                F.col("first_dst").alias("first_doc"),
+                F.array_join("gaps", "+").alias("gaps_str"),
+                "gap_bits",
+                "raw_bits",
+            )
+            .orderBy("term")
+        )
+
+    q["search_postings_compression"] = search_postings_compression
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -10240,6 +10283,46 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, n_hit_terms, score
         FROM agg ORDER BY score DESC, doc_id LIMIT 25
+    """
+
+    # search_phrase_match: positional rows via the ls[p] indexing trick
+    # over the SAME filtered tokenization, then the next-word join.
+    o["search_phrase_match"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS ls FROM documents),
+        x AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS p FROM t),
+        rows_ AS (SELECT doc_id, p - 1 AS pos, ls[p] AS term FROM x
+                  WHERE ls[p] IN ('merge', 'join')),
+        m AS (
+          SELECT a.doc_id, a.pos AS start
+          FROM rows_ a JOIN rows_ b
+            ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          WHERE a.term = 'merge' AND b.term = 'join'
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(min(start) AS BIGINT) AS first_pos
+        FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+
+    # search_postings_compression: postings + the same gap/bin replay
+    # as linkgraph_gap_compression, keyed by term.
+    o["search_postings_compression"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        post AS (SELECT DISTINCT term, doc_id FROM tok),
+        a AS (SELECT term, list_sort(list(doc_id)) AS ds FROM post GROUP BY term),
+        g AS (
+          SELECT term, ds,
+                 [ds[i] - ds[i-1] for i in range(2, len(ds) + 1)] AS gaps
+          FROM a
+        )
+        SELECT term,
+               CAST(len(ds) AS INT) AS df,
+               ds[1] AS first_doc,
+               array_to_string(gaps, '+') AS gaps_str,
+               CAST(length(bin(ds[1]))
+                    + coalesce(list_sum(list_transform(gaps,
+                          x -> length(bin(x)))), 0) AS BIGINT) AS gap_bits,
+               CAST(len(ds) * 64 AS BIGINT) AS raw_bits
+        FROM g ORDER BY term
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

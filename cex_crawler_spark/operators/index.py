@@ -98,3 +98,53 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def positional_rows(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, pos, term) — the positional index rows a phrase query
+    consumes.  One posexplode; positions are 0-based offsets in the
+    tokenized doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def phrase_match(
+    docs: DataFrame, text_col: str, id_col: str, phrase_terms: list[str]
+) -> DataFrame:
+    """(doc_id, n_occurrences, first_pos) — EXACT phrase retrieval via
+    position-adjacency joins over the positional index (the classic
+    next-word join: term_i at pos p must meet term_{i+1} at p+1).
+    Bag-of-words BM25 can't distinguish "merge join" from "join ...
+    merge"; phrase queries are why positional postings exist.
+
+    Scale shape: each adjacency join is keyed (doc_id, pos) and only
+    touches the phrase terms' rows (IN-literal pushdown); a P-term
+    phrase is P−1 hash joins, fanout bounded by true occurrences.
+    """
+    if not phrase_terms:
+        raise ValueError("phrase_terms must be non-empty")
+    rows = positional_rows(docs, text_col, id_col).filter(
+        F.col("term").isin(list(phrase_terms))
+    ).persist()
+    cur = rows.filter(F.col("term") == phrase_terms[0]).select(
+        "doc_id", F.col("pos").alias("start"), F.col("pos").alias("pos")
+    )
+    for t in phrase_terms[1:]:
+        nxt = rows.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("__d"), F.col("pos").alias("__p")
+        )
+        cur = cur.join(
+            nxt,
+            (F.col("doc_id") == F.col("__d"))
+            & (F.col("__p") == F.col("pos") + 1),
+        ).select("doc_id", "start", F.col("__p").alias("pos"))
+    out = cur.groupBy("doc_id").agg(
+        F.count("*").alias("n_occurrences"),
+        F.min("start").alias("first_pos"),
+    )
+    rows.unpersist()
+    return out

@@ -1085,3 +1085,33 @@ class TestBM25:
         )
         top = bm25_topk(docs, "text", "doc_id", ["words"], k=5).collect()
         assert [r["doc_id"] for r in top] == [0, 1, 2, 3, 4]  # doc tiebreak
+
+
+class TestPhraseMatch:
+    def test_phrase_adjacency_and_counts(self, spark):
+        from cex_crawler_spark.operators.index import phrase_match
+
+        docs = spark.createDataFrame(
+            [
+                (1, "fast merge join wins merge join again"),
+                (2, "join merge reversed order"),
+                (3, "merge then join far apart"),
+                (4, "merge join"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r for r in
+               phrase_match(docs, "text", "doc_id", ["merge", "join"]).collect()}
+        assert set(got) == {1, 4}
+        assert got[1]["n_occurrences"] == 2 and got[1]["first_pos"] == 1
+        assert got[4]["n_occurrences"] == 1 and got[4]["first_pos"] == 0
+
+    def test_three_term_phrase(self, spark):
+        from cex_crawler_spark.operators.index import phrase_match
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d a b c"), (2, "a b x c")], ["doc_id", "text"]
+        )
+        got = {r["doc_id"]: r["n_occurrences"] for r in
+               phrase_match(docs, "text", "doc_id", ["a", "b", "c"]).collect()}
+        assert got == {1: 2}
