@@ -5420,6 +5420,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_postings_compression"] = search_postings_compression
 
+    def search_snippets(spark, sf):
+        """Keyword-in-context result rendering (index.phrase_snippets):
+        ±3 tokens around the FIRST phrase hit, sliced scan-side from
+        the token array — the result-page tier on top of the phrase
+        join."""
+        from cex_crawler_spark.operators.index import phrase_snippets
+
+        d = _t(spark, sf, "documents")
+        return phrase_snippets(
+            d, "text", "doc_id", ["merge", "join"], context=3
+        ).orderBy("doc_id")
+
+    q["search_snippets"] = search_snippets
+
+    def search_term_suggest(spark, sf):
+        """Spelling suggestion from the corpus's own vocabulary
+        (index.term_suggest): exact integer Levenshtein DP (engine-
+        replayable), ranked (distance, −df, term); vocab × queries is
+        a broadcast-literal cross join with scan-side distance."""
+        from cex_crawler_spark.operators.index import term_suggest
+
+        d = _t(spark, sf, "documents")
+        return term_suggest(
+            d, "text", "doc_id", ["mergee", "windoow", "scann"], k=3
+        ).orderBy("query", "rank")
+
+    q["search_term_suggest"] = search_term_suggest
+
+    def image_hash_search(spark, sf):
+        """Query-side fingerprint search (similarity.
+        hamming_search_topk): nearest stored 64-bit hashes to a query
+        hash by popcount(XOR) — one codegen pass, distributed
+        TakeOrdered.  Population = md5-derived 60-bit hashes (so the
+        oracle replays them); neighbors planted at Hamming 1 by
+        single-bit flips of the query."""
+        from cex_crawler_spark.operators.similarity import hamming_search_topk
+
+        i = F.col("id")
+        qh = 0x0F0F0F0F0F0F0F0
+        pop = spark.range(4000).select(
+            i.alias("id"),
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("img:"), i.cast("string"))), 1, 15),
+                16, 10,
+            ).cast("long").alias("h"),
+        )
+        planted = spark.range(8).select(
+            (10000 + i).alias("id"),
+            F.lit(qh).cast("long").bitwiseXOR(
+                F.expr("shiftleft(cast(1 as bigint), cast(id % 56 as int) + 1)")
+            ).alias("h"),
+        )
+        return hamming_search_topk(pop.unionByName(planted), qh, k=15)
+
+    q["image_hash_search"] = image_hash_search
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -10323,6 +10379,76 @@ def oracle_sql() -> dict[str, str]:
                           x -> length(bin(x)))), 0) AS BIGINT) AS gap_bits,
                CAST(len(ds) * 64 AS BIGINT) AS raw_bits
         FROM g ORDER BY term
+    """
+
+    # search_snippets: the phrase CTE + end-inclusive list_slice window.
+    o["search_snippets"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS ls FROM documents),
+        x AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS p FROM t),
+        rows_ AS (SELECT doc_id, p - 1 AS pos, ls[p] AS term FROM x
+                  WHERE ls[p] IN ('merge', 'join')),
+        m AS (
+          SELECT a.doc_id, a.pos AS start
+          FROM rows_ a JOIN rows_ b
+            ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          WHERE a.term = 'merge' AND b.term = 'join'
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+                 CAST(min(start) AS BIGINT) AS first_pos
+          FROM m GROUP BY doc_id
+        )
+        SELECT a.doc_id, a.n_occurrences, a.first_pos,
+               array_to_string(list_slice(t.ls,
+                 CAST(greatest(a.first_pos - 3, 0) + 1 AS INT),
+                 CAST(greatest(a.first_pos - 3, 0) + 8 AS INT)), ' ') AS snippet
+        FROM agg a JOIN t ON t.doc_id = a.doc_id
+        ORDER BY a.doc_id
+    """
+
+    # search_term_suggest: vocab df + VALUES queries + integer
+    # levenshtein, ranked (distance, -df, term).
+    o["search_term_suggest"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        vocab AS (
+          SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tok GROUP BY term
+        ),
+        qs AS (SELECT unnest(['mergee', 'windoow', 'scann']) AS query),
+        cand AS (
+          SELECT q.query, v.term, v.df,
+                 CAST(levenshtein(q.query, v.term) AS INT) AS distance
+          FROM vocab v, qs q
+          WHERE levenshtein(q.query, v.term) <= 2
+        ),
+        rk AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query
+                   ORDER BY distance, df DESC, term) AS rank
+          FROM cand
+        )
+        SELECT query, CAST(rank AS INT) AS rank, term AS suggestion,
+               distance, df
+        FROM rk WHERE rank <= 3 ORDER BY query, rank
+    """
+
+    # image_hash_search: md5-derived population + single-bit-flip
+    # plants, popcount(xor) replay, (hamming, id) top-k.
+    o["image_hash_search"] = """
+        WITH pop AS (
+          SELECT range AS id,
+                 ('0x' || substr(md5('img:' || range), 1, 15))::BIGINT AS h
+          FROM range(4000)
+          UNION ALL
+          SELECT 10000 + range,
+                 xor(67818912035696880::BIGINT,
+                     1::BIGINT << ((range % 56)::INT + 1))
+          FROM range(8)
+        )
+        SELECT id,
+               CAST(bit_count(xor(h, 67818912035696880::BIGINT)) AS INT)
+                 AS hamming
+        FROM pop ORDER BY hamming, id LIMIT 15
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

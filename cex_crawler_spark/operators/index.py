@@ -148,3 +148,75 @@ def phrase_match(
     )
     rows.unpersist()
     return out
+
+
+def phrase_snippets(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrase_terms: list[str],
+    context: int = 3,
+) -> DataFrame:
+    """(doc_id, n_occurrences, first_pos, snippet) — keyword-in-
+    context extraction: ``context`` tokens either side of the FIRST
+    phrase occurrence, rebuilt scan-side from the token array (no
+    second pass over text, no UDF).  The result-page tier of the
+    search stack."""
+    hits = phrase_match(docs, text_col, id_col, phrase_terms)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    )
+    start = F.greatest(F.col("first_pos") - context, F.lit(0))
+    length = F.lit(len(phrase_terms) + 2 * context)
+    return hits.join(toks, "doc_id").select(
+        "doc_id",
+        "n_occurrences",
+        "first_pos",
+        F.array_join(
+            F.slice(F.col("__t"), (start + 1).cast("int"), length), " "
+        ).alias("snippet"),
+    )
+
+
+def term_suggest(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: list[str],
+    max_distance: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """(query, rank, suggestion, distance, df) — spelling suggestions
+    from the corpus's OWN vocabulary: candidates within ``max_
+    distance`` edits (exact integer Levenshtein DP — engine-
+    replayable, unlike embedding similarity), ranked by (distance,
+    −document-frequency, term).  Vocabulary df is one aggregate;
+    the query list is a broadcast literal cross join — vocab × |q|
+    rows, scan-side distance."""
+    from pyspark.sql import Window
+
+    vocab = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    qdf = docs.sparkSession.createDataFrame(
+        [(q,) for q in queries], ["query"]
+    )
+    cand = (
+        vocab.crossJoin(F.broadcast(qdf))
+        .withColumn("distance", F.levenshtein("query", "term"))
+        .filter(F.col("distance") <= max_distance)
+    )
+    w = Window.partitionBy("query").orderBy(
+        "distance", F.col("df").desc(), "term"
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query", "rank", F.col("term").alias("suggestion"),
+                "distance", "df")
+    )

@@ -667,3 +667,30 @@ def kmeans_lattice(
         id_col, "cell"
     )
     return assignments, cents
+
+
+def hamming_search_topk(
+    hashes: DataFrame,
+    query_hash: int,
+    k: int = 20,
+    id_col: str = "id",
+    hash_col: str = "h",
+) -> DataFrame:
+    """(id, hamming) — brute-force nearest-by-Hamming search against a
+    64-bit fingerprint column (pHash/SimHash): ``bit_count(h XOR q)``
+    per row, top-k by (distance, id).  The QUERY side of the
+    fingerprint tier — ``hamming_near_dup_candidates`` buckets
+    pair-wise dedup, this answers "find images like THIS one".
+
+    Scale shape: one scan-side popcount per row (whole-stage codegen,
+    no join), then Spark's distributed TakeOrdered for the top-k —
+    the same brute-force-first discipline as ``ann_cosine_topk``; at
+    10¹⁰ fingerprints the pigeonhole band buckets prefilter the scan.
+    """
+    d = hashes.select(
+        F.col(id_col).alias("id"),
+        F.bit_count(
+            F.col(hash_col).bitwiseXOR(F.lit(int(query_hash)).cast("long"))
+        ).alias("hamming"),
+    )
+    return d.orderBy("hamming", "id").limit(k)

@@ -1089,3 +1089,16 @@ class TestHostTemplates:
         # host B keeps its single 'chrome line' — the host scope
         assert out[4]["text"] == "chrome line\nother text"
         assert out[4]["n_template"] == 0
+
+
+def test_hamming_search_topk_ranks_planted_neighbors(spark):
+    from cex_crawler_spark.operators.similarity import hamming_search_topk
+
+    q = 0x0F0F0F0F0F0F0F0F
+    rows = [(0, q)] + [(i, q ^ (1 << i)) for i in range(1, 5)] + [
+        (99, ~q & 0x7FFFFFFFFFFFFFFF)
+    ]
+    df = spark.createDataFrame(rows, ["id", "h"])
+    got = hamming_search_topk(df, q, k=5).collect()
+    assert [r["id"] for r in got] == [0, 1, 2, 3, 4]
+    assert [r["hamming"] for r in got] == [0, 1, 1, 1, 1]

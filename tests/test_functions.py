@@ -1115,3 +1115,30 @@ class TestPhraseMatch:
         got = {r["doc_id"]: r["n_occurrences"] for r in
                phrase_match(docs, "text", "doc_id", ["a", "b", "c"]).collect()}
         assert got == {1: 2}
+
+
+class TestSearchExtras:
+    def test_snippets_window_and_clamp(self, spark):
+        from cex_crawler_spark.operators.index import phrase_snippets
+
+        docs = spark.createDataFrame(
+            [(1, "one two three merge join four five six"),
+             (2, "merge join tail only")],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r["snippet"] for r in phrase_snippets(
+            docs, "text", "doc_id", ["merge", "join"], context=2).collect()}
+        assert got[1] == "two three merge join four five"
+        assert got[2] == "merge join tail only"   # clamped at doc start
+
+    def test_term_suggest_ranks_by_distance_then_df(self, spark):
+        from cex_crawler_spark.operators.index import term_suggest
+
+        docs = spark.createDataFrame(
+            [(1, "merge merge join"), (2, "merge join"), (3, "marge simpson")],
+            ["doc_id", "text"],
+        )
+        got = [(r["suggestion"], r["distance"]) for r in term_suggest(
+            docs, "text", "doc_id", ["mergee"], k=3).collect()]
+        # distance 1: merge(df 2), marge(d2? 'mergee'->'marge'=2)...
+        assert got[0] == ("merge", 1)
