@@ -46,6 +46,9 @@ HEADLINE = [
     "doc_line_scrub",
     "image_curation_packed",
     "frontier_alias_collapse",
+    # r5 session-7 additions (appended)
+    "link_graph_opic",
+    "search_bm25_topk",
 ]
 
 
