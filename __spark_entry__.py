@@ -5476,6 +5476,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_hash_search"] = image_hash_search
 
+    def search_index_merge(spark, sf):
+        """Incremental index maintenance (index.merge_postings):
+        re-crawled docs' postings REPLACE their base rows via one
+        doc-keyed anti-join (per-term upsert would leak stale
+        postings when a revisit drops terms).  The oracle builds the
+        index FROM SCRATCH over the current corpus — hash equality IS
+        the incremental-equals-from-scratch invariant (the
+        dedup_incremental_clusters discipline).  Fixture: every 5th
+        doc re-crawled with ' refreshed content marker refreshed'
+        appended."""
+        from cex_crawler_spark.operators.index import (
+            build_postings, merge_postings,
+        )
+
+        d = _t(spark, sf, "documents")
+        base = build_postings(d, "text", "doc_id")
+        delta_docs = d.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" refreshed content marker refreshed")
+            ).alias("text"),
+        )
+        delta = build_postings(delta_docs, "text", "doc_id")
+        return (
+            merge_postings(base, delta)
+            .filter(F.col("term").isin("merge", "vector", "refreshed"))
+            .orderBy("term", "doc_id")
+        )
+
+    q["search_index_merge"] = search_index_merge
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -10449,6 +10480,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(h, 67818912035696880::BIGINT)) AS INT)
                  AS hamming
         FROM pop ORDER BY hamming, id LIMIT 15
+    """
+
+    # search_index_merge: the oracle builds FROM SCRATCH over the
+    # current (mutated) corpus — equality proves incremental == full.
+    o["search_index_merge"] = f"""
+        WITH cur AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN text || ' refreshed content marker refreshed'
+                      ELSE text END AS text
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM cur),
+        post AS (
+          SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY term, doc_id
+        )
+        SELECT term, doc_id, tf FROM post
+        WHERE term IN ('merge', 'vector', 'refreshed')
+        ORDER BY term, doc_id
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

@@ -220,3 +220,20 @@ def term_suggest(
         .select("query", "rank", F.col("term").alias("suggestion"),
                 "distance", "df")
     )
+
+
+def merge_postings(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a DELTA postings segment (re-crawled docs, re-tokenized)
+    into a standing segment: the delta's documents REPLACE their base
+    rows entirely (a revisit may drop terms — per-term upsert would
+    leak stale postings), untouched documents pass through one
+    anti-join.  Work is O(base + delta) with a doc-keyed anti-join —
+    independent of how many merges preceded, the Lucene
+    segment-replace discipline relationally.
+
+    The correctness invariant (oracled): merge(build(old),
+    build(changed)) ≡ build(current corpus) — incremental indexing
+    equals from-scratch.
+    """
+    upd = delta.select("doc_id").distinct()
+    return base.join(upd, "doc_id", "left_anti").unionByName(delta)

@@ -1142,3 +1142,27 @@ class TestSearchExtras:
             docs, "text", "doc_id", ["mergee"], k=3).collect()]
         # distance 1: merge(df 2), marge(d2? 'mergee'->'marge'=2)...
         assert got[0] == ("merge", 1)
+
+
+def test_merge_postings_replaces_docs_entirely(spark):
+    from cex_crawler_spark.operators.index import build_postings, merge_postings
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    new1 = spark.createDataFrame([(1, "alpha zeta")], ["doc_id", "text"])
+    merged = merge_postings(
+        build_postings(old, "text", "doc_id"),
+        build_postings(new1, "text", "doc_id"),
+    )
+    got = {(r["term"], r["doc_id"]): r["tf"] for r in merged.collect()}
+    # beta vanished from doc 1 (stale postings must not leak), zeta added
+    assert ("beta", 1) not in got and got[("zeta", 1)] == 1
+    assert got[("alpha", 1)] == 1 and got[("gamma", 2)] == 1
+    # equals from-scratch over the current corpus
+    cur = spark.createDataFrame(
+        [(1, "alpha zeta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    scratch = {(r["term"], r["doc_id"]): r["tf"] for r in
+               build_postings(cur, "text", "doc_id").collect()}
+    assert got == scratch
