@@ -5507,6 +5507,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_index_merge"] = search_index_merge
 
+    def linkgraph_kcore(spark, sf):
+        """k-core extraction (linkgraph.kcore_membership, k=4):
+        ITERATED peeling — satellites whose degree rests on soon-
+        peeled neighbours cascade out (plain degree thresholds keep
+        them); what survives is the robust dense region.  Fixture: a
+        doubled ring (degree exactly 4 once satellites go), a K8, a
+        degree-3 satellite layer that peels in round 1, and a hub on
+        four leaves that peels in round 2 — two genuine cascade
+        rounds."""
+        from cex_crawler_spark.operators.linkgraph import kcore_membership
+
+        i = F.col("id")
+        ring1 = spark.range(200).select(i.alias("src"), ((i + 1) % 200).alias("dst"))
+        ring2 = spark.range(200).select(i.alias("src"), ((i + 2) % 200).alias("dst"))
+        k8 = (
+            spark.range(64)
+            .select((i / 8).cast("long").alias("a"), (i % 8).alias("b"))
+            .filter(F.col("a") < F.col("b"))
+            .select((500 + F.col("a")).alias("src"), (500 + F.col("b")).alias("dst"))
+        )
+        sats = spark.range(100).select(
+            (1000 + i).alias("src"), ((i * 3) % 200).alias("dst")
+        ).unionByName(
+            spark.range(100).select(
+                (1000 + i).alias("src"), ((i * 7 + 1) % 200).alias("dst")
+            )
+        ).unionByName(
+            spark.range(100).select(
+                (1000 + i).alias("src"), ((i * 11 + 2) % 200).alias("dst")
+            )
+        )
+        hub = spark.range(4).select(
+            F.lit(2000).alias("src"), (3000 + i).alias("dst")
+        )
+        e = ring1.unionByName(ring2).unionByName(k8).unionByName(sats)
+        e = e.unionByName(hub)
+        return kcore_membership(e, k=4).orderBy("id")
+
+    q["linkgraph_kcore"] = linkgraph_kcore
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -6309,6 +6349,32 @@ def _opic_cte_chain(
         {pfx}p0 AS MATERIALIZED ({p0}),
         {",".join(iters)}
     """
+
+
+def _kcore_cte_chain(n_rounds: int, k: int) -> str:
+    """CTE chain (e0..e{n}) unrolling k-core peeling over an existing
+    ``raw(src, dst)`` CTE — MATERIALIZED (each round is referenced
+    twice; plain CTEs re-inline exponentially in DuckDB 1.0)."""
+    parts = ["""
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst
+        )"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+        d{r} AS MATERIALIZED (
+          SELECT id, count(*) AS d FROM (
+            SELECT a AS id FROM e{r - 1}
+            UNION ALL SELECT b FROM e{r - 1}
+          ) GROUP BY id
+        ),
+        a{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE d >= {k}),
+        e{r} AS MATERIALIZED (
+          SELECT e.a, e.b FROM e{r - 1} e
+          JOIN a{r} x ON x.id = e.a
+          JOIN a{r} y ON y.id = e.b
+        )""")
+    return ",".join(parts)
 
 
 def _hits_cte_chain(n_iter: int) -> str:
@@ -10500,6 +10566,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, doc_id, tf FROM post
         WHERE term IN ('merge', 'vector', 'refreshed')
         ORDER BY term, doc_id
+    """
+
+    # linkgraph_kcore: 6 unrolled peel rounds (fixture converges in 3;
+    # extra rounds are idempotent) then final in-core degrees.
+    o["linkgraph_kcore"] = f"""
+        WITH raw AS (
+          SELECT range AS src, (range + 1) % 200 AS dst FROM range(200)
+          UNION ALL SELECT range, (range + 2) % 200 FROM range(200)
+          UNION ALL SELECT 500 + range // 8, 500 + range % 8
+            FROM range(64) WHERE range // 8 < range % 8
+          UNION ALL SELECT 1000 + range, (range * 3) % 200 FROM range(100)
+          UNION ALL SELECT 1000 + range, (range * 7 + 1) % 200 FROM range(100)
+          UNION ALL SELECT 1000 + range, (range * 11 + 2) % 200 FROM range(100)
+          UNION ALL SELECT 2000, 3000 + range FROM range(4)
+        ),
+        {_kcore_cte_chain(6, 4)}
+        SELECT id, CAST(count(*) AS BIGINT) AS degree_in_core FROM (
+          SELECT a AS id FROM e6 UNION ALL SELECT b FROM e6
+        ) GROUP BY id ORDER BY id
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

@@ -897,6 +897,66 @@ def triangle_counts(
     return out
 
 
+def kcore_membership(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(id, degree_in_core) — the k-CORE of the undirected link graph:
+    the maximal subgraph where every member keeps ≥ k neighbours
+    *inside the subgraph*.  Plain degree thresholds keep hangers-on
+    (a node with k links to nodes that themselves get peeled); the
+    core is what survives ITERATED peeling, which is why it's the
+    robust dense-region extractor (spam cores, scale-free nuclei)
+    next to triangles (local) and TrustRank (seeded).
+
+    Algorithm: level-synchronous peeling — drop all nodes with
+    current degree < k, recompute degrees over surviving edges,
+    repeat to fixpoint (≤ ``max_iters`` sequential rounds, each one
+    map-combinable degree aggregate + one semi-join; alive-set
+    localCheckpointed).  Raises on non-convergence like
+    ``connected_components`` — unlike a redirect cycle, failure to
+    reach a fixpoint here is an algorithmic bug, never data.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .persist()
+    )
+    cur = und.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        deg = (
+            cur.select(F.col("a").alias("id"))
+            .unionByName(cur.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= k).select("id").persist()
+        nxt = (
+            cur.join(alive, cur["a"] == alive["id"], "left_semi")
+            .join(alive, F.col("b") == alive["id"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        done = nxt.count() == cur.count()
+        cur = nxt
+        alive.unpersist()
+        if done:
+            break
+    else:
+        raise RuntimeError(f"k-core peeling did not converge in {max_iters} rounds")
+    und.unpersist()
+    return (
+        cur.select(F.col("a").alias("id"))
+        .unionByName(cur.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree_in_core"))
+    )
+
+
 def compress_adjacency(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

@@ -719,3 +719,30 @@ def test_triangle_counts_clique_and_hub(spark):
     assert got[10]["degree"] == 3 and got[10]["triangles"] == 0
     assert got[10]["clustering_permille"] == 0
     assert got[11]["degree"] == 1 and got[11]["clustering_permille"] is None
+
+
+# -------------------------------------------------------------- k-core
+
+def test_kcore_iterated_peeling(spark):
+    from cex_crawler_spark.operators.linkgraph import kcore_membership
+
+    e = []
+    # K5 clique 0..4 — the 3-core nucleus
+    e += [(a, b) for a in range(5) for b in range(5) if a < b]
+    # satellite 10 with 3 edges INTO the clique — survives k=3
+    e += [(10, 0), (10, 1), (10, 2)]
+    # staircase: 20 has degree 3 but only to degree-1 leaves — peels
+    # in round 2 after its leaves peel in round 1
+    e += [(20, 21), (20, 22), (20, 23)]
+    got = {r["id"]: r["degree_in_core"] for r in kcore_membership(
+        spark.createDataFrame(e, ["src", "dst"]), k=3).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 10}
+    assert got[10] == 3 and got[3] == 4
+    assert got[0] == 5  # 4 clique peers + satellite
+
+
+def test_kcore_empty_when_k_too_high(spark):
+    from cex_crawler_spark.operators.linkgraph import kcore_membership
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    assert kcore_membership(e, k=5).count() == 0
