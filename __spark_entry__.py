@@ -5547,6 +5547,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["linkgraph_kcore"] = linkgraph_kcore
 
+    def crawl_trending_terms(spark, sf):
+        """Trending-term windows (streaming/trending.py shared
+        builder): per tumbling 10-minute window, term occurrence
+        counts ranked top-3 — the breaking-topic steering signal; the
+        SAME single-aggregation builder runs under readStream
+        (stream==batch drain test), ranking deliberately outside the
+        streamed aggregate.  Fixture plants a 'flashcrash' burst in
+        one window over a 6-term background vocabulary."""
+        from pyspark.sql import Window
+
+        from cex_crawler_spark.streaming.trending import (
+            trending_term_windows,
+        )
+
+        i = F.col("id")
+        vocab = F.array(
+            F.lit("alpha"), F.lit("beta"), F.lit("gamma"),
+            F.lit("delta"), F.lit("epsilon"), F.lit("zeta"),
+        )
+        text = F.concat_ws(
+            " ",
+            F.element_at(vocab, ((i * 7) % 6 + 1).cast("int")),
+            F.element_at(vocab, ((i * 11) % 6 + 1).cast("int")),
+            F.when((i >= 200) & (i < 300), F.lit("flashcrash")).otherwise(
+                F.element_at(vocab, ((i * 13) % 6 + 1).cast("int"))
+            ),
+        )
+        pages = spark.range(600).select(
+            i.alias("page_id"),
+            F.timestamp_seconds(
+                F.lit(1756684800) + (i * 97) % 3600
+            ).alias("ts"),
+            text.alias("text"),
+        )
+        counts = trending_term_windows(pages, "10 minutes")
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("n_occurrences").desc(), "term"
+        )
+        return (
+            counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .orderBy("window_start", "rank")
+        )
+
+    q["crawl_trending_terms"] = crawl_trending_terms
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -10585,6 +10631,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, CAST(count(*) AS BIGINT) AS degree_in_core FROM (
           SELECT a AS id FROM e6 UNION ALL SELECT b FROM e6
         ) GROUP BY id ORDER BY id
+    """
+
+    # crawl_trending_terms: arithmetic fixture + time_bucket (DuckDB
+    # to_timestamp → TIMESTAMPTZ: cast naive for UTC-session parity,
+    # the crawl_health_windows pitfall) + counts + row_number.
+    o["crawl_trending_terms"] = """
+        WITH v AS (
+          SELECT ['alpha','beta','gamma','delta','epsilon','zeta'] AS vs
+        ),
+        pages AS (
+          SELECT range AS page_id,
+                 CAST(to_timestamp(1756684800 + (range * 97) % 3600)
+                      AS TIMESTAMP) AS ts,
+                 vs[(range * 7) % 6 + 1] || ' ' || vs[(range * 11) % 6 + 1]
+                 || ' ' ||
+                 CASE WHEN range >= 200 AND range < 300 THEN 'flashcrash'
+                      ELSE vs[(range * 13) % 6 + 1] END AS text
+          FROM range(600), v
+        ),
+        tok AS (
+          SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+                 unnest(string_split(text, ' ')) AS term
+          FROM pages
+        ),
+        counts AS (
+          SELECT window_start, term,
+                 CAST(count(*) AS BIGINT) AS n_occurrences
+          FROM tok GROUP BY window_start, term
+        ),
+        rk AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_occurrences DESC, term) AS rank
+          FROM counts
+        )
+        SELECT window_start, term, n_occurrences, CAST(rank AS INT) AS rank
+        FROM rk WHERE rank <= 3
+        ORDER BY window_start, rank
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

@@ -208,3 +208,35 @@ def test_health_stream_equals_batch(spark, tmp_path):
     # the doubled-delay branch fires somewhere (h-hosts with sid%7 errors
     # cross 0.3 only in sparse windows) — assert the clamp bounds instead
     assert (got["delay_ms"] >= 200).all() and (got["delay_ms"] <= 60000).all()
+
+
+def test_trending_terms_stream_equals_batch(spark, tmp_path):
+    from cex_crawler_spark.streaming.trending import (
+        stream_trending_terms, trending_term_windows,
+    )
+
+    pages = spark.range(300).select(
+        F.col("id").alias("page_id"),
+        F.timestamp_seconds(F.lit(1756684800) + (F.col("id") * 61) % 1800).alias("ts"),
+        F.concat_ws(
+            " ",
+            F.when(F.col("id") % 3 == 0, "burst").otherwise("calm"),
+            F.lit("base"),
+        ).alias("text"),
+    )
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    batch = {(str(r["window_start"]), r["term"]): r["n_occurrences"]
+             for r in trending_term_windows(pages, "10 minutes").collect()}
+    sdf = stream_trending_terms(
+        spark, src, spark.read.parquet(src).schema, "10 minutes"
+    )
+    qname = "trending_test"
+    qy = (
+        sdf.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    qy.awaitTermination(120)
+    got = {(str(r["window_start"]), r["term"]): r["n_occurrences"]
+           for r in spark.sql(f"SELECT * FROM {qname}").collect()}
+    assert got == batch and len(batch) > 0
