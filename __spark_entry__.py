@@ -2840,6 +2840,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = dedup_clusters
 
+    def dedup_cluster_census(spark, sf):
+        """Near-dup cluster-size census: the size histogram of the
+        Jaccard connected components plus the dedup-savings column
+        ((size−1)·n_clusters = docs a representatives-only corpus
+        drops) — the capacity-planning view a curation run publishes
+        before committing the dedup (a heavy tail here means mirror
+        farms, not editorial reuse).  Two map-combinable rollups on
+        top of the CC operator."""
+        from cex_crawler_spark.operators.dedup import (
+            dedup_cluster_representatives,
+        )
+
+        d = _t(spark, sf, "documents")
+        pairs = ngram_jaccard_pairs(
+            d, "text", "doc_id", k=3, threshold=0.5, max_df=None
+        )
+        sizes = (
+            dedup_cluster_representatives(d, pairs, "doc_id")
+            .groupBy("component")
+            .agg(F.count("*").alias("cluster_size"))
+        )
+        return (
+            sizes.groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters"))
+            .select(
+                "cluster_size",
+                "n_clusters",
+                (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+                ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                    "docs_removed_if_deduped"
+                ),
+            )
+            .orderBy("cluster_size")
+        )
+
+    q["dedup_cluster_census"] = dedup_cluster_census
+
+
     def corpus_curation(spark, sf):
         """The canonical training-data pipeline END-TO-END in one plan:
         quality gate + language gate + exact-dedup representative — the
@@ -10669,6 +10707,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT window_start, term, n_occurrences, CAST(rank AS INT) AS rank
         FROM rk WHERE rank <= 3
         ORDER BY window_start, rank
+    """
+
+    # dedup_cluster_census: the same closure + two rollups.
+    o["dedup_cluster_census"] = f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(root, node) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT root AS doc_id, min(node) AS component
+          FROM reach GROUP BY root
+        ),
+        sizes AS (
+          SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY component
+        )
+        SELECT cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+               CAST((cluster_size - 1) * count(*) AS BIGINT)
+                 AS docs_removed_if_deduped
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over
