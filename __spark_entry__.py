@@ -5631,6 +5631,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_trending_terms"] = crawl_trending_terms
 
+    def host_steering_fusion(spark, sf):
+        """Signal-fusion capstone: the four INDEPENDENT steering
+        signals — content quality (quality_verdicts), global novelty
+        (novelty_yield), link-space saturation
+        (discovery_saturation), server health (adaptive_host_delay) —
+        computed over ONE shared 3-round fetch log and merged into
+        the per-host verdict the scheduler consumes: priority_penalty
+        = number of firing demotion signals, delay_ms from the health
+        tier.  Fixture: 24 hosts where h%4==0 serves junk, h%3==0
+        re-serves stale digests, h%2==0 exhausts a 20-URL link pool,
+        h%5==0 is slow, h%7==0 errors — every subset combination
+        fires somewhere."""
+        from cex_crawler_spark.operators.politeness import (
+            discovery_saturation, novelty_yield, quality_verdicts,
+        )
+        from cex_crawler_spark.operators.recrawl import adaptive_host_delay
+
+        i = F.col("id")
+        h = (i / 90).cast("long")
+        r = ((i / 30).cast("long") % 3) + 1
+        j = i % 30
+        log = spark.range(2160).select(
+            F.format_string("h%d", h).alias("host"),
+            r.alias("round"),
+            F.when((h % 4 == 0) & (j % 10 < 7), F.lit(0.2))
+            .otherwise(F.lit(0.8)).alias("quality"),
+            F.when(h % 3 == 0, F.format_string("d%d", h * 100 + j))
+            .otherwise(F.format_string("d%d", h * 1000 + r * 100 + j))
+            .alias("digest"),
+            F.when(h % 2 == 0, F.format_string("t%d", h * 50 + j % 20))
+            .otherwise(F.format_string("t%d", h * 1000 + r * 100 + j))
+            .alias("target"),
+            F.when(h % 5 == 0, 900 + j * 10).otherwise(80 + j)
+            .cast("long").alias("latency_ms"),
+            F.when(h % 7 == 0, j % 2 == 0).otherwise(F.lit(True)).alias("ok"),
+        ).persist()
+        qv = quality_verdicts(log).select(
+            "host", F.col("demote").alias("quality_demote")
+        )
+        nv = novelty_yield(log).select(
+            "host", F.col("demote").alias("novelty_demote")
+        )
+        sat = discovery_saturation(log).filter(F.col("is_latest")).select(
+            "host", "saturated"
+        )
+        ad = adaptive_host_delay(log).select("host", "delay_ms")
+        return (
+            qv.join(nv, "host")
+            .join(sat, "host")
+            .join(ad, "host")
+            .select(
+                "host",
+                "quality_demote",
+                "novelty_demote",
+                "saturated",
+                (
+                    F.col("quality_demote").cast("long")
+                    + F.col("novelty_demote").cast("long")
+                    + F.col("saturated").cast("long")
+                ).alias("priority_penalty"),
+                "delay_ms",
+            )
+            .orderBy("host")
+        )
+
+    q["host_steering_fusion"] = host_steering_fusion
+
     def link_spam_mass(spark, sf):
         """TrustRank + relative spam mass (operators/linkgraph.py;
         Gyöngyi et al. VLDB'04/'06): seed-biased power iteration beside
@@ -10736,6 +10803,92 @@ def oracle_sql() -> dict[str, str]:
                CAST((cluster_size - 1) * count(*) AS BIGINT)
                  AS docs_removed_if_deduped
         FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
+
+    # host_steering_fusion: all four signal replays over the shared
+    # fixture composed in one statement (micro-quality ints, digest
+    # first-rounds, distinct-target saturation, quantile_disc p95).
+    o["host_steering_fusion"] = """
+        WITH raw AS (
+          SELECT printf('h%d', h) AS host, r, j,
+                 CASE WHEN h % 4 = 0 AND j % 10 < 7 THEN 0.2 ELSE 0.8 END AS q,
+                 CASE WHEN h % 3 = 0 THEN printf('d%d', h * 100 + j)
+                      ELSE printf('d%d', h * 1000 + r * 100 + j) END AS digest,
+                 CASE WHEN h % 2 = 0 THEN printf('t%d', h * 50 + j % 20)
+                      ELSE printf('t%d', h * 1000 + r * 100 + j) END AS target,
+                 CASE WHEN h % 5 = 0 THEN 900 + j * 10 ELSE 80 + j END AS latency_ms,
+                 CASE WHEN h % 7 = 0 THEN j % 2 = 0 ELSE TRUE END AS ok
+          FROM (SELECT range // 90 AS h, (range // 30) % 3 + 1 AS r,
+                       range % 30 AS j
+                FROM range(2160))
+        ),
+        qual AS (
+          SELECT host, count(*) AS n,
+                 CAST(sum(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+          FROM raw GROUP BY host
+        ),
+        qv AS (
+          SELECT host,
+                 (n >= 5 AND CAST(n_low AS DOUBLE) / n >= 0.6) AS quality_demote
+          FROM qual
+        ),
+        firsts AS (SELECT digest, min(r) AS fr FROM raw GROUP BY digest),
+        per_round AS (
+          SELECT host, r,
+                 CAST(count(*) AS BIGINT) AS n_fetched,
+                 CAST(sum(CASE WHEN raw.r = f.fr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel
+          FROM raw JOIN firsts f USING (digest)
+          GROUP BY host, r
+        ),
+        latest AS (SELECT host, max(r) AS lr FROM per_round GROUP BY host),
+        nv AS (
+          SELECT p.host,
+                 (p.n_fetched >= 20
+                  AND (1000 * p.n_novel) // p.n_fetched < 200) AS novelty_demote
+          FROM per_round p JOIN latest l ON l.host = p.host AND p.r = l.lr
+        ),
+        links AS (SELECT DISTINCT host, r, target FROM raw),
+        tfirst AS (SELECT target, min(r) AS fr FROM links GROUP BY target),
+        lper AS (
+          SELECT host, r,
+                 CAST(count(*) AS BIGINT) AS n_links,
+                 CAST(sum(CASE WHEN links.r = t.fr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new
+          FROM links JOIN tfirst t USING (target)
+          GROUP BY host, r
+        ),
+        llatest AS (SELECT host, max(r) AS lr FROM lper GROUP BY host),
+        sat AS (
+          SELECT p.host,
+                 ((1000 * p.n_new) // p.n_links < 300
+                  AND p.n_links >= 20) AS saturated
+          FROM lper p JOIN llatest l ON l.host = p.host AND p.r = l.lr
+        ),
+        health AS (
+          SELECT host,
+                 CAST(quantile_disc(latency_ms, 0.95) AS BIGINT) AS p95,
+                 avg(CASE WHEN ok THEN 0.0 ELSE 1.0 END) AS err
+          FROM raw GROUP BY host
+        ),
+        ad AS (
+          SELECT host,
+                 least(60000, CASE WHEN err > 0.3
+                      THEN least(60000, greatest(200, 3 * p95)) * 2
+                      ELSE least(60000, greatest(200, 3 * p95)) END) AS delay_ms
+          FROM health
+        )
+        SELECT q.host, q.quality_demote, n.novelty_demote, s.saturated,
+               CAST(CASE WHEN q.quality_demote THEN 1 ELSE 0 END
+                    + CASE WHEN n.novelty_demote THEN 1 ELSE 0 END
+                    + CASE WHEN s.saturated THEN 1 ELSE 0 END AS BIGINT)
+                 AS priority_penalty,
+               CAST(a.delay_ms AS BIGINT) AS delay_ms
+        FROM qv q
+        JOIN nv n USING (host)
+        JOIN sat s USING (host)
+        JOIN ad a USING (host)
+        ORDER BY q.host
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over
