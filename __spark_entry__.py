@@ -5545,6 +5545,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_index_merge"] = search_index_merge
 
+    def search_standing_alerts(spark, sf):
+        """Prospective search / percolation (index.standing_alerts):
+        standing conjunctive alert queries matched against the
+        crawled corpus — the inverse of retrieval (small alert dim,
+        big doc stream); a doc fires when it carries ALL the query's
+        terms.  Broadcast semi-filter before any fan-out."""
+        from cex_crawler_spark.operators.index import standing_alerts
+
+        d = _t(spark, sf, "documents")
+        queries = spark.createDataFrame(
+            [("q_joins", "merge"), ("q_joins", "join"),
+             ("q_vec", "vector"), ("q_vec", "batch"), ("q_vec", "scan"),
+             ("q_ghost", "merge"), ("q_ghost", "zzzabsent")],
+            ["query_id", "term"],
+        )
+        return standing_alerts(d, "text", "doc_id", queries).orderBy(
+            "query_id", "doc_id"
+        )
+
+    q["search_standing_alerts"] = search_standing_alerts
+
+
     def linkgraph_kcore(spark, sf):
         """k-core extraction (linkgraph.kcore_membership, k=4):
         ITERATED peeling — satellites whose degree rests on soon-
@@ -10889,6 +10911,33 @@ def oracle_sql() -> dict[str, str]:
         JOIN sat s USING (host)
         JOIN ad a USING (host)
         ORDER BY q.host
+    """
+
+    # search_standing_alerts: distinct doc-terms x VALUES queries,
+    # count == query size.
+    o["search_standing_alerts"] = f"""
+        WITH qs AS (
+          SELECT * FROM (VALUES
+            ('q_joins', 'merge'), ('q_joins', 'join'),
+            ('q_vec', 'vector'), ('q_vec', 'batch'), ('q_vec', 'scan'),
+            ('q_ghost', 'merge'), ('q_ghost', 'zzzabsent')
+          ) AS t(query_id, term)
+        ),
+        need AS (SELECT query_id, count(*) AS need FROM qs GROUP BY query_id),
+        dt AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+          )
+        ),
+        hits AS (
+          SELECT q.query_id, d.doc_id, CAST(count(*) AS BIGINT) AS n_terms
+          FROM dt d JOIN qs q USING (term)
+          GROUP BY q.query_id, d.doc_id
+        )
+        SELECT h.query_id, h.doc_id, h.n_terms
+        FROM hits h JOIN need n USING (query_id)
+        WHERE h.n_terms = n.need
+        ORDER BY h.query_id, h.doc_id
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

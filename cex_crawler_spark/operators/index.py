@@ -237,3 +237,40 @@ def merge_postings(base: DataFrame, delta: DataFrame) -> DataFrame:
     """
     upd = delta.select("doc_id").distinct()
     return base.join(upd, "doc_id", "left_anti").unionByName(delta)
+
+
+def standing_alerts(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: DataFrame,
+) -> DataFrame:
+    """(query_id, doc_id, n_terms) — PROSPECTIVE search (percolation):
+    standing conjunctive queries matched against newly crawled
+    documents, the inverse of retrieval — the index is small (the
+    alert table), the query stream is the crawl.  A doc matches when
+    it contains ALL of a query's terms.
+
+    ``queries``: (query_id, term) rows — one row per required term.
+
+    Scale shape: docs explode once to DISTINCT (doc, term), semi-
+    filtered by the broadcast alert-term dim BEFORE any join fan-out;
+    match = count of satisfied terms per (query, doc) equal to the
+    query's term count (map-combinable count + one broadcast join —
+    never docs × queries).
+    """
+    qsize = queries.groupBy("query_id").agg(F.count("*").alias("__need"))
+    doc_terms = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .distinct()
+        .join(F.broadcast(queries.select("term").distinct()), "term", "left_semi")
+    )
+    hits = doc_terms.join(F.broadcast(queries), "term").groupBy(
+        "query_id", "doc_id"
+    ).agg(F.count("*").alias("n_terms"))
+    return hits.join(F.broadcast(qsize), "query_id").filter(
+        F.col("n_terms") == F.col("__need")
+    ).select("query_id", "doc_id", "n_terms")

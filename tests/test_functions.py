@@ -1166,3 +1166,21 @@ def test_merge_postings_replaces_docs_entirely(spark):
     scratch = {(r["term"], r["doc_id"]): r["tf"] for r in
                build_postings(cur, "text", "doc_id").collect()}
     assert got == scratch
+
+
+def test_standing_alerts_conjunctive_semantics(spark):
+    from cex_crawler_spark.operators.index import standing_alerts
+
+    docs = spark.createDataFrame(
+        [(1, "merge join wins"), (2, "merge only here"),
+         (3, "join and merge and join")],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [("q1", "merge"), ("q1", "join"), ("q2", "merge"), ("q3", "absent")],
+        ["query_id", "term"],
+    )
+    got = {(r["query_id"], r["doc_id"]) for r in
+           standing_alerts(docs, "text", "doc_id", queries).collect()}
+    # q1 needs BOTH; doc 2 has only merge; repeated terms count once
+    assert got == {("q1", 1), ("q1", 3), ("q2", 1), ("q2", 2), ("q2", 3)}
