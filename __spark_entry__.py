@@ -5566,6 +5566,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_standing_alerts"] = search_standing_alerts
 
+    def search_anchor_boosted(spark, sf):
+        """Two-field retrieval (index.anchor_boosted_topk, BM25F-
+        lite): body text and inbound ANCHOR text scored as separate
+        BM25 fields (own corpus stats each) and fused 0.7/0.3 — the
+        web's oldest relevance signal; pages never crawled but richly
+        linked surface through the anchor field alone (full-outer
+        fusion).  Fixture: deterministic anchor rows over documents
+        plus targets beyond the corpus (link-only pages)."""
+        from cex_crawler_spark.operators.index import anchor_boosted_topk
+
+        d = _t(spark, sf, "documents")
+        i = F.col("id")
+        texts = F.array(
+            F.lit("vector index link"),
+            F.lit("merge join deep dive"),
+            F.lit("fast scan tricks"),
+            F.lit("click here"),
+            F.lit("best vector merge guide"),
+        )
+        anchors = spark.range(3000).select(
+            ((i * 13) % 600).alias("doc_id"),
+            F.element_at(texts, (i % 5 + 1).cast("int")).alias("anchor"),
+        )
+        return anchor_boosted_topk(
+            d, "text", "doc_id", anchors, ["vector", "merge"], k=30
+        )
+
+    q["search_anchor_boosted"] = search_anchor_boosted
+
+
 
     def linkgraph_kcore(spark, sf):
         """k-core extraction (linkgraph.kcore_membership, k=4):
@@ -10938,6 +10968,81 @@ def oracle_sql() -> dict[str, str]:
         FROM hits h JOIN need n USING (query_id)
         WHERE h.n_terms = n.need
         ORDER BY h.query_id, h.doc_id
+    """
+
+    # search_anchor_boosted: both fields' Okapi replays (own corpus
+    # stats each; anchor corpus = order-free string_agg concat), fused
+    # with the same literal weights and rounding path.
+    o["search_anchor_boosted"] = f"""
+        WITH bt AS (SELECT doc_id, {_TOKS} AS ls FROM documents),
+        bdl AS (SELECT doc_id, len(ls) AS dl FROM bt),
+        bconsts AS (
+          SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl
+          FROM bdl
+        ),
+        btok AS (SELECT doc_id, unnest(ls) AS term FROM bt),
+        bpost AS (
+          SELECT term, doc_id, count(*) AS tf FROM btok
+          WHERE term IN ('vector', 'merge') GROUP BY term, doc_id
+        ),
+        bdfs AS (SELECT term, count(*) AS df FROM bpost GROUP BY term),
+        bsc AS (
+          SELECT p.doc_id,
+                 ln(1.0 + (c.n_docs - s.df + 0.5) / (s.df + 0.5))
+                 * (p.tf * (1.2 + 1))
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl)) AS part
+          FROM bpost p JOIN bdfs s USING (term)
+          JOIN bdl d USING (doc_id), bconsts c
+        ),
+        body AS (
+          SELECT doc_id, round(sum(part), 4) AS body_score
+          FROM bsc GROUP BY doc_id
+        ),
+        ar AS (
+          SELECT (range * 13) % 600 AS doc_id,
+                 (['vector index link', 'merge join deep dive',
+                   'fast scan tricks', 'click here',
+                   'best vector merge guide'])[(range % 5 + 1)::INT] AS anchor
+          FROM range(3000)
+        ),
+        adocs AS (
+          SELECT doc_id, string_agg(anchor, ' ') AS text
+          FROM ar GROUP BY doc_id
+        ),
+        at AS (SELECT doc_id, {_TOKS} AS ls FROM adocs),
+        adl AS (SELECT doc_id, len(ls) AS dl FROM at),
+        aconsts AS (
+          SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl
+          FROM adl
+        ),
+        atok AS (SELECT doc_id, unnest(ls) AS term FROM at),
+        apost AS (
+          SELECT term, doc_id, count(*) AS tf FROM atok
+          WHERE term IN ('vector', 'merge') GROUP BY term, doc_id
+        ),
+        adfs AS (SELECT term, count(*) AS df FROM apost GROUP BY term),
+        asc_ AS (
+          SELECT p.doc_id,
+                 ln(1.0 + (c.n_docs - s.df + 0.5) / (s.df + 0.5))
+                 * (p.tf * (1.2 + 1))
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl)) AS part
+          FROM apost p JOIN adfs s USING (term)
+          JOIN adl d USING (doc_id), aconsts c
+        ),
+        anch AS (
+          SELECT doc_id, round(sum(part), 4) AS anchor_score
+          FROM asc_ GROUP BY doc_id
+        ),
+        fused AS (
+          SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+                 coalesce(b.body_score, 0.0) AS body_score,
+                 coalesce(a.anchor_score, 0.0) AS anchor_score,
+                 round(0.7 * coalesce(b.body_score, 0.0)
+                       + 0.3 * coalesce(a.anchor_score, 0.0), 4) AS score
+          FROM body b FULL OUTER JOIN anch a ON a.doc_id = b.doc_id
+        )
+        SELECT doc_id, body_score, anchor_score, score
+        FROM fused ORDER BY score DESC, doc_id LIMIT 30
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

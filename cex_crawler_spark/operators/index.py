@@ -41,12 +41,11 @@ def build_postings(
     )
 
 
-def bm25_topk(
+def bm25_scores(
     docs: DataFrame,
     text_col: str,
     id_col: str,
     query_terms: list[str],
-    k: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
@@ -97,7 +96,74 @@ def bm25_topk(
             F.round(F.sum("part"), 4).alias("score"),
         )
     )
-    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    return scored
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k wrapper over :func:`bm25_scores` — (score DESC, doc_id)
+    makes the k-set engine-replayable."""
+    return (
+        bm25_scores(docs, text_col, id_col, query_terms, k1, b)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def anchor_boosted_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    anchors: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    w_body: float = 0.7,
+    w_anchor: float = 0.3,
+) -> DataFrame:
+    """(doc_id, body_score, anchor_score, score) — two-field retrieval
+    (BM25F-lite): the page's own text AND the anchor text others use
+    to link to it, scored as separate BM25 fields and fused with
+    fixed weights.  Anchor text is the web's oldest relevance hack —
+    the linking page describes the target better than the target
+    describes itself (nav chrome, image-only pages, the classic
+    "miserable failure" effect) — which is why every web engine
+    indexes it as a field.
+
+    ``anchors``: (doc_id, anchor) rows from ``linkgraph.page_links``
+    (href resolved/grouped upstream).  Each field's BM25 uses its OWN
+    corpus statistics.  Scale shape: the anchor field is one
+    collect-free groupBy concat (anchor rows are short) + the same
+    postings path; fusion is a full-outer hash join on doc_id.
+    """
+    anchor_docs = anchors.groupBy(F.col(id_col).alias("doc_id")).agg(
+        F.concat_ws(" ", F.collect_list("anchor")).alias("__atext")
+    ).select(F.col("doc_id").alias(id_col), F.col("__atext"))
+    sb = bm25_scores(docs, text_col, id_col, query_terms).select(
+        "doc_id", F.col("score").alias("body_score")
+    )
+    sa = bm25_scores(anchor_docs, "__atext", id_col, query_terms).select(
+        "doc_id", F.col("score").alias("anchor_score")
+    )
+    fused = sb.join(sa, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("body_score", F.lit(0.0)).alias("body_score"),
+        F.coalesce("anchor_score", F.lit(0.0)).alias("anchor_score"),
+    ).withColumn(
+        "score",
+        F.round(
+            F.lit(w_body) * F.col("body_score")
+            + F.lit(w_anchor) * F.col("anchor_score"),
+            4,
+        ),
+    )
+    return fused.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
 
 def positional_rows(

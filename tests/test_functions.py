@@ -1184,3 +1184,24 @@ def test_standing_alerts_conjunctive_semantics(spark):
            standing_alerts(docs, "text", "doc_id", queries).collect()}
     # q1 needs BOTH; doc 2 has only merge; repeated terms count once
     assert got == {("q1", 1), ("q1", 3), ("q2", 1), ("q2", 2), ("q2", 3)}
+
+
+def test_anchor_boost_rescues_sparse_body(spark):
+    from cex_crawler_spark.operators.index import anchor_boosted_topk
+
+    docs = spark.createDataFrame(
+        [(1, "picture gallery page"),        # body never mentions query
+         (2, "analytics engine analytics")],
+        ["doc_id", "text"],
+    )
+    anchors = spark.createDataFrame(
+        [(1, "best analytics engine"), (1, "analytics dashboard"),
+         (2, "misc link")],
+        ["doc_id", "anchor"],
+    )
+    top = anchor_boosted_topk(
+        docs, "text", "doc_id", anchors, ["analytics"], k=2
+    ).collect()
+    got = {r["doc_id"]: r for r in top}
+    assert got[1]["body_score"] == 0.0 and got[1]["anchor_score"] > 0
+    assert got[2]["anchor_score"] == 0.0 and got[2]["body_score"] > 0
