@@ -5595,6 +5595,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_anchor_boosted"] = search_anchor_boosted
 
+    def sitemap_cross_host_screen(spark, sf):
+        """Sitemap poisoning screen (sources/sitemap.
+        cross_host_sitemap_screen): a Sitemap: line pointing at
+        another REGISTRABLE domain would let any crawled site inject
+        a victim's URL namespace — cross-host declarations are
+        accepted only within the eTLD+1 (www/cdn sharding), all else
+        quarantined.  Fixture cycles same-host / sibling / foreign /
+        apex-http / foreign-co.uk / uppercase+port declarations."""
+        from cex_crawler_spark.sources.sitemap import (
+            cross_host_sitemap_screen,
+        )
+
+        i = F.col("id")
+        k = i % 20
+        m = i % 6
+        url = (
+            F.when(m == 0, F.format_string("https://www.ex%d.co.uk/sitemap%d.xml", k, i))
+            .when(m == 1, F.format_string("https://cdn.ex%d.co.uk/sm.xml", k))
+            .when(m == 2, F.format_string("https://evil%d.com/sm.xml", k))
+            .when(m == 3, F.format_string("http://ex%d.co.uk/sm.xml", k))
+            .when(m == 4, F.format_string("https://other%d.co.uk/sm.xml", k))
+            .otherwise(F.format_string("HTTPS://CDN.EX%d.CO.UK:8443/sm.xml", k))
+        )
+        decl = spark.range(200).select(
+            F.format_string("www.ex%d.co.uk", k).alias("host"),
+            url.alias("sitemap_url"),
+        )
+        return cross_host_sitemap_screen(decl).orderBy(
+            "host", "sitemap_url"
+        )
+
+    q["sitemap_cross_host_screen"] = sitemap_cross_host_screen
+
+
 
 
     def linkgraph_kcore(spark, sf):
@@ -11043,6 +11077,56 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, body_score, anchor_score, score
         FROM fused ORDER BY score DESC, doc_id LIMIT 30
+    """
+
+    # sitemap_cross_host_screen: host-extraction + eTLD+1 replay on
+    # BOTH ends against the same literal suffix list.
+    o["sitemap_cross_host_screen"] = f"""
+        WITH decl AS (
+          SELECT printf('www.ex%d.co.uk', range % 20) AS host,
+                 CASE range % 6
+                   WHEN 0 THEN printf('https://www.ex%d.co.uk/sitemap%d.xml',
+                                      range % 20, range)
+                   WHEN 1 THEN printf('https://cdn.ex%d.co.uk/sm.xml', range % 20)
+                   WHEN 2 THEN printf('https://evil%d.com/sm.xml', range % 20)
+                   WHEN 3 THEN printf('http://ex%d.co.uk/sm.xml', range % 20)
+                   WHEN 4 THEN printf('https://other%d.co.uk/sm.xml', range % 20)
+                   ELSE printf('HTTPS://CDN.EX%d.CO.UK:8443/sm.xml', range % 20)
+                 END AS sitemap_url
+          FROM range(200)
+        ),
+        ext AS (
+          SELECT host, sitemap_url,
+                 lower(string_split(
+                   regexp_extract(sitemap_url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ':')[1])
+                   AS sitemap_host
+          FROM decl
+        ),
+        keyed AS (
+          SELECT *,
+                 string_split(lower(host), '.') AS hl,
+                 string_split(lower(sitemap_host), '.') AS sl
+          FROM ext
+        ),
+        dom AS (
+          SELECT host, sitemap_url, sitemap_host,
+                 CASE WHEN len(hl) >= 3
+                           AND list_contains([{_sfx}], hl[-2] || '.' || hl[-1])
+                      THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
+                      WHEN len(hl) >= 2 THEN hl[-2] || '.' || hl[-1]
+                      ELSE lower(host) END AS hsite,
+                 CASE WHEN len(sl) >= 3
+                           AND list_contains([{_sfx}], sl[-2] || '.' || sl[-1])
+                      THEN sl[-3] || '.' || sl[-2] || '.' || sl[-1]
+                      WHEN len(sl) >= 2 THEN sl[-2] || '.' || sl[-1]
+                      ELSE lower(sitemap_host) END AS ssite
+          FROM keyed
+        )
+        SELECT host, sitemap_url, sitemap_host,
+               hsite = ssite AS same_site,
+               (hsite = ssite AND sitemap_host <> '') AS accepted
+        FROM dom ORDER BY host, sitemap_url
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

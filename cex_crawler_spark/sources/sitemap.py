@@ -307,3 +307,45 @@ def parse_sitemaps_with_priority(
         .otherwise(2)
         .cast("long"),
     )
+
+
+def cross_host_sitemap_screen(
+    declared: DataFrame,
+    host_col: str = "host",
+    sitemap_url_col: str = "sitemap_url",
+) -> DataFrame:
+    """declared + (sitemap_host, same_site, accepted) — the
+    sitemaps.org CROSS-SUBMISSION rule, conservatively: a ``Sitemap:``
+    line in host A's robots.txt may point at another host, but
+    honoring arbitrary cross-host declarations lets any crawled site
+    inject a victim's URL namespace into the frontier (sitemap
+    poisoning).  The screen accepts a cross-host declaration only
+    when both ends share the REGISTRABLE domain (eTLD+1 — www/cdn
+    sharding is the legitimate case); everything else is annotated
+    ``accepted = false`` for quarantine, never silently dropped.
+
+    Scan-side: one regexp host extraction (port stripped,
+    case-folded) + two registrable-domain expressions — no joins.
+    """
+    from ..functions.urlnorm import registrable_domain
+
+    sm_host = F.lower(
+        F.element_at(
+            F.split(
+                F.regexp_extract(
+                    F.col(sitemap_url_col),
+                    r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1,
+                ),
+                ":",
+            ),
+            1,
+        )
+    )
+    out = declared.withColumn("sitemap_host", sm_host).withColumn(
+        "same_site",
+        registrable_domain(F.col(host_col))
+        == registrable_domain(F.col("sitemap_host")),
+    )
+    return out.withColumn(
+        "accepted", F.col("same_site") & (F.col("sitemap_host") != "")
+    )

@@ -394,3 +394,25 @@ class TestWetExtract:
             assert r["payload"] == "Hello & bye é"
             # é is 2 UTF-8 bytes: Content-Length counts octets, not chars
             assert r["content_length"] == len("Hello & bye é".encode())
+
+
+def test_cross_host_sitemap_screen(spark):
+    from cex_crawler_spark.sources.sitemap import cross_host_sitemap_screen
+
+    rows = [
+        ("www.ex.co.uk", "https://www.ex.co.uk/sm.xml"),       # same host
+        ("www.ex.co.uk", "https://cdn.ex.co.uk/sm.xml"),       # sibling ok
+        ("www.ex.co.uk", "https://evil.com/sm.xml"),           # poison
+        ("www.ex.co.uk", "https://other.co.uk/sm.xml"),        # other site
+        ("www.ex.co.uk", "HTTPS://CDN.EX.CO.UK:8443/sm.xml"),  # port+case
+        ("www.ex.co.uk", "not a url"),                         # malformed
+    ]
+    df = spark.createDataFrame(rows, ["host", "sitemap_url"])
+    got = {r["sitemap_url"]: r["accepted"]
+           for r in cross_host_sitemap_screen(df).collect()}
+    assert got["https://www.ex.co.uk/sm.xml"]
+    assert got["https://cdn.ex.co.uk/sm.xml"]
+    assert got["HTTPS://CDN.EX.CO.UK:8443/sm.xml"]
+    assert not got["https://evil.com/sm.xml"]
+    assert not got["https://other.co.uk/sm.xml"]
+    assert not got["not a url"]
