@@ -5628,6 +5628,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_cross_host_screen"] = sitemap_cross_host_screen
 
+    def search_eval_pr(spark, sf):
+        """In-engine retrieval evaluation: ground truth = docs where
+        the EXACT phrase 'merge join' occurs (phrase_match), system =
+        bag-of-words BM25 top-10 on the same two terms — P@10 and
+        recall@10 on the integer permille grid.  The eval harness IS
+        a query: rankers get regression-tested by the same oracle
+        gate as everything else."""
+        from cex_crawler_spark.operators.index import bm25_topk, phrase_match
+
+        d = _t(spark, sf, "documents")
+        truth = phrase_match(d, "text", "doc_id", ["merge", "join"]).select(
+            "doc_id"
+        )
+        top = bm25_topk(d, "text", "doc_id", ["merge", "join"], k=10).select(
+            "doc_id"
+        )
+        n_truth = truth.count()
+        n_hits = top.join(truth, "doc_id", "left_semi").count()
+        return spark.createDataFrame(
+            [(
+                "merge join", 10, n_truth, n_hits,
+                (1000 * n_hits) // 10,
+                (1000 * n_hits) // n_truth if n_truth else None,
+            )],
+            "query string, k int, n_truth bigint, n_hits bigint, "
+            "p_at_k_permille bigint, recall_permille bigint",
+        )
+
+    q["search_eval_pr"] = search_eval_pr
+
+
 
 
 
@@ -11127,6 +11158,58 @@ def oracle_sql() -> dict[str, str]:
                hsite = ssite AS same_site,
                (hsite = ssite AND sitemap_host <> '') AS accepted
         FROM dom ORDER BY host, sitemap_url
+    """
+
+    # search_eval_pr: phrase truth + BM25 top-10 replays composed into
+    # the two permille metrics.
+    o["search_eval_pr"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS ls FROM documents),
+        x AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS p FROM t),
+        rows_ AS (SELECT doc_id, p - 1 AS pos, ls[p] AS term FROM x
+                  WHERE ls[p] IN ('merge', 'join')),
+        truth AS (
+          SELECT DISTINCT a.doc_id
+          FROM rows_ a JOIN rows_ b
+            ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          WHERE a.term = 'merge' AND b.term = 'join'
+        ),
+        dl AS (SELECT doc_id, len(ls) AS dl FROM t),
+        consts AS (
+          SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl
+          FROM dl
+        ),
+        tok AS (SELECT doc_id, unnest(ls) AS term FROM t),
+        post AS (
+          SELECT term, doc_id, count(*) AS tf FROM tok
+          WHERE term IN ('merge', 'join') GROUP BY term, doc_id
+        ),
+        dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        sc AS (
+          SELECT p.doc_id,
+                 ln(1.0 + (c.n_docs - s.df + 0.5) / (s.df + 0.5))
+                 * (p.tf * (1.2 + 1))
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl)) AS part
+          FROM post p JOIN dfs s USING (term)
+          JOIN dl d USING (doc_id), consts c
+        ),
+        agg AS (
+          SELECT doc_id, round(sum(part), 4) AS score
+          FROM sc GROUP BY doc_id
+        ),
+        top AS (
+          SELECT doc_id FROM agg ORDER BY score DESC, doc_id LIMIT 10
+        ),
+        m AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+                 (SELECT CAST(count(*) AS BIGINT)
+                  FROM top WHERE doc_id IN (SELECT doc_id FROM truth)) AS n_hits
+        )
+        SELECT 'merge join' AS query, CAST(10 AS INT) AS k, n_truth, n_hits,
+               CAST((1000 * n_hits) // 10 AS BIGINT) AS p_at_k_permille,
+               CASE WHEN n_truth = 0 THEN NULL
+                    ELSE CAST((1000 * n_hits) // n_truth AS BIGINT)
+               END AS recall_permille
+        FROM m
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over
