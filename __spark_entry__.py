@@ -5658,6 +5658,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_eval_pr"] = search_eval_pr
 
+    def frontier_feed_merge(spark, sf):
+        """Multi-feed discovery merge (expand.merge_discovery_feeds):
+        link extraction, sitemap seeds, hreflang alternates and
+        redirect canonicals folded into ONE frontier insert batch —
+        best priority wins, provenance kept as the audit column.
+        Overlapping arithmetic feeds + a redirect-exclusive tail."""
+        from cex_crawler_spark.operators.expand import merge_discovery_feeds
+
+        i = F.col("id")
+        u = lambda c: F.format_string("https://ex.com/u%d", c)
+        links = spark.range(1500).select(
+            u(i).alias("url"), F.lit(2).alias("priority"),
+            F.lit("links").alias("source"))
+        sitemap = spark.range(1000).select(
+            u(i * 2).alias("url"), (i * 2 / 500).cast("int").alias("priority"),
+            F.lit("sitemap").alias("source"))
+        hreflang = spark.range(200).select(
+            u(i * 10 + 7).alias("url"), F.lit(1).alias("priority"),
+            F.lit("hreflang").alias("source"))
+        redirects = spark.range(400).select(
+            u(i * 5).alias("url"), F.lit(2).alias("priority"),
+            F.lit("redirects").alias("source"))
+        tail = spark.range(100).select(
+            u(2000 + i).alias("url"), F.lit(0).alias("priority"),
+            F.lit("redirects").alias("source"))
+        feeds = links.unionByName(sitemap).unionByName(hreflang)
+        feeds = feeds.unionByName(redirects).unionByName(tail)
+        return merge_discovery_feeds(feeds).orderBy("url")
+
+    q["frontier_feed_merge"] = frontier_feed_merge
+
+    def frontier_feed_census(spark, sf):
+        """Marginal feed utility (expand.feed_yield_census): per
+        discovery feed, how many URLs ONLY it surfaced — 'is parsing
+        sitemaps worth it' as a measured permille, the demote-to-
+        verification-cadence signal for redundant feeds."""
+        from cex_crawler_spark.operators.expand import feed_yield_census
+
+        i = F.col("id")
+        u = lambda c: F.format_string("https://ex.com/u%d", c)
+        links = spark.range(1500).select(
+            u(i).alias("url"), F.lit(2).alias("priority"),
+            F.lit("links").alias("source"))
+        sitemap = spark.range(1000).select(
+            u(i * 2).alias("url"), (i * 2 / 500).cast("int").alias("priority"),
+            F.lit("sitemap").alias("source"))
+        hreflang = spark.range(200).select(
+            u(i * 10 + 7).alias("url"), F.lit(1).alias("priority"),
+            F.lit("hreflang").alias("source"))
+        redirects = spark.range(400).select(
+            u(i * 5).alias("url"), F.lit(2).alias("priority"),
+            F.lit("redirects").alias("source"))
+        tail = spark.range(100).select(
+            u(2000 + i).alias("url"), F.lit(0).alias("priority"),
+            F.lit("redirects").alias("source"))
+        feeds = links.unionByName(sitemap).unionByName(hreflang)
+        feeds = feeds.unionByName(redirects).unionByName(tail)
+        return feed_yield_census(feeds).orderBy("source")
+
+    q["frontier_feed_census"] = frontier_feed_census
+
+
 
 
 
@@ -11210,6 +11272,58 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST((1000 * n_hits) // n_truth AS BIGINT)
                END AS recall_permille
         FROM m
+    """
+
+    # frontier_feed_merge / census: the same arithmetic feeds replayed.
+    o["frontier_feed_merge"] = """
+        WITH feeds AS (
+          SELECT printf('https://ex.com/u%d', range) AS url, 2 AS priority,
+                 'links' AS source FROM range(1500)
+          UNION ALL
+          SELECT printf('https://ex.com/u%d', range * 2),
+                 CAST(range * 2 // 500 AS INT), 'sitemap' FROM range(1000)
+          UNION ALL
+          SELECT printf('https://ex.com/u%d', range * 10 + 7), 1, 'hreflang'
+          FROM range(200)
+          UNION ALL
+          SELECT printf('https://ex.com/u%d', range * 5), 2, 'redirects'
+          FROM range(400)
+          UNION ALL
+          SELECT printf('https://ex.com/u%d', 2000 + range), 0, 'redirects'
+          FROM range(100)
+        )
+        SELECT url, CAST(min(priority) AS INT) AS priority,
+               CAST(count(DISTINCT source) AS INT) AS n_feeds,
+               array_to_string(list_sort(list(DISTINCT source)), '+') AS sources
+        FROM feeds GROUP BY url ORDER BY url
+    """
+
+    o["frontier_feed_census"] = """
+        WITH feeds AS (
+          SELECT printf('https://ex.com/u%d', range) AS url, 2 AS priority,
+                 'links' AS source FROM range(1500)
+          UNION ALL
+          SELECT printf('https://ex.com/u%d', range * 2),
+                 CAST(range * 2 // 500 AS INT), 'sitemap' FROM range(1000)
+          UNION ALL
+          SELECT printf('https://ex.com/u%d', range * 10 + 7), 1, 'hreflang'
+          FROM range(200)
+          UNION ALL
+          SELECT printf('https://ex.com/u%d', range * 5), 2, 'redirects'
+          FROM range(400)
+          UNION ALL
+          SELECT printf('https://ex.com/u%d', 2000 + range), 0, 'redirects'
+          FROM range(100)
+        ),
+        per AS (SELECT DISTINCT url, source FROM feeds),
+        counts AS (SELECT url, count(*) AS nf FROM per GROUP BY url)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(sum(CASE WHEN c.nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_exclusive,
+               CAST((1000 * sum(CASE WHEN c.nf = 1 THEN 1 ELSE 0 END))
+                    // count(*) AS BIGINT) AS exclusive_permille
+        FROM per p JOIN counts c USING (url)
+        GROUP BY source ORDER BY source
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

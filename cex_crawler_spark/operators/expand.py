@@ -123,3 +123,53 @@ def py_expand_children(
             }
         )
     return out
+
+
+# ------------------------------------------- multi-feed discovery merge
+
+def merge_discovery_feeds(feeds: DataFrame) -> DataFrame:
+    """(url, priority, n_feeds, sources) — fold the discovery FEEDS
+    (link extraction, sitemaps, hreflang alternates, redirect
+    canonicals, …) into one frontier insert batch: per URL, the best
+    (minimum) priority wins and provenance is kept as a sorted
+    '+'-joined source list — the audit column that later lets
+    ``feed_yield_census`` price each feed.
+
+    ``feeds``: (url, priority, source) rows, urls canonicalized
+    upstream.  One map-combinable groupBy on url (min, count-distinct
+    via collect_set bounded by the handful of feed names).
+    """
+    return feeds.groupBy("url").agg(
+        F.min("priority").alias("priority"),
+        F.size(F.collect_set("source")).alias("n_feeds"),
+        F.array_join(F.sort_array(F.collect_set("source")), "+").alias(
+            "sources"
+        ),
+    )
+
+
+def feed_yield_census(feeds: DataFrame) -> DataFrame:
+    """(source, n_urls, n_exclusive, exclusive_permille) — the
+    marginal utility of each discovery feed: how many URLs only THAT
+    feed surfaced.  'Is parsing sitemaps still worth it' is a
+    measured answer, not a belief — a feed whose exclusive share
+    decays to zero is pure duplicate work and can be demoted to a
+    verification-only cadence.
+
+    Shape: distinct (url, source) → per-url feed count → per-source
+    rollup; all map-combinable.
+    """
+    per = feeds.select("url", "source").distinct()
+    counts = per.groupBy("url").agg(F.count("*").alias("__n_feeds"))
+    return (
+        per.join(counts, "url")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum((F.col("__n_feeds") == 1).cast("long")).alias("n_exclusive"),
+        )
+        .withColumn(
+            "exclusive_permille",
+            F.expr("(1000 * n_exclusive) div n_urls"),
+        )
+    )

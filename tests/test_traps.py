@@ -584,3 +584,25 @@ def test_fairness_index_even_vs_hog(spark):
     zero = spark.createDataFrame([("z", 1, 0)], ["policy", "host", "n"])
     z = fairness_index(zero, "n", ["policy"]).collect()[0]
     assert z["jain_permille"] is None
+
+
+def test_feed_merge_and_yield_census(spark):
+    from cex_crawler_spark.operators.expand import (
+        feed_yield_census, merge_discovery_feeds,
+    )
+
+    rows = [
+        ("u1", 2, "links"), ("u1", 0, "sitemap"),   # sitemap wins priority
+        ("u2", 1, "links"),
+        ("u3", 2, "hreflang"), ("u3", 2, "links"),
+        ("u4", 0, "sitemap"),
+    ]
+    feeds = spark.createDataFrame(rows, ["url", "priority", "source"])
+    m = {r["url"]: r for r in merge_discovery_feeds(feeds).collect()}
+    assert (m["u1"]["priority"], m["u1"]["sources"]) == (0, "links+sitemap")
+    assert m["u3"]["n_feeds"] == 2
+    c = {r["source"]: r for r in feed_yield_census(feeds).collect()}
+    assert c["links"]["n_urls"] == 3 and c["links"]["n_exclusive"] == 1
+    assert c["sitemap"]["n_exclusive"] == 1       # u4 only
+    assert c["hreflang"]["n_exclusive"] == 0
+    assert c["links"]["exclusive_permille"] == 333
