@@ -57,3 +57,33 @@ def stream_trending_terms(
         .withWatermark("ts", watermark)
     )
     return _term_window_counts(stream, window)
+
+
+def stream_standing_alerts(
+    spark: SparkSession,
+    pages_dir: str,
+    schema,
+    queries: DataFrame,
+):
+    """Percolation over the live crawl: the standing conjunctive
+    alert table (a broadcast dim) matched against a page readStream —
+    same builder contract as operators/index.standing_alerts, with
+    the one streamed aggregation counting satisfied terms per
+    (query, doc).  Emits only full matches (n_terms == query size —
+    the size rides the broadcast dim so no second aggregate is
+    needed)."""
+    qsize = queries.groupBy("query_id").agg(F.count("*").alias("__need"))
+    qdim = queries.join(qsize, "query_id")
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    doc_terms = stream.select(
+        F.col("doc_id"),
+        F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("term"),
+    )
+    hits = (
+        doc_terms.join(F.broadcast(qdim), "term")
+        .groupBy("query_id", "doc_id", "__need")
+        .agg(F.count("*").alias("n_terms"))
+        .filter(F.col("n_terms") == F.col("__need"))
+        .select("query_id", "doc_id", "n_terms")
+    )
+    return hits

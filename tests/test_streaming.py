@@ -240,3 +240,33 @@ def test_trending_terms_stream_equals_batch(spark, tmp_path):
     got = {(str(r["window_start"]), r["term"]): r["n_occurrences"]
            for r in spark.sql(f"SELECT * FROM {qname}").collect()}
     assert got == batch and len(batch) > 0
+
+
+def test_standing_alerts_stream_equals_batch(spark, tmp_path):
+    from cex_crawler_spark.operators.index import standing_alerts
+    from cex_crawler_spark.streaming.trending import stream_standing_alerts
+
+    docs = spark.createDataFrame(
+        [(1, "merge join wins"), (2, "merge only"), (3, "join merge join"),
+         (4, "nothing relevant")],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "pages")
+    docs.write.parquet(src)
+    queries = spark.createDataFrame(
+        [("q1", "merge"), ("q1", "join"), ("q2", "merge")],
+        ["query_id", "term"],
+    )
+    batch = {(r["query_id"], r["doc_id"]) for r in
+             standing_alerts(docs, "text", "doc_id", queries).collect()}
+    sdf = stream_standing_alerts(
+        spark, src, spark.read.parquet(src).schema, queries
+    )
+    qy = (
+        sdf.writeStream.format("memory").queryName("alerts_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    qy.awaitTermination(120)
+    got = {(r["query_id"], r["doc_id"]) for r in
+           spark.sql("SELECT * FROM alerts_test").collect()}
+    assert got == batch and len(batch) == 5
