@@ -5719,6 +5719,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_feed_census"] = frontier_feed_census
 
+    def linkgraph_hopplot(spark, sf):
+        """Hop plot (Broder WWW'00 measurement): BFS depth histograms
+        from three fixed pivots over the hub-skewed sim graph — the
+        reachable-mass-per-hop curve that sizes crawl depth limits
+        (crawl_depth IS the operator; this is its measurement form).
+        Per pivot: (pivot, depth, n_nodes, cum_nodes)."""
+        from pyspark.sql import Window
+
+        from cex_crawler_spark.operators.linkgraph import crawl_depth
+
+        e = gen_sim_opicgraph(spark)
+        outs = []
+        for pivot in (0, 7, 13):
+            seeds = spark.createDataFrame([(pivot,)], "url long")
+            d = crawl_depth(e, seeds, max_depth=8).groupBy("depth").agg(
+                F.count("*").alias("n_nodes")
+            ).withColumn("pivot", F.lit(pivot).cast("long"))
+            outs.append(d)
+        per = outs[0].unionByName(outs[1]).unionByName(outs[2])
+        w = Window.partitionBy("pivot").orderBy("depth").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return per.select(
+            "pivot", "depth", "n_nodes",
+            F.sum("n_nodes").over(w).alias("cum_nodes"),
+        ).orderBy("pivot", "depth")
+
+    q["linkgraph_hopplot"] = linkgraph_hopplot
+
+
 
 
 
@@ -11324,6 +11354,35 @@ def oracle_sql() -> dict[str, str]:
                     // count(*) AS BIGINT) AS exclusive_permille
         FROM per p JOIN counts c USING (url)
         GROUP BY source ORDER BY source
+    """
+
+    # linkgraph_hopplot: three depth-capped walks, min(d) = BFS layer,
+    # histogram + running sum over the tiny depth table.
+    o["linkgraph_hopplot"] = f"""
+        WITH RECURSIVE {_sim_opicgraph_sql()},
+        dedges AS (SELECT DISTINCT src, dst FROM sim_edges),
+        walk(pv, node, d) AS (
+          SELECT p, CAST(p AS BIGINT), 0
+          FROM (SELECT unnest([0, 7, 13]) AS p)
+          UNION
+          SELECT w.pv, e.dst, w.d + 1
+          FROM walk w JOIN dedges e ON e.src = w.node
+          WHERE w.d < 8
+        ),
+        lay AS (
+          SELECT pv, node, min(d) AS depth FROM walk
+          GROUP BY pv, node
+        ),
+        per AS (
+          SELECT CAST(pv AS BIGINT) AS pv, CAST(depth AS BIGINT) AS depth,
+                 CAST(count(*) AS BIGINT) AS n_nodes
+          FROM lay GROUP BY pv, depth
+        )
+        SELECT pv AS "pivot", depth, n_nodes,
+               CAST(sum(n_nodes) OVER (PARTITION BY pv ORDER BY depth
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_nodes
+        FROM per ORDER BY pv, depth
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over
