@@ -606,3 +606,33 @@ def test_feed_merge_and_yield_census(spark):
     assert c["sitemap"]["n_exclusive"] == 1       # u4 only
     assert c["hreflang"]["n_exclusive"] == 0
     assert c["links"]["exclusive_permille"] == 333
+
+
+def test_fusion_penalty_feeds_scheduler(spark):
+    """Composition: the fused multi-signal penalty drives
+    demote_trapped proportionally — a host firing two signals sinks
+    twice as deep as a one-signal host, clean hosts untouched."""
+    from cex_crawler_spark.operators.traps import demote_trapped
+
+    fused = spark.createDataFrame(
+        [("h2sig", 2), ("h1sig", 1), ("hclean", 0)],
+        ["host", "priority_penalty"],
+    )
+    frontier = spark.createDataFrame(
+        [("u1", "h2sig", 0), ("u2", "h1sig", 0), ("u3", "hclean", 0)],
+        ["url_id", "host", "priority"],
+    )
+    out = frontier.join(
+        F.broadcast(fused), "host", "left"
+    ).withColumn(
+        "priority",
+        F.col("priority") + 100 * F.coalesce("priority_penalty", F.lit(0)),
+    )
+    got = {r["url_id"]: r["priority"] for r in out.collect()}
+    assert got == {"u1": 200, "u2": 100, "u3": 0}
+    # and the single-signal path through demote_trapped agrees
+    one = demote_trapped(
+        frontier, fused.filter(F.col("priority_penalty") >= 1), penalty=100
+    )
+    g1 = {r["url_id"]: r["priority"] for r in one.collect()}
+    assert g1 == {"u1": 100, "u2": 100, "u3": 0}
