@@ -5748,6 +5748,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["linkgraph_hopplot"] = linkgraph_hopplot
 
+    def robots_render_roundtrip(spark, sf):
+        """Exporter-tier identity proof (functions/robots.
+        render_robots_txt): per-host policy → canonical robots.txt
+        body → re-parsed through all three channels (Disallow prefix,
+        Crawl-delay, Sitemap).  The oracle derives the SAME rows
+        straight from the policy arithmetic without ever rendering or
+        parsing — hash equality proves render→parse is the identity
+        (the WARC/WET roundtrip discipline applied to robots)."""
+        from cex_crawler_spark.functions.robots import (
+            parse_robots_crawl_delay, parse_robots_disallow,
+            parse_robots_sitemaps, render_robots_txt,
+        )
+
+        i = F.col("id")
+        dis = F.when(
+            i % 2 == 0,
+            F.array(
+                F.format_string("/p%d", i % 5), F.lit("/admin")
+            ),
+        ).otherwise(F.array(F.format_string("/x%d", i)))
+        cd = F.when(i % 3 != 0, (1 + i % 4).cast("int"))
+        sm1 = F.format_string("https://h%d.ex.com/sm1.xml", i)
+        sms = F.when(
+            i % 5 == 0,
+            F.array(sm1, F.format_string("https://h%d.ex.com/sm2.xml", i)),
+        ).otherwise(F.array(sm1))
+        hosts = spark.range(60).select(
+            F.format_string("h%d", i).alias("host"),
+            render_robots_txt(dis, cd, sms).alias("txt"),
+        )
+        t = F.col("txt")
+        return hosts.select(
+            "host",
+            F.array_join(parse_robots_disallow(t), "+").alias("prefixes"),
+            parse_robots_crawl_delay(t).cast("long").alias("crawl_delay_s"),
+            F.array_join(parse_robots_sitemaps(t), "+").alias("sitemaps"),
+        ).orderBy("host")
+
+    q["robots_render_roundtrip"] = robots_render_roundtrip
+
+
 
 
 
@@ -11383,6 +11424,22 @@ def oracle_sql() -> dict[str, str]:
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS cum_nodes
         FROM per ORDER BY pv, depth
+    """
+
+    # robots_render_roundtrip: the policy arithmetic DIRECTLY — no
+    # render, no parse — so equality proves the roundtrip identity.
+    o["robots_render_roundtrip"] = """
+        SELECT printf('h%d', range) AS host,
+               CASE WHEN range % 2 = 0
+                    THEN printf('/p%d', range % 5) || '+' || '/admin'
+                    ELSE printf('/x%d', range) END AS prefixes,
+               CASE WHEN range % 3 <> 0
+                    THEN CAST(1 + range % 4 AS BIGINT) END AS crawl_delay_s,
+               printf('https://h%d.ex.com/sm1.xml', range)
+               || CASE WHEN range % 5 = 0
+                       THEN '+' || printf('https://h%d.ex.com/sm2.xml', range)
+                       ELSE '' END AS sitemaps
+        FROM range(60) ORDER BY host
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

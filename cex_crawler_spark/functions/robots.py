@@ -410,3 +410,58 @@ def robots_policy_delta(
         )
         .drop("__h_old", "__h_new", "__dis_old", "__dis_new", "__path")
     )
+
+
+def render_robots_txt(
+    disallow_prefixes: Column,
+    crawl_delay_s: Column | None = None,
+    sitemap_urls: Column | None = None,
+) -> Column:
+    """Render a host's full policy to a robots.txt body — the export
+    direction (config-as-code: the crawler's own staging hosts and the
+    replay fixtures get their robots files FROM the policy table, so
+    the file and the scheduler can never disagree).  Canonical layout:
+    one ``User-agent: *`` group, Disallow lines in the given array
+    order, optional ``Crawl-delay``, then ``Sitemap`` lines (the
+    group-independent channel last, matching the convention).  The
+    inverse of the three parsers above; the roundtrip is oracled."""
+    parts = F.concat(
+        F.lit("User-agent: *\n"),
+        F.array_join(
+            F.transform(
+                disallow_prefixes, lambda p: F.concat(F.lit("Disallow: "), p)
+            ),
+            "\n",
+        ),
+    )
+    if crawl_delay_s is not None:
+        parts = F.concat(
+            parts,
+            F.coalesce(
+                F.concat(
+                    F.lit("\nCrawl-delay: "), crawl_delay_s.cast("string")
+                ),
+                F.lit(""),
+            ),
+        )
+    if sitemap_urls is not None:
+        parts = F.concat(
+            parts,
+            F.coalesce(
+                F.nullif(
+                    F.concat(
+                        F.lit("\n"),
+                        F.array_join(
+                            F.transform(
+                                sitemap_urls,
+                                lambda u: F.concat(F.lit("Sitemap: "), u),
+                            ),
+                            "\n",
+                        ),
+                    ),
+                    F.lit("\n"),
+                ),
+                F.lit(""),
+            ),
+        )
+    return parts

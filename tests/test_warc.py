@@ -416,3 +416,31 @@ def test_cross_host_sitemap_screen(spark):
     assert not got["https://evil.com/sm.xml"]
     assert not got["https://other.co.uk/sm.xml"]
     assert not got["not a url"]
+
+
+def test_robots_render_parse_roundtrip(spark):
+    from cex_crawler_spark.functions.robots import (
+        parse_robots_crawl_delay, parse_robots_disallow,
+        parse_robots_sitemaps, render_robots_txt,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (["/a", "/b/c"], 3, ["https://h/sm.xml"]),
+            (["/only"], None, []),
+        ],
+        "dis array<string>, cd int, sms array<string>",
+    )
+    txt = render_robots_txt(F.col("dis"), F.col("cd"), F.col("sms"))
+    out = df.select(
+        parse_robots_disallow(txt).alias("dis2"),
+        parse_robots_crawl_delay(txt).alias("cd2"),
+        parse_robots_sitemaps(txt).alias("sms2"),
+        F.col("dis"), F.col("cd"), F.col("sms"),
+    ).collect()
+    for r in out:
+        assert r["dis2"] == r["dis"]
+        assert (r["cd2"] is None) == (r["cd"] is None)
+        if r["cd"] is not None:
+            assert int(r["cd2"]) == r["cd"]
+        assert r["sms2"] == r["sms"]
