@@ -5788,6 +5788,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_render_roundtrip"] = robots_render_roundtrip
 
+    def sitemap_render_roundtrip(spark, sf):
+        """Sitemap exporter identity proof (sources/sitemap.
+        render_sitemap_xml): catalog-derived entries → canonical XML →
+        re-parsed with the per-block parser (loc + optional lastmod +
+        optional priority ladder).  Oracle derives the rows straight
+        from the entry arithmetic — render→parse is the identity."""
+        from cex_crawler_spark.sources.sitemap import (
+            parse_sitemaps_with_priority, render_sitemap_xml,
+        )
+
+        h, j = F.col("h"), F.col("j")
+        mem = spark.range(200).select(
+            (F.col("id") / 5).cast("long").alias("h"),
+            (F.col("id") % 5).alias("j"),
+        )
+        entry = F.struct(
+            F.format_string("https://h%d.ex.com/p%d", h, j).alias("loc"),
+            F.when(
+                j % 2 == 0,
+                F.format_string("2025-09-%02dT00:00:00Z", 1 + (h + j) % 27),
+            ).alias("lastmod"),
+            F.when(
+                j % 3 != 1,
+                F.format_string("0.%d", (h + j) % 10),
+            ).alias("priority_str"),
+        )
+        sm = mem.groupBy("h").agg(
+            F.sort_array(F.collect_list(F.struct(j.alias("j"), entry.alias("e"))))
+            .alias("es")
+        ).select(
+            F.format_string("h%d", F.col("h")).alias("host"),
+            render_sitemap_xml(
+                F.transform(F.col("es"), lambda s: s["e"])
+            ).alias("xml"),
+        )
+        return parse_sitemaps_with_priority(sm).orderBy("host", "url")
+
+    q["sitemap_render_roundtrip"] = sitemap_render_roundtrip
+
+
 
 
 
@@ -11440,6 +11480,27 @@ def oracle_sql() -> dict[str, str]:
                        THEN '+' || printf('https://h%d.ex.com/sm2.xml', range)
                        ELSE '' END AS sitemaps
         FROM range(60) ORDER BY host
+    """
+
+    # sitemap_render_roundtrip: entry arithmetic directly — no XML.
+    o["sitemap_render_roundtrip"] = """
+        WITH mem AS (
+          SELECT range // 5 AS h, range % 5 AS j FROM range(200)
+        )
+        SELECT printf('h%d', h) AS host,
+               printf('https://h%d.ex.com/p%d', h, j) AS url,
+               CASE WHEN j % 2 = 0
+                    THEN TIMESTAMP '2025-09-01 00:00:00'
+                         + ((h + j) % 27) * INTERVAL 1 DAY
+               END AS lastmod,
+               CAST(CASE WHEN j % 3 <> 1 THEN ((h + j) % 10) * 100
+                         ELSE 500 END AS BIGINT) AS priority_permille,
+               CAST(CASE WHEN (CASE WHEN j % 3 <> 1 THEN ((h + j) % 10) * 100
+                                    ELSE 500 END) >= 800 THEN 0
+                         WHEN (CASE WHEN j % 3 <> 1 THEN ((h + j) % 10) * 100
+                                    ELSE 500 END) >= 400 THEN 1
+                         ELSE 2 END AS BIGINT) AS priority
+        FROM mem ORDER BY host, url
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over

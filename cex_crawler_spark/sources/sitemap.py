@@ -349,3 +349,33 @@ def cross_host_sitemap_screen(
     return out.withColumn(
         "accepted", F.col("same_site") & (F.col("sitemap_host") != "")
     )
+
+
+def render_sitemap_xml(entries: Column) -> Column:
+    """Render an array<struct<loc, lastmod, priority_str>> to a
+    canonical sitemap XML body — the export direction (the crawler's
+    own published artifacts and replay fixtures derive their sitemaps
+    FROM the catalog, so file and frontier can never disagree).  NULL
+    lastmod/priority omit the tag (per-block isolation on the parse
+    side makes that safe — that asymmetry is exactly what the parsers
+    were built for).  Inverse of ``parse_sitemaps_with_priority``;
+    the roundtrip is oracled."""
+    item = lambda e: F.concat(
+        F.lit("<url><loc>"), e["loc"], F.lit("</loc>"),
+        F.coalesce(
+            F.concat(F.lit("<lastmod>"), e["lastmod"], F.lit("</lastmod>")),
+            F.lit(""),
+        ),
+        F.coalesce(
+            F.concat(
+                F.lit("<priority>"), e["priority_str"], F.lit("</priority>")
+            ),
+            F.lit(""),
+        ),
+        F.lit("</url>"),
+    )
+    return F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.array_join(F.transform(entries, item), ""),
+        F.lit("</urlset>"),
+    )
