@@ -5827,6 +5827,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_render_roundtrip"] = sitemap_render_roundtrip
 
+    def crawl_serve_pipeline(spark, sf):
+        """Crawl→curate→index→serve capstone: the quality + language
+        gates and exact-dedup representatives (the corpus_curation
+        spine) feed the BM25 retrieval tier — the serving index is
+        built ONLY from curated representatives, so boilerplate
+        duplicates can never vote a result up twice.  One declarative
+        plan end to end; oracle composes the curation CTEs with the
+        Okapi replay scoped to the representative set."""
+        from cex_crawler_spark.functions.text import lang_id, quality_score
+        from cex_crawler_spark.operators.dedup import exact_dedup
+        from cex_crawler_spark.operators.index import bm25_topk
+
+        d = _t(spark, sf, "documents")
+        scored = d.select(
+            "doc_id", "text",
+            quality_score(F.col("text")).alias("quality"),
+            lang_id(F.col("text")).alias("lang_pred"),
+        )
+        kept = scored.filter(
+            (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+        )
+        reps = exact_dedup(kept, "text", "doc_id").select("doc_id")
+        corpus = kept.join(reps, "doc_id").select("doc_id", "text")
+        return bm25_topk(corpus, "text", "doc_id", ["vector", "merge"], k=15)
+
+    q["crawl_serve_pipeline"] = crawl_serve_pipeline
+
+
 
 
 
@@ -11501,6 +11529,62 @@ def oracle_sql() -> dict[str, str]:
                                     ELSE 500 END) >= 400 THEN 1
                          ELSE 2 END AS BIGINT) AS priority
         FROM mem ORDER BY host, url
+    """
+
+    # crawl_serve_pipeline: curation CTEs + Okapi replay over the
+    # representative corpus.
+    o["crawl_serve_pipeline"] = f"""
+        WITH scored AS (
+          SELECT doc_id, text,
+                 round(
+                   least(({_STOP_RATIO}) * 4, 1.0) * 0.4
+                   + (CASE WHEN ({_MTL}) >= 3 AND ({_MTL}) <= 10
+                           THEN 1.0 ELSE 0.0 END) * 0.3
+                   + greatest(0.0, 1 - ({_PUNCT}) * 5) * 0.2
+                   + least(len({_TOKS}) / 20.0, 1.0) * 0.1,
+                 6) AS quality,
+                 CASE WHEN {_STOP_RATIO} >= 0.08 THEN 'en' ELSE 'other' END
+                   AS lang_pred
+          FROM documents
+        ),
+        kept AS (
+          SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
+        ),
+        reps AS (
+          SELECT md5({_NORM}) AS fp, min(doc_id) AS rep_id
+          FROM kept GROUP BY 1
+        ),
+        corpus AS (
+          SELECT k.doc_id, k.text
+          FROM kept k JOIN reps r ON k.doc_id = r.rep_id
+        ),
+        t AS (SELECT doc_id, {_TOKS} AS ls FROM corpus),
+        dl AS (SELECT doc_id, len(ls) AS dl FROM t),
+        consts AS (
+          SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl
+          FROM dl
+        ),
+        tok AS (SELECT doc_id, unnest(ls) AS term FROM t),
+        post AS (
+          SELECT term, doc_id, count(*) AS tf FROM tok
+          WHERE term IN ('vector', 'merge') GROUP BY term, doc_id
+        ),
+        dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        sc AS (
+          SELECT p.doc_id,
+                 ln(1.0 + (c.n_docs - s.df + 0.5) / (s.df + 0.5))
+                 * (p.tf * (1.2 + 1))
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl)) AS part
+          FROM post p JOIN dfs s USING (term)
+          JOIN dl d USING (doc_id), consts c
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+                 round(sum(part), 4) AS score
+          FROM sc GROUP BY doc_id
+        )
+        SELECT doc_id, n_hit_terms, score
+        FROM agg ORDER BY score DESC, doc_id LIMIT 15
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over
