@@ -5854,6 +5854,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_serve_pipeline"] = crawl_serve_pipeline
 
+    def corpus_perplexity_buckets(spark, sf):
+        """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3):
+        docs bucketed by corpus-own LM score tertiles — head (most
+        natural) is kept outright, middle sampled, tail dropped; this
+        is THE published recipe large text corpora are filtered with.
+        Milli-logprob rides an integer grid off the round(4) score
+        (house ln-parity), tertile cuts via exact percentile
+        (== quantile_cont value-for-value, the proven trick), buckets
+        rolled up map-combinably."""
+        from cex_crawler_spark.functions.text import unigram_logprob_scores
+
+        d = _t(spark, sf, "documents")
+        lp = unigram_logprob_scores(d, "text", "doc_id").select(
+            F.col("id").alias("doc_id"),
+            F.round(F.col("avg_neg_logprob") * 1000).cast("long").alias("mi"),
+        )
+        cuts = lp.agg(
+            F.expr(
+                "percentile(mi, array(0.3333333333333333D, 0.6666666666666666D))"
+            ).alias("q")
+        ).select(
+            F.col("q")[0].alias("q1"), F.col("q")[1].alias("q2")
+        )
+        return (
+            lp.crossJoin(F.broadcast(cuts))
+            .select(
+                "doc_id", "mi",
+                F.when(F.col("mi") <= F.col("q1"), F.lit("head"))
+                .when(F.col("mi") <= F.col("q2"), F.lit("middle"))
+                .otherwise(F.lit("tail")).alias("bucket"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.min("mi").alias("min_mi"),
+                F.max("mi").alias("max_mi"),
+            )
+            .orderBy("bucket")
+        )
+
+    q["corpus_perplexity_buckets"] = corpus_perplexity_buckets
+
+
 
 
 
@@ -11585,6 +11628,38 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, n_hit_terms, score
         FROM agg ORDER BY score DESC, doc_id LIMIT 15
+    """
+
+    # corpus_perplexity_buckets: the unigram replay -> identical
+    # double-rounding chain -> quantile_cont tertiles -> buckets.
+    o["corpus_perplexity_buckets"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        total AS (SELECT sum(c) AS n_total FROM freq),
+        lp AS (
+          SELECT doc_id,
+                 CAST(round(round(avg(ln(n_total) - ln(c)), 4) * 1000)
+                      AS BIGINT) AS mi
+          FROM toks JOIN freq USING (tok) CROSS JOIN total
+          GROUP BY doc_id
+        ),
+        cuts AS (
+          SELECT quantile_cont(mi, 0.3333333333333333) AS q1,
+                 quantile_cont(mi, 0.6666666666666666) AS q2
+          FROM lp
+        )
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(mi) AS BIGINT) AS min_mi,
+               CAST(max(mi) AS BIGINT) AS max_mi
+        FROM (
+          SELECT l.mi,
+                 CASE WHEN l.mi <= c.q1 THEN 'head'
+                      WHEN l.mi <= c.q2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM lp l, cuts c
+        ) GROUP BY bucket ORDER BY bucket
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over
