@@ -5896,6 +5896,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_perplexity_buckets"] = corpus_perplexity_buckets
 
+    def corpus_ccnet_sample(spark, sf):
+        """The CCNet policy applied: keep head outright, thin middle
+        50% by a deterministic md5 coin (audit-replayable, no RNG
+        state), drop tail — the materialized training-set ids with
+        their bucket provenance.  Composes the tertile machinery with
+        the established md5-thinning idiom."""
+        from cex_crawler_spark.functions.text import unigram_logprob_scores
+
+        d = _t(spark, sf, "documents")
+        lp = unigram_logprob_scores(d, "text", "doc_id").select(
+            F.col("id").alias("doc_id"),
+            F.round(F.col("avg_neg_logprob") * 1000).cast("long").alias("mi"),
+        )
+        cuts = lp.agg(
+            F.expr(
+                "percentile(mi, array(0.3333333333333333D, 0.6666666666666666D))"
+            ).alias("q")
+        ).select(F.col("q")[0].alias("q1"), F.col("q")[1].alias("q2"))
+        tagged = lp.crossJoin(F.broadcast(cuts)).select(
+            "doc_id", "mi",
+            F.when(F.col("mi") <= F.col("q1"), F.lit("head"))
+            .when(F.col("mi") <= F.col("q2"), F.lit("middle"))
+            .otherwise(F.lit("tail")).alias("bucket"),
+        )
+        coin = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ccnet:"), F.col("doc_id").cast("string"))),
+                    1, 2,
+                ),
+                16, 10,
+            ).cast("int") % 2
+        )
+        return (
+            tagged.filter(
+                (F.col("bucket") == "head")
+                | ((F.col("bucket") == "middle") & (coin == 0))
+            )
+            .select("doc_id", "bucket", "mi")
+            .orderBy("doc_id")
+        )
+
+    q["corpus_ccnet_sample"] = corpus_ccnet_sample
+
+
 
 
 
@@ -11660,6 +11705,39 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 'tail' END AS bucket
           FROM lp l, cuts c
         ) GROUP BY bucket ORDER BY bucket
+    """
+
+    # corpus_ccnet_sample: buckets + the ('0x'||substr(md5))::INT coin.
+    o["corpus_ccnet_sample"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        total AS (SELECT sum(c) AS n_total FROM freq),
+        lp AS (
+          SELECT doc_id,
+                 CAST(round(round(avg(ln(n_total) - ln(c)), 4) * 1000)
+                      AS BIGINT) AS mi
+          FROM toks JOIN freq USING (tok) CROSS JOIN total
+          GROUP BY doc_id
+        ),
+        cuts AS (
+          SELECT quantile_cont(mi, 0.3333333333333333) AS q1,
+                 quantile_cont(mi, 0.6666666666666666) AS q2
+          FROM lp
+        ),
+        tagged AS (
+          SELECT l.doc_id, l.mi,
+                 CASE WHEN l.mi <= c.q1 THEN 'head'
+                      WHEN l.mi <= c.q2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM lp l, cuts c
+        )
+        SELECT doc_id, bucket, mi FROM tagged
+        WHERE bucket = 'head'
+           OR (bucket = 'middle'
+               AND ('0x' || substr(md5('ccnet:' || doc_id), 1, 2))::INT % 2 = 0)
+        ORDER BY doc_id
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over
