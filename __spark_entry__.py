@@ -5940,6 +5940,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_ccnet_sample"] = corpus_ccnet_sample
 
+    def frontier_robots_deadweight(spark, sf):
+        """Robots dead-weight census: per host, the permille of
+        FRONTIER urls its Disallow prefixes already block — queued
+        work that can never be fetched (frontier hygiene should have
+        dropped it at admission; a high number means discovery keeps
+        re-finding disallowed families, a DUST/trap smell).  Scan-side
+        prefix test against the broadcast policy dim + one
+        map-combinable host rollup."""
+        i = F.col("id")
+        h = i % 25
+        fr = spark.range(5000).select(
+            F.format_string("h%d", h).alias("host"),
+            F.when(
+                i % 5 < 2, F.format_string("/private/p%d", i)
+            ).when(
+                i % 5 == 2, F.format_string("/tmp/s%d", i)
+            ).otherwise(F.format_string("/articles/a%d", i)).alias("path"),
+        )
+        rules = spark.range(25).select(
+            F.format_string("h%d", i).alias("host"),
+            F.when(i % 3 == 0, F.array(F.lit("/private/"), F.lit("/tmp/")))
+            .when(i % 3 == 1, F.array(F.lit("/private/")))
+            .otherwise(F.array().cast("array<string>")).alias("prefixes"),
+        )
+        joined = fr.join(F.broadcast(rules), "host")
+        blocked = F.exists(
+            F.col("prefixes"), lambda p: F.col("path").startswith(p)
+        )
+        return (
+            joined.groupBy("host")
+            .agg(
+                F.count("*").alias("n_frontier"),
+                F.sum(blocked.cast("long")).alias("n_blocked"),
+            )
+            .withColumn(
+                "deadweight_permille",
+                F.expr("(1000 * n_blocked) div n_frontier"),
+            )
+            .orderBy("host")
+        )
+
+    q["frontier_robots_deadweight"] = frontier_robots_deadweight
+
+
 
 
 
@@ -11738,6 +11782,36 @@ def oracle_sql() -> dict[str, str]:
            OR (bucket = 'middle'
                AND ('0x' || substr(md5('ccnet:' || doc_id), 1, 2))::INT % 2 = 0)
         ORDER BY doc_id
+    """
+
+    # frontier_robots_deadweight: prefix test + rollup replay.
+    o["frontier_robots_deadweight"] = """
+        WITH fr AS (
+          SELECT printf('h%d', range % 25) AS host,
+                 CASE WHEN range % 5 < 2 THEN printf('/private/p%d', range)
+                      WHEN range % 5 = 2 THEN printf('/tmp/s%d', range)
+                      ELSE printf('/articles/a%d', range) END AS path
+          FROM range(5000)
+        ),
+        rules AS (
+          SELECT printf('h%d', range) AS host,
+                 CASE WHEN range % 3 = 0 THEN ['/private/', '/tmp/']
+                      WHEN range % 3 = 1 THEN ['/private/']
+                      ELSE [] END AS prefixes
+          FROM range(25)
+        ),
+        j AS (
+          SELECT f.host,
+                 CASE WHEN len(list_filter(r.prefixes,
+                        p -> starts_with(f.path, p))) > 0
+                      THEN 1 ELSE 0 END AS blocked
+          FROM fr f JOIN rules r USING (host)
+        )
+        SELECT host, CAST(count(*) AS BIGINT) AS n_frontier,
+               CAST(sum(blocked) AS BIGINT) AS n_blocked,
+               CAST((1000 * sum(blocked)) // count(*) AS BIGINT)
+                 AS deadweight_permille
+        FROM j GROUP BY host ORDER BY host
     """
 
     # link_spam_mass: PageRank chain + seed-biased TrustRank chain over
