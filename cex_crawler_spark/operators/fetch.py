@@ -47,32 +47,52 @@ def fetch_batch(scheduled: DataFrame, parallelism: int | None = None) -> DataFra
 
     The input arrives partitioned BY HOST (the politeness window's
     partitioning) — a hot host would serialize its whole budget through
-    one Python worker.  Always repartition on url_hash so fetch work
-    spreads over every core; the shuffled columns are 16 bytes/row.
+    one Python worker.  Repartition on image_id: work still spreads over
+    every core (hash-distributed), and all rows sharing a payload land in
+    ONE task, so the per-task memo below fetches each distinct resource
+    exactly once instead of once per referencing URL (guide §8: decide /
+    compute on the distinct key, attach to the heavy row set once).  With
+    unique-per-URL resources this degrades to exactly the old behaviour.
     """
     src = scheduled.select("url_hash", "image_id")
     if parallelism is None:
         parallelism = scheduled.sparkSession.sparkContext.defaultParallelism
-    src = src.repartition(parallelism, F.col("url_hash"))
+    src = src.repartition(parallelism, F.col("image_id"))
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..payload import payload_for
 
-        for pdf in it:
-            rows = []
-            for uh, image_id in zip(pdf["url_hash"], pdf["image_id"]):
+        _FAIL = {
+            "bytes": None, "w": None, "h": None, "fmt": None,
+            "caption": None, "phash": None, "fetch_ok": False,
+        }
+        memo: dict[str, dict] = {}
+
+        def fetch_one(image_id: str) -> dict:
+            p = memo.get(image_id)
+            if p is None:
                 try:
                     p = payload_for(image_id)
-                    p["url_hash"] = int(uh)
                     p["fetch_ok"] = True
                 except Exception:
-                    p = {
-                        "url_hash": int(uh), "image_id": image_id, "bytes": None,
-                        "w": None, "h": None, "fmt": None, "caption": None,
-                        "phash": None, "fetch_ok": False,
-                    }
-                rows.append(p)
-            out = pd.DataFrame(rows, columns=[f.name for f in FETCH_RESULT_SCHEMA])
+                    p = dict(_FAIL, image_id=image_id)
+                memo[image_id] = p
+            return p
+
+        cols = [f.name for f in FETCH_RESULT_SCHEMA]
+        for pdf in it:
+            payloads = [fetch_one(i) for i in pdf["image_id"]]
+            out = pd.DataFrame(
+                {
+                    "url_hash": pdf["url_hash"].astype("int64"),
+                    **{
+                        c: [p[c] for p in payloads]
+                        for c in cols
+                        if c != "url_hash"
+                    },
+                },
+                columns=cols,
+            )
             yield out
 
     return src.mapInPandas(run, schema=FETCH_RESULT_SCHEMA)
@@ -137,43 +157,64 @@ def fetch_and_validate(
         # straggler stretches the whole stage; payload work varies per
         # row, so slack partitions smooth the tail
         parallelism = 4 * scheduled.sparkSession.sparkContext.defaultParallelism
-    src = src.repartition(parallelism, F.col("url_hash"))
+    # image_id partitioning (not url_hash): the verdict is a pure function
+    # of the resource, so landing every row of a payload in one task lets
+    # the per-task memo fetch+validate each distinct resource ONCE and
+    # attach the verdict to all referencing URLs — §8's "compute on the
+    # small key, move the decision to the heavy rows" applied to fetch.
+    # Distribution stays hash-even over cores; with unique-per-URL
+    # resources (the production shape) the memo simply never hits.
+    src = src.repartition(parallelism, F.col("image_id"))
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         from ..functions.imaging import decode_image, psnr
         from ..payload import caption_for, payload_for, reference_decode
         from .validate import PSNR_THRESHOLD_DB
 
-        for pdf in it:
-            rows = []
-            for uh, image_id in zip(pdf["url_hash"], pdf["image_id"]):
+        _FAIL = (None, None, None, None, None, False, False, False, 0.0, False)
+        memo: dict[str, tuple] = {}
+
+        def verdict_for(image_id: str) -> tuple:
+            v = memo.get(image_id)
+            if v is None:
                 try:
                     p = payload_for(image_id)
                     decoded = decode_image(p["bytes"], p["fmt"])
                     ref = reference_decode(image_id)
                     p_db = min(psnr(decoded, ref), 1e9)
-                    pixels_ok = bool(p_db >= PSNR_THRESHOLD_DB) and decoded.shape == ref.shape
+                    pixels_ok = (
+                        bool(p_db >= PSNR_THRESHOLD_DB)
+                        and decoded.shape == ref.shape
+                    )
                     caption_ok = p["caption"] == caption_for(image_id)
-                    rows.append(
-                        {
-                            "url_hash": int(uh), "image_id": image_id,
-                            "w": p["w"], "h": p["h"], "fmt": p["fmt"],
-                            "caption": p["caption"], "phash": p["phash"],
-                            "fetch_ok": True, "pixels_ok": pixels_ok,
-                            "caption_ok": caption_ok, "psnr_db": float(p_db),
-                            "valid": pixels_ok and caption_ok,
-                        }
+                    v = (
+                        p["w"], p["h"], p["fmt"], p["caption"], p["phash"],
+                        True, pixels_ok, caption_ok, float(p_db),
+                        pixels_ok and caption_ok,
                     )
                 except Exception:
-                    rows.append(
-                        {
-                            "url_hash": int(uh), "image_id": image_id,
-                            "w": None, "h": None, "fmt": None, "caption": None,
-                            "phash": None, "fetch_ok": False, "pixels_ok": False,
-                            "caption_ok": False, "psnr_db": 0.0, "valid": False,
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in FETCH_VERDICT_SCHEMA])
+                    v = _FAIL
+                memo[image_id] = v
+            return v
+
+        val_cols = [f.name for f in FETCH_VERDICT_SCHEMA][2:]
+        for pdf in it:
+            # factorize → one verdict per DISTINCT id in the batch (memo
+            # carries across batches); column-wise assembly via np.take
+            # replaces the old dict-per-row DataFrame build (~10× less
+            # Python-side work per row even without memo hits)
+            codes, uniques = pd.factorize(pdf["image_id"])
+            verdicts = [verdict_for(i) for i in uniques]
+            out = {"url_hash": pdf["url_hash"].astype("int64"),
+                   "image_id": pdf["image_id"]}
+            for ci, name in enumerate(val_cols):
+                col = np.empty(len(uniques), dtype=object)
+                for ui, v in enumerate(verdicts):
+                    col[ui] = v[ci]
+                out[name] = col.take(codes) if len(uniques) else col
+            yield pd.DataFrame(out)
             if fault_latch is not None and _trip_fault_latch(fault_latch):
                 # crash AFTER partial output left this attempt: Spark must
                 # discard it and replay the whole partition on retry

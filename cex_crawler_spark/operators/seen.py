@@ -250,9 +250,15 @@ def build_cuckoo(
     re-placement instead of a bitwise OR (cuckoo tables don't OR), so
     size ``n_expected`` for the FULL key count — every partition table
     shares the full-size geometry and the driver union stays below the
-    load limit.
+    load limit.  Small filters (same threshold as :func:`build_bloom`)
+    skip the partition tables and add the Arrow-collected keys directly.
     """
     proto = CuckooFilter64(n_expected)
+    if n_expected <= _DRIVER_BUILD_MAX:
+        keys = _collect_keys(df, key_col)
+        if keys.size:
+            proto.add_many(keys)
+        return proto
 
     def partition_table(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cf = CuckooFilter64(n_expected)
@@ -306,11 +312,37 @@ def invalidate_seen(
     return seen.join(urls.select(key_col).distinct(), key_col, "left_anti")
 
 
+# Below this n_expected the filter is built by collecting the raw keys
+# (8 B/key over Arrow) and one vectorized driver-side add_many; above it
+# the per-partition-bitmap reduce takes over.  The key collect moves
+# rows × 8 B; the bitmap path moves partitions × m/8 B — at bench scale
+# (400 k expected, ~200 post-AQE partitions of a 128-partition fetch
+# stage) that is 0.7 MB vs ~80 MB, and the gap WIDENS with n_expected
+# until the key count itself threatens driver memory (8 B × 64 M =
+# 512 MB, the cap below; tune via env on bigger drivers).
+_DRIVER_BUILD_MAX = int(
+    __import__("os").environ.get("SPARK_GRAFT_FILTER_DRIVER_BUILD_MAX",
+                                 str(64_000_000))
+)
+
+
+def _collect_keys(df: DataFrame, key_col: str) -> np.ndarray:
+    pdf = df.select(key_col).toPandas()
+    return pdf[key_col].to_numpy(dtype=np.int64)
+
+
 def build_bloom(
     df: DataFrame, key_col: str, n_expected: int, fpp: float = 0.03
 ) -> BloomFilter64:
-    """Distributed Bloom build: per-partition bitmaps, driver OR-reduce."""
+    """Bloom build: driver add_many over Arrow-collected keys for filters
+    up to ``$SPARK_GRAFT_FILTER_DRIVER_BUILD_MAX`` expected keys, else
+    per-partition bitmaps OR-reduced on the driver."""
     proto = BloomFilter64(n_expected, fpp)
+    if n_expected <= _DRIVER_BUILD_MAX:
+        keys = _collect_keys(df, key_col)
+        if keys.size:
+            proto.add_many(keys)
+        return proto
     m, k = proto.m, proto.k
 
     def partition_bitmap(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
