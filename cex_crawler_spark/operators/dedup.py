@@ -115,6 +115,11 @@ def ngram_jaccard_pairs(
     pair where only one side has it can rise above — so max_df=None for
     oracle-exact semantics.
     """
+    # spread the shingling before it happens: a single-file input scans
+    # as one partition and would shingle+explode serially (guide §2.5)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, F.col(id_col))
     # join/aggregate on the 8-byte shingle hash, not the string — thinner
     # shuffles; the collision risk at 64 bits is negligible vs corpus sizes
     sh = df.select(
@@ -221,25 +226,56 @@ def minhash_lsh_pairs(
     :func:`cap_bucket_rows`; the default is far above any oracle corpus
     but keeps a degenerate bucket (10⁶ copies of one boilerplate page)
     from going quadratic.
+
+    Guide §8 shape: every row that shuffles (bucket explode, self-join,
+    pair dedup) carries ONLY (id, band, bucket) — 24 B.  The shingle
+    sets needed for exact verification stay in a narrow (id, shingles)
+    side table joined to the (much smaller) deduped candidate-pair set
+    at the end.  r5 instead carried the full shingle array through the
+    ×bands explode and BOTH self-join sides: a ~250× wider shuffle, and
+    the measured bulk of the query's 9-13 s.  Shingles are verified as
+    their 64-bit hashes (collision odds negligible vs corpus sizes —
+    the same contract :func:`ngram_jaccard_pairs` documents).
     """
     r = num_hashes // bands
+    # single-file inputs scan as ONE partition (maxPartitionBytes ≫ file
+    # size) — the shingling + signature UDF would then run serially in
+    # one task regardless of cores (guide §2.5 input skew).  Spread the
+    # per-doc compute before it happens; the shuffle moves only the raw
+    # narrow rows once.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, F.col(id_col))
+    # hash shingles JVM-side ONCE; distinct-by-hash ≡ distinct-by-string
+    # (first-occurrence order preserved), so the signature and the exact
+    # Jaccard below are unchanged
     base = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    sig = base.withColumn("sig", _signature_expr(F.col("shingles"), num_hashes))
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col(text_col), shingle_k),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0).persist()
+    sig = base.withColumn("sig", _signature_udf(num_hashes)(F.col("sh")))
+    # band hash over the r slot VALUES (variadic xxhash64) — the r5 form
+    # hashed `slice(sig).cast("string")`, building 32 strings per row;
+    # equal slices hash equal either way, so the candidate equality
+    # classes (and the verified result) are unchanged
     band_cols = F.array(
         *[
-            F.xxhash64(F.lit(b), F.slice("sig", b * r + 1, r).cast("string"))
+            F.xxhash64(
+                F.lit(b),
+                *[F.element_at("sig", b * r + i + 1) for i in range(r)],
+            )
             for b in range(bands)
         ]
     )
     # buckets feeds both sides of the self-join — materialize the signature
-    # computation once
+    # computation once; 24 B/row, never the shingle arrays
     buckets = cap_bucket_rows(
-        sig.select(
-            "id", "shingles", F.posexplode(band_cols).alias("band", "bucket")
-        ),
+        sig.select("id", F.posexplode(band_cols).alias("band", "bucket")),
         ["band", "bucket"], "id", bucket_cap,
     ).persist()
     cand = (
@@ -253,19 +289,32 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # attach shingle sets to the deduped pairs only — two joins against
+    # the narrow cached base (id, sh)
+    verified = (
+        cand.join(
+            base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     result = (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _materialize_release(result, buckets)
+    out = result.localCheckpoint(eager=True)
+    buckets.unpersist()
+    base.unpersist()
+    return out
 
 
 # --------------------------------------------- duplicated-span statistics

@@ -240,6 +240,14 @@ def opic(
     localCheckpointed so lineage stays O(1).  All arithmetic is 64-bit
     integer: the oracle unrolls the same recurrence in SQL with zero
     tolerance.
+
+    r6: ONE action per round instead of two — the state carries its
+    (static) out-degree and each round's residue sum rides the state
+    checkpoint as an ``observe()`` metric, so the separate
+    join-state-to-deg residue job is gone (driver-synchronized barriers
+    are the whole latency of an iterative op; VERDICT r5 item 3).
+    Values are bit-identical: the residue is the same sum over the same
+    state, just collected from the materialization that builds it.
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -267,12 +275,34 @@ def opic(
         .repartition("src")
         .persist()
     )
+    from pyspark.sql import Observation
+
+    # the residue of a state is a pure row-local sum over (cash, outd) —
+    # observed during the checkpoint that materializes the state, so no
+    # separate residue job runs per round
+    residue_metric = F.coalesce(
+        F.sum(
+            F.when(F.col("outd").isNull(), F.col("cash")).otherwise(
+                F.expr("cash % outd")
+            )
+        ),
+        F.lit(0),
+    ).alias("r")
+    nodes_outd = nodes.join(deg, nodes["id"] == deg["src"], "left").select(
+        "id", "outd"
+    )
+    obs = Observation()
     if init_state is None:
-        state = nodes.select(
-            "id",
-            F.lit(int(init_cash)).cast("long").alias("cash"),
-            F.lit(0).cast("long").alias("history"),
-        ).localCheckpoint(eager=True)
+        state = (
+            nodes_outd.select(
+                "id",
+                "outd",
+                F.lit(int(init_cash)).cast("long").alias("cash"),
+                F.lit(0).cast("long").alias("history"),
+            )
+            .observe(obs, residue_metric)
+            .localCheckpoint(eager=True)
+        )
     else:
         prev = init_state.select(
             "id",
@@ -280,50 +310,43 @@ def opic(
             F.col("history").cast("long").alias("__ph"),
         )
         state = (
-            nodes.join(prev, "id", "left")
+            nodes_outd.join(prev, "id", "left")
             .select(
                 "id",
+                "outd",
                 F.coalesce(F.col("__pc"), F.lit(int(init_cash)).cast("long")).alias("cash"),
                 F.coalesce(F.col("__ph"), F.lit(0).cast("long")).alias("history"),
             )
+            .observe(obs, residue_metric)
             .localCheckpoint(eager=True)
         )
     pool = int(init_pool)
     for _ in range(n_rounds):
-        residue = (
-            state.join(deg, state["id"] == deg["src"], "left")
-            .agg(
-                F.coalesce(
-                    F.sum(
-                        F.when(F.col("outd").isNull(), F.col("cash")).otherwise(
-                            F.expr("cash % outd")
-                        )
-                    ),
-                    F.lit(0),
-                ).alias("r")
-            )
-            .collect()[0]["r"]
-        )
+        residue = obs.get["r"]
         pool_in = pool + int(residue)
         grant, pool = divmod(pool_in, n)
         contrib = (
-            ew.join(state, ew["src"] == state["id"])
+            ew.join(state.select(F.col("id"), F.col("cash")), ew["src"] == F.col("id"))
             .groupBy("dst")
             .agg(F.sum(F.expr("cash div outd")).alias("c"))
         )
+        obs = Observation()
         state = (
             state.join(contrib, state["id"] == contrib["dst"], "left")
             .select(
                 state["id"],
+                state["outd"],
                 (F.coalesce(F.col("c"), F.lit(0)) + F.lit(grant)).cast("long").alias("cash"),
                 (F.col("history") + F.col("cash")).cast("long").alias("history"),
             )
+            .observe(obs, residue_metric)
             .localCheckpoint(eager=True)
         )
     e.unpersist()
     ew.unpersist()
     nodes.unpersist()
-    return (state, pool) if with_pool else state
+    out = state.select("id", "cash", "history")
+    return (out, pool) if with_pool else out
 
 
 def anchor_text_profile(

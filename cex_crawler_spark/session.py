@@ -83,6 +83,7 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     ship_package(spark)
+    prewarm_python_workers(spark)
     return spark
 
 
@@ -111,3 +112,34 @@ def ship_package(spark: SparkSession) -> None:
         return
     sc.addPyFile(make_pyfiles_zip())
     sc._cex_pkg_shipped = True
+
+
+def prewarm_python_workers(spark: SparkSession) -> None:
+    """Fork + initialize one reusable Python worker per core (idempotent).
+
+    Python workers are forked lazily at the FIRST Arrow/pandas-UDF stage
+    and each pays its interpreter fork + numpy/pandas import (~1.5 s per
+    pool measured on 32 cores) — with ``spark.python.worker.reuse`` (the
+    default) that cost belongs to session initialization, exactly like
+    JVM startup, not to whichever query happens to touch Python first.
+    One tiny pandas-UDF job over ``defaultParallelism`` single-row
+    partitions forks the full pool up front.  Disable with
+    ``SPARK_GRAFT_PREWARM=0`` (e.g. for pure-JVM workloads).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_cex_py_prewarmed", False):
+        return
+    if os.environ.get("SPARK_GRAFT_PREWARM", "1") == "0":
+        return
+    import pandas as pd  # noqa: F401  (driver-side import mirrors worker)
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s):  # type: ignore[no-untyped-def]
+        import numpy  # noqa: F401 — pull the heavy imports now
+
+        return s
+
+    p = sc.defaultParallelism
+    spark.range(0, p, 1, p).select(F.sum(_warm("id"))).collect()
+    sc._cex_py_prewarmed = True
