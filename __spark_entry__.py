@@ -70,6 +70,14 @@ REF_RUN_DATE = "2025-09-02"
 
 def _event_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
+    # the events table is one single-row-group file → one scan task; the
+    # URL build + canonicalization regexes downstream would run serially
+    # on one core (measured 1.2 s warm of a 1.7 s query).  Spread the
+    # narrow raw rows first — the 2.4 MB shuffle costs far less than the
+    # serialized regex pass (guide §2.5, input skew from one file).
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par, F.col("event_id"))
     noise = (
         F.when(F.col("event_id") % 4 == 1, "/")
         .when(F.col("event_id") % 4 == 2, "#frag")

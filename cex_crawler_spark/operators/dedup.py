@@ -742,18 +742,28 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-        # fixpoint check folded into the same pass: count of ids whose
-        # label shrank this iteration (one extra agg over the join, no
-        # second action)
+        # fixpoint check folded into the checkpoint itself: the count of
+        # ids whose label shrank rides the materialization as an
+        # observe() metric — ONE action per iteration (the r5 shape ran
+        # a second limit(1).count() job per round)
+        from pyspark.sql import Observation
+
         old = labels.select(
             F.col("id").alias("oid"), F.col("component").alias("old_component")
         )
-        merged = merged.join(old, merged["id"] == old["oid"], "left").select(
-            "id", "component", "old_component"
-        ).localCheckpoint(eager=True)
-        changed = merged.filter(
-            F.col("component") < F.col("old_component")
-        ).limit(1).count()
+        obs = Observation()
+        merged = (
+            merged.join(old, merged["id"] == old["oid"], "left")
+            .select("id", "component", "old_component")
+            .observe(
+                obs,
+                F.count_if(
+                    F.col("component") < F.col("old_component")
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = int(obs.get["changed"])
         labels = merged.select("id", "component")
         if changed == 0:
             break

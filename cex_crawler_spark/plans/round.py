@@ -344,22 +344,39 @@ def run_round(
             return spark.createDataFrame([], frontier_write.schema)
         return frontier_write
 
-    metrics_delta = decisions.groupBy(
+    # metrics + lineage share ONE pre-aggregation over the decisions
+    # cache — (host, part, status) is a superset key of both, so each
+    # table is a re-group of the tiny grain rows (hosts × partitions ×
+    # statuses) instead of its own full shuffle over the cache (r6; the
+    # emitted rows are identical: counts sum, budget/min_delay are
+    # host-constant from the policy join, url_hash min/max compose).
+    grain = (
+        decisions.withColumn("part", F.spark_partition_id())
+        .groupBy("host", "part", "status")
+        .agg(
+            F.count("*").alias("__n"),
+            F.min("url_hash").alias("__min_uh"),
+            F.max("url_hash").alias("__max_uh"),
+            F.first("budget_per_round").alias("__budget"),
+            F.first("min_delay_ms").alias("__delay"),
+        )
+        .persist()
+    )
+    round_caches.append(grain)
+    metrics_delta = grain.groupBy(
         F.lit(round_id).alias("round"), "host", "status"
     ).agg(
-        F.count("*").alias("n"),
-        F.first("budget_per_round").alias("budget_per_round"),
-        F.first("min_delay_ms").alias("min_delay_ms"),
+        F.sum("__n").alias("n"),
+        F.first("__budget").alias("budget_per_round"),
+        F.first("__delay").alias("min_delay_ms"),
     )
     # per-partition lineage: which executor partition carried which rows
-    lineage_delta = (
-        decisions.withColumn("part", F.spark_partition_id())
-        .groupBy(F.lit(round_id).alias("round"), "part", "status")
-        .agg(
-            F.count("*").alias("rows"),
-            F.min("url_hash").alias("min_url_hash"),
-            F.max("url_hash").alias("max_url_hash"),
-        )
+    lineage_delta = grain.groupBy(
+        F.lit(round_id).alias("round"), "part", "status"
+    ).agg(
+        F.sum("__n").alias("rows"),
+        F.min("__min_uh").alias("min_url_hash"),
+        F.max("__max_uh").alias("max_url_hash"),
     )
 
     # no pre-commit action: the results write IS the round's driving job
@@ -391,14 +408,21 @@ def run_round(
     stats.setdefault("deferred", 0)
     catalog.amend(version, {"stats": stats})
     if bloom is not None:
-        # incremental filter maintenance folded into the round: the delta
-        # scan hits the persisted results_delta, so this costs one pass
-        # over cached partitions (never a re-read of written parquet)
+        # incremental filter maintenance folded into the round.  The
+        # delta keys are read back from the seen files THIS commit just
+        # wrote (manifest paths[-1] — a tiny columnar scan of one
+        # round's delta) rather than re-running the distinct over the
+        # persisted results_delta: the re-aggregation was a full shuffle
+        # of the cached partitions per round, the read-back is one
+        # column of one delta directory (r6; the values are identical
+        # by construction — it IS the written seen_delta)
+        delta_path = catalog.manifest()["tables"]["seen"]["paths"][-1]
+        delta_keys = spark.read.parquet(delta_path)
         if isinstance(bloom, CuckooFilter64):
-            bloom.merge(build_cuckoo(seen_delta, "url_hash", bloom_expected))
+            bloom.merge(build_cuckoo(delta_keys, "url_hash", bloom_expected))
             save_cuckoo_sidecar(catalog, version, bloom, bloom_expected)
         else:
-            bloom.merge(build_bloom(seen_delta, "url_hash", bloom_expected))
+            bloom.merge(build_bloom(delta_keys, "url_hash", bloom_expected))
             # persist the merged bitmap against this round's manifest so a
             # resume loads it instead of re-scanning the whole seen table
             save_bloom_sidecar(catalog, version, bloom, bloom_expected)
