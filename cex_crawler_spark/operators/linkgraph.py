@@ -21,7 +21,7 @@ Scale notes (100 TB / 10^10 edges):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 # href + anchor text of plain <a> tags; attribute order beyond href and
@@ -722,9 +722,12 @@ def crawl_depth(
             .distinct()
             .join(visited.select("url"), "url", "left_anti")
             .withColumn("depth", F.lit(d).cast("long"))
+            # layer size rides the checkpoint (r6: one action per BFS
+            # layer instead of checkpoint + limit(1).count())
+            .observe(obs := Observation(), F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.limit(1).count() == 0:
+        if int(obs.get["n"]) == 0:
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
@@ -772,6 +775,7 @@ def resolve_redirects(
         parent = labels.select(
             F.col("url").alias("__purl"), F.col("label").alias("__plabel")
         )
+        obs = Observation()
         hopped = (
             labels.join(parent, labels["label"] == parent["__purl"], "left")
             .select(
@@ -779,9 +783,13 @@ def resolve_redirects(
                 F.coalesce(F.col("__plabel"), F.col("label")).alias("label"),
                 (F.col("__plabel") != F.col("label")).alias("__changed"),
             )
+            # changed-row probe rides the checkpoint as an observe()
+            # metric — one action per pointer-jump round (r6; was a
+            # second limit(1).count() job)
+            .observe(obs, F.count_if(F.col("__changed")).alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = hopped.filter(F.col("__changed")).limit(1).count()
+        changed = int(obs.get["changed"])
         labels = hopped.select("url", "label")
         if changed == 0:
             break
@@ -1138,9 +1146,11 @@ def paginate_series(
                 ).otherwise(F.col("d")).alias("d"),
                 (F.col("__plabel") != F.col("label")).alias("__changed"),
             )
+            .observe(obs := Observation(),
+                     F.count_if(F.col("__changed")).alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = hopped.filter(F.col("__changed")).limit(1).count()
+        changed = int(obs.get["changed"])
         labels = hopped.select("url", "label", "d")
         if changed == 0:
             break

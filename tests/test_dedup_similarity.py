@@ -596,20 +596,41 @@ class TestConnectedComponents:
         pairs = spark.range(n - 1).select(
             F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
         )
-        comp = connected_components(pairs)
+        # driver_max=0 pins the DISTRIBUTED path — the convergence bound
+        # under test; the r6 small-graph union-find would otherwise take
+        # over below its 200k-edge threshold
+        comp = connected_components(pairs, driver_max=0)
         assert comp.count() == n
         assert comp.filter(F.col("component") != 0).count() == 0
 
+    def test_driver_unionfind_matches_distributed(self, spark):
+        """r6 small-graph fast path: the driver-side union-find must
+        emit exactly the distributed min-label propagation's labels."""
+        from cex_crawler_spark.operators.dedup import connected_components
+
+        rows = [(i * 37 % 101, (i * 37 % 101) + (i % 7) + 1) for i in range(300)]
+        pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+        fast = {
+            (r["id"], r["component"])
+            for r in connected_components(pairs, driver_max=10**6).collect()
+        }
+        dist = {
+            (r["id"], r["component"])
+            for r in connected_components(pairs, driver_max=0).collect()
+        }
+        assert fast == dist
+
     def test_nonconvergence_raises_not_silent(self, spark):
         """ADVICE r3: exhausting max_iters must raise, never hand back
-        silently split components."""
+        silently split components (distributed path; the driver path
+        has no iteration budget to exhaust)."""
         from cex_crawler_spark.operators.dedup import connected_components
 
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(200)], "id_a long, id_b long"
         )
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(pairs, max_iters=2)
+            connected_components(pairs, max_iters=2, driver_max=0)
 
     def test_representatives_keep_min_and_singletons(self, spark):
         from cex_crawler_spark.operators.dedup import (
