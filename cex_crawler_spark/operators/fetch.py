@@ -206,8 +206,14 @@ def fetch_and_validate(
             # factorize → one verdict per DISTINCT id in the batch (memo
             # carries across batches); column-wise assembly via np.take
             # replaces the old dict-per-row DataFrame build (~10× less
-            # Python-side work per row even without memo hits)
-            codes, uniques = pd.factorize(pdf["image_id"])
+            # Python-side work per row even without memo hits).
+            # use_na_sentinel=False keeps a null image_id as its own
+            # "unique" (verdict_for then yields the fetch-failed row,
+            # matching the per-row path) instead of code −1, which
+            # np.take would silently alias to the LAST unique's verdict
+            codes, uniques = pd.factorize(
+                pdf["image_id"], use_na_sentinel=False
+            )
             verdicts = [verdict_for(i) for i in uniques]
             out = {"url_hash": pdf["url_hash"].astype("int64"),
                    "image_id": pdf["image_id"]}

@@ -226,12 +226,16 @@ def schedule_round(
     if "priority" not in candidates.columns:
         # pre-priority frontiers (and fixtures): one level, reference order
         candidates = candidates.withColumn("priority", F.lit(0).cast("long"))
-    c = (
-        candidates.join(F.broadcast(host_policy), "host", "left")
-        .withColumn("section_rank", section_rank())
-        .withColumn(
-            "path", F.regexp_extract(F.col("canonical_url"), r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-        )
+    # one select, not a withColumn chain: every Dataset construction runs
+    # a full driver-side analysis of the (growing) plan, and this
+    # function is on the per-round hot path — the r5 chain cost ~0.5 s
+    # of pure py4j/analysis per round (r6, profiled)
+    c = candidates.join(F.broadcast(host_policy), "host", "left").select(
+        "*",
+        section_rank().alias("section_rank"),
+        F.regexp_extract(
+            F.col("canonical_url"), r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+        ).alias("path"),
     )
     robots_hit = F.exists(
         F.col("robots_disallow"), lambda p: F.startswith(F.col("path"), p)
@@ -262,15 +266,16 @@ def schedule_round(
     stale_prefetch = F.col("time_known_prefetch") & (
         F.col("release_time") < F.to_timestamp(F.lit(watermark))
     )
-    c = c.withColumn("__robots", F.coalesce(robots_hit, F.lit(False))).withColumn(
-        "__stale", stale_prefetch
-    )
 
     # All ranking runs on a NARROW projection — at 10^10 rows the
     # frontier carries urls/titles that would otherwise ride through
     # every window shuffle.  canonical_url + min_delay_ms ride along so
     # downstream results/metrics never need the wide rows.
-    narrow = c.select(*_NARROW_COLS, "__robots", "__stale")
+    narrow = c.select(
+        *_NARROW_COLS,
+        F.coalesce(robots_hit, F.lit(False)).alias("__robots"),
+        stale_prefetch.alias("__stale"),
+    )
 
     # robots/stale disposition first; dup detection then runs over the
     # REMAINING (schedulable) rows only — matching the replayer oracle,
@@ -281,7 +286,7 @@ def schedule_round(
         F.when(F.col("__robots"), STATUS_ROBOTS)
         .when(F.col("__stale"), STATUS_STALE)
     )
-    narrow = narrow.withColumn("__pre", pre_terminal)
+    narrow = narrow.select("*", pre_terminal.alias("__pre"))
     if caches is not None:
         narrow = narrow.persist()
         caches.append(narrow)

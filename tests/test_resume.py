@@ -319,3 +319,30 @@ def test_cuckoo_crawl_lifecycle_matches_no_filter(spark, tmp_path):
                       bloom_expected=5000)
     cat_n = lifecycle(tmp_path / "nofilter", use_bloom=False)
     assert _final_state(spark, cat_c) == _final_state(spark, cat_n)
+
+
+def test_fetch_memo_null_and_dup_image_ids(spark):
+    """r6 fetch memoization: duplicate image_ids get the (identical)
+    memoized verdict, a NULL image_id still yields the fetch-failed row
+    (factorize's na sentinel must not alias it to another verdict)."""
+    from pyspark.sql import types as T
+
+    from cex_crawler_spark.operators.fetch import fetch_and_validate
+
+    rows = [(1, "img0000000001"), (2, None), (3, "img0000000001")]
+    schema = T.StructType(
+        [
+            T.StructField("url_hash", T.LongType()),
+            T.StructField("image_id", T.StringType()),
+        ]
+    )
+    out = {
+        r["url_hash"]: r
+        for r in fetch_and_validate(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    assert out[2]["fetch_ok"] is False and out[2]["valid"] is False
+    assert out[1]["fetch_ok"] is True and out[3]["fetch_ok"] is True
+    # duplicate ids must agree on every verdict column
+    assert out[1].asDict() == {**out[3].asDict(), "url_hash": 1}
