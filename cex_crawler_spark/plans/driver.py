@@ -163,39 +163,56 @@ def requeue(
     stale-sidecar hazard: the requeue commit carries no ``bloom`` entry.
     """
     import numpy as np
+    from pyspark.sql import Observation
 
     rows = with_host_bucket(ingest_seeds(urls_seeds))
     keys = rows.select("url_hash").distinct()
     frontier = catalog.read(spark, "frontier")
     if "priority" not in frontier.columns:
         frontier = frontier.withColumn("priority", F.lit(0).cast("long"))
-    add = (
-        rows.select(*frontier.columns)
-        .join(frontier.select("url_hash"), "url_hash", "left_anti")
-        .persist()
+    # r6 (VERDICT r5 item 3): the requeued/unseen counters ride the
+    # commit's own writes as observe() metrics — the r5 shape ran three
+    # dedicated counting actions (add.count, seen.count, new_seen.count)
+    # before/around the same scans the writes already perform.
+    add = rows.select(*frontier.columns).join(
+        frontier.select("url_hash"), "url_hash", "left_anti"
     )
-    n_requeued = add.count()  # also materializes `add` for the union write
-    writes = {
-        "frontier": (
-            frontier.unionByName(add.select(*frontier.columns)),
-            OVERWRITE,
-        )
-    }
-    unseen = 0
+    obs_f = Observation()
+    new_frontier = frontier.unionByName(add).observe(
+        obs_f, F.count(F.lit(1)).alias("total")
+    )
+    writes = {"frontier": (new_frontier, OVERWRITE)}
+    n_frontier_before: int | None = None
+    obs_s = None
     if catalog.has_table("seen"):
         seen = catalog.read(spark, "seen")
-        new_seen = seen.join(keys, "url_hash", "left_anti").persist()
-        unseen = seen.count() - new_seen.count()
+        # LEFT join + filter instead of anti-join: row set identical,
+        # but the dropped-row count becomes observable in the same pass
+        marked = seen.join(
+            keys.withColumn("__requeued", F.lit(True)), "url_hash", "left"
+        )
+        obs_s = Observation()
+        new_seen = (
+            marked.observe(
+                obs_s, F.count_if(F.col("__requeued")).alias("unseen")
+            )
+            .filter(F.col("__requeued").isNull())
+            .drop("__requeued")
+        )
         writes["seen"] = (new_seen, OVERWRITE)
+    # the frontier observe counts the UNION's rows; requeued = union −
+    # prior frontier size, which is one cheap count over the (already
+    # committed, file-backed) old frontier — still fewer jobs than the
+    # r5 shape, and the expensive anti-join/union runs exactly once
+    n_frontier_before = frontier.count()
     version = catalog.commit(
         catalog.current_round(),
         writes,
         extra={"requeue": True},
         partition_by={"frontier": ["host_bucket"]},
     )
-    add.unpersist()
-    if "seen" in writes:
-        writes["seen"][0].unpersist()
+    n_requeued = int(obs_f.get["total"]) - n_frontier_before
+    unseen = int(obs_s.get["unseen"]) if obs_s is not None else 0
     if cuckoo is not None:
         cuckoo.delete_many(
             np.array([r["url_hash"] for r in keys.collect()], dtype=np.int64)
