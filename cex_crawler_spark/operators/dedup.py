@@ -582,6 +582,12 @@ def winnow_fingerprints(
     a fingerprint — is the same explode-join shape as
     :func:`duplicate_span_stats`).
     """
+    # spread the normalize + k-gram md5 explode before it happens: a
+    # single-file corpus scans as ONE task and serialized ~9 s of the
+    # sf0.1 pair query there (guide §2.5)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, F.col(id_col))
     base = df.select(
         F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__n")
     ).filter(F.length("__n") >= k + w - 1)
@@ -630,14 +636,33 @@ def winnow_near_dup_pairs(
     means any pair sharing a substring of length ≥ w+k−1 chars shares a
     fingerprint, so recall follows the sketch density 2/(w+1).
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    # fps feeds three consumers (sizes + both self-join sides) — without
+    # the persist the whole scan→normalize→md5-explode→window chain ran
+    # once per consumer (r6 profile: two duplicate single-task stages)
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).persist()
     sizes = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
-    keyed = cap_bucket_rows(fps, ["fp"], "id", bucket_cap)
+    # join on the 8-byte hash of the 32-char md5 fingerprint (the same
+    # 64-bit-collision contract as ngram_jaccard_pairs), and pin the
+    # exchange to full width: AQE sizes post-shuffle partitions by INPUT
+    # bytes, but this join's output is quadratic per bucket — at sf0.1
+    # the coalesced 7-partition exchange ran the 87 CPU-s pair expansion
+    # nearly serial (18.8 s wall, r6 profile)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    keyed = cap_bucket_rows(
+        fps.withColumn("fph", F.xxhash64("fp")).repartition(par, F.col("fph")),
+        ["fph"], "id", bucket_cap,
+    )
+    # (an 8-way salt of this self-join was tried and REVERTED: the
+    # replicated side's 8× shuffle and the lost in-join id_a<id_b
+    # pruning cost more than the hot-bucket skew it cured — 15 → 19 s
+    # warm at sf0.1.  The 95M-pair expansion from boilerplate
+    # fingerprints is the op's intrinsic cost; the containment gate is
+    # what keeps it from reaching the output.)
     pairs = (
         keyed.alias("a")
         .join(
             keyed.alias("b"),
-            (F.col("a.fp") == F.col("b.fp"))
+            (F.col("a.fph") == F.col("b.fph"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -650,7 +675,7 @@ def winnow_near_dup_pairs(
     sb = sizes.select(
         F.col("id").alias("id_b"), F.col("n_fp").alias("n_fp_b")
     )
-    return (
+    result = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -667,6 +692,7 @@ def winnow_near_dup_pairs(
         # containment ≥ 0.5)
         .filter(F.col("containment") >= min_containment)
     )
+    return _materialize_release(result, fps)
 
 
 # ------------------------------------------------- cluster assignment
